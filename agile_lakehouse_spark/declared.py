@@ -1,0 +1,522 @@
+"""Declared queries: the driver-verified contract (SURVEY.md §2.8, DQ1-DQ24+).
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with the
+equivalent DuckDB oracle SQL; the driver hash-matches them at sf0.01.
+Determinism rules (FIXTURES.md): identical column aliases both sides,
+explicit casts to stable types, ``(floor((.) * 10000.0 + 0.5) / 10000.0)`` on float aggregates, total
+output ordering, and — for everything hash-based — the cross-engine
+portable hash (functions/portable.py), never an engine-native RNG/hash.
+
+Floating-point parity notes: both engines evaluate the same IEEE-754 ops;
+where summation ORDER matters (dot products, rolling folds) the Spark and
+DuckDB expressions are constructed with identical left-to-right fold order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.functions import portable, vector
+from agile_lakehouse_spark.operators import dedup, multimodal, pointcloud, relational, similarity, text
+from agile_lakehouse_spark.sources.catalog import POINTS_CTE, load_table, points_view
+from agile_lakehouse_spark.functions.portable import round4
+
+# ---------------------------------------------------------------------------
+# shared parameters (must match between Spark callables and oracle SQL)
+
+RECT_S = {"x": (100.0, 170.0), "y": (200.0, 420.0)}  # S_RECT-shaped (70-wide)
+RECT_M = {"x": (300.0, 520.0), "y": (300.0, 520.0)}  # M_RECT-shaped (220-wide)
+CIRCLE = (500.0, 500.0, 100.0)
+KNN_CENTER, KNN_K = (500.0, 500.0), 100
+SAMPLE_P = 0.1
+GRID_DELTA = 100.0
+QT_DEPTH, QT_SIDE = 2, 1024.0
+SHINGLE_K = 5
+JACCARD_T = 0.4
+MINHASH_T = 0.5
+SIMHASH_HAMMING = 3
+SIMHASH_BITS = 32
+EMB_COS_T = 0.4
+ANN_K, IVF_M, IVF_NPROBE = 10, 8, 2
+EMB_DIM = 64
+
+P = portable.MERSENNE_P
+PERMS = portable.minhash_perms(dedup.DEFAULT_NUM_PERMS)
+NP_ = dedup.DEFAULT_NUM_PERMS
+BANDS, RPB = dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND
+
+
+def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_view(spark, sf_dir)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(v) for v in row[0]]
+
+
+# ---------------------------------------------------------------------------
+# point-cloud family (reference workload, benchmark.rs:95-265)
+
+
+def pc_scan_count(spark, sf_dir):
+    return pointcloud.count(_q(spark, sf_dir))
+
+
+def pc_range(spark, sf_dir):
+    out = pointcloud.range_query(_q(spark, sf_dir), RECT_S, importance_col="i")
+    return out.select(
+        "pid",
+        round4("x").alias("x"),
+        round4("y").alias("y"),
+        round4("z").alias("z"),
+    ).orderBy("pid")
+
+
+def pc_bounds(spark, sf_dir):
+    b = pointcloud.bounds(_q(spark, sf_dir), ["x", "y", "z", "i"])
+    return b.select(*[round4(c).alias(c) for c in b.columns])
+
+
+def pc_mean(spark, sf_dir):
+    return _q(spark, sf_dir).agg(
+        round4(F.avg("x")).alias("avg_x"),
+        round4(F.avg("y")).alias("avg_y"),
+        round4(F.avg("z")).alias("avg_z"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+
+
+def pc_rect_count(spark, sf_dir):
+    return pointcloud.count(pointcloud.range_query(_q(spark, sf_dir), RECT_M, importance_col="i"))
+
+
+def pc_circle(spark, sf_dir):
+    cx, cy, r = CIRCLE
+    out = pointcloud.circle_query(_q(spark, sf_dir), cx, cy, r)
+    return out.select("pid", round4("x").alias("x"), round4("y").alias("y")).orderBy("pid")
+
+
+def pc_sample(spark, sf_dir):
+    s = pointcloud.sample(_q(spark, sf_dir), p=SAMPLE_P)
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        round4(F.avg("i")).alias("avg_i"),
+    )
+
+
+def pc_knn(spark, sf_dir):
+    cx, cy = KNN_CENTER
+    out = pointcloud.knn(_q(spark, sf_dir), cx, cy, KNN_K)
+    return out.select("pid", round4("dist2").alias("dist2"))
+
+
+def pc_grid_cells(spark, sf_dir):
+    g = pointcloud.grid_cells(_q(spark, sf_dir), {"x": GRID_DELTA, "y": GRID_DELTA})
+    return (
+        g.groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+def pc_quadtree_cells(spark, sf_dir):
+    qt = pointcloud.quadtree_cells(_q(spark, sf_dir), QT_DEPTH, QT_SIDE)
+    return (
+        qt.groupBy(F.col("level").cast("bigint").alias("level"), "qx", "qy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .orderBy("level", "qx", "qy")
+    )
+
+
+def _rect_sql(box: dict[str, tuple[float, float]]) -> str:
+    # half-open, importance-closed rule handled by caller when needed
+    return " AND ".join(f"({c} >= {lo} AND {c} < {hi})" for c, (lo, hi) in box.items())
+
+
+_QT_CUT0 = 1 / 21
+_QT_CUT1 = 5 / 21
+
+ORACLE_PC = {
+    "dq01_pc_scan_count": f"{POINTS_CTE} SELECT CAST(count(*) AS BIGINT) AS cnt FROM points",
+    "dq02_pc_range": f"""{POINTS_CTE}
+        SELECT pid, (floor((x) * 10000.0 + 0.5) / 10000.0) AS x, (floor((y) * 10000.0 + 0.5) / 10000.0) AS y, (floor((z) * 10000.0 + 0.5) / 10000.0) AS z
+        FROM points WHERE {_rect_sql(RECT_S)} ORDER BY pid""",
+    "dq03_pc_bounds": f"""{POINTS_CTE}
+        SELECT (floor((min(x)) * 10000.0 + 0.5) / 10000.0) AS x_min, (floor((max(x)) * 10000.0 + 0.5) / 10000.0) AS x_max,
+               (floor((min(y)) * 10000.0 + 0.5) / 10000.0) AS y_min, (floor((max(y)) * 10000.0 + 0.5) / 10000.0) AS y_max,
+               (floor((min(z)) * 10000.0 + 0.5) / 10000.0) AS z_min, (floor((max(z)) * 10000.0 + 0.5) / 10000.0) AS z_max,
+               (floor((min(i)) * 10000.0 + 0.5) / 10000.0) AS i_min, (floor((max(i)) * 10000.0 + 0.5) / 10000.0) AS i_max
+        FROM points""",
+    "dq04_pc_mean": f"""{POINTS_CTE}
+        SELECT (floor((avg(x)) * 10000.0 + 0.5) / 10000.0) AS avg_x, (floor((avg(y)) * 10000.0 + 0.5) / 10000.0) AS avg_y,
+               (floor((avg(z)) * 10000.0 + 0.5) / 10000.0) AS avg_z, CAST(count(*) AS BIGINT) AS cnt FROM points""",
+    "dq05_pc_rect_count": f"{POINTS_CTE} SELECT CAST(count(*) AS BIGINT) AS cnt FROM points WHERE {_rect_sql(RECT_M)}",
+    "dq06_pc_circle": f"""{POINTS_CTE}
+        SELECT pid, (floor((x) * 10000.0 + 0.5) / 10000.0) AS x, (floor((y) * 10000.0 + 0.5) / 10000.0) AS y FROM points
+        WHERE (x >= {CIRCLE[0] - CIRCLE[2]} AND x < {CIRCLE[0] + CIRCLE[2]})
+          AND (y >= {CIRCLE[1] - CIRCLE[2]} AND y < {CIRCLE[1] + CIRCLE[2]})
+          AND (power(x - {CIRCLE[0]}, 2) + power(y - {CIRCLE[1]}, 2)) < {CIRCLE[2] ** 2}
+        ORDER BY pid""",
+    "dq07_pc_sample": f"""{POINTS_CTE}
+        SELECT CAST(count(*) AS BIGINT) AS cnt, (floor((avg(i)) * 10000.0 + 0.5) / 10000.0) AS avg_i
+        FROM points WHERE i >= 0.0 AND i < {SAMPLE_P}""",
+    "dq08_pc_knn": f"""{POINTS_CTE}
+        SELECT pid, (floor((power(x - {KNN_CENTER[0]}, 2) + power(y - {KNN_CENTER[1]}, 2)) * 10000.0 + 0.5) / 10000.0) AS dist2
+        FROM points
+        ORDER BY power(x - {KNN_CENTER[0]}, 2) + power(y - {KNN_CENTER[1]}, 2) ASC, pid ASC
+        LIMIT {KNN_K}""",
+    "dq24_pc_grid_cells": f"""{POINTS_CTE}
+        SELECT CAST(floor(x/{GRID_DELTA}) AS BIGINT) AS cell_x,
+               CAST(floor(y/{GRID_DELTA}) AS BIGINT) AS cell_y,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM points GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dq24b_pc_quadtree_cells": f"""{POINTS_CTE},
+        lv AS (SELECT x, y,
+                 CASE WHEN i < {_QT_CUT0!r} THEN 0 WHEN i < {_QT_CUT1!r} THEN 1 ELSE 2 END AS level
+               FROM points)
+        SELECT CAST(level AS BIGINT) AS level,
+               CAST(floor((x - 0.0) / ({QT_SIDE} / power(2.0, CAST(level AS DOUBLE)))) AS BIGINT) AS qx,
+               CAST(floor((y - 0.0) / ({QT_SIDE} / power(2.0, CAST(level AS DOUBLE)))) AS BIGINT) AS qy,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM lv GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+}
+
+# ---------------------------------------------------------------------------
+# relational family — oracle SQL mirrors operators/relational.py exactly
+
+ORACLE_REL = {
+    "dq09_groupby_agg": """
+        SELECT l_returnflag, l_linestatus,
+               (floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS sum_qty,
+               (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sum_base_price,
+               (floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS sum_disc_price,
+               (floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+               (floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "dq10_join_broadcast": """
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+               (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "dq11_multiway_join": """
+        SELECT n_name, (floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""",
+    "dq12a_join_semi": """
+        SELECT CAST(count(*) AS BIGINT) AS n_customers, (floor((sum(c_acctbal)) * 10000.0 + 0.5) / 10000.0) AS sum_acctbal
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "dq12b_join_anti": """
+        SELECT CAST(count(*) AS BIGINT) AS n_customers, (floor((sum(c_acctbal)) * 10000.0 + 0.5) / 10000.0) AS sum_acctbal
+        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "dq13_distinct": """
+        SELECT CAST(p.n AS BIGINT) AS n_pairs, CAST(d.n AS BIGINT) AS n_parts
+        FROM (SELECT count(*) AS n FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) p,
+             (SELECT count(DISTINCT l_partkey) AS n FROM lineitem) d""",
+    "dq14_set_ops": """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)) AS union_cnt,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)) AS intersect_cnt,
+          (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)) AS except_cnt""",
+    "dq15_window_rank": """
+        SELECT o_orderstatus, CAST(rn AS BIGINT) AS rn, o_orderkey, (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS price
+        FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 5 ORDER BY o_orderstatus, rn""",
+    "dq16_window_running": """
+        SELECT user_id, event_id,
+               (floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS running_value
+        FROM events WHERE user_id < 10 ORDER BY user_id, event_id""",
+    "dq17_date_functions": """
+        SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+               CAST(day(ts) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n_events, (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "dq18_string_functions": """
+        SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name_prefix,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               concat_ws('/', p_brand, p_type) AS brand_type
+        FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""",
+    "dq19a_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n_rows, (floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY flag, status""",
+    "dq19b_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_rows, (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "dq20_time_bucket": """
+        SELECT CAST(floor(epoch(ts)/600) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events, (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""",
+}
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline family
+
+
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), k=SHINGLE_K, threshold=JACCARD_T)
+
+
+def dedup_minhash(spark, sf_dir):
+    return dedup.minhash_near_dup(load_table(spark, sf_dir, "documents"), k=SHINGLE_K, threshold=MINHASH_T)
+
+
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_near_dup(load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_HAMMING)
+
+
+def embedding_near_dup(spark, sf_dir):
+    return similarity.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), threshold=EMB_COS_T)
+
+
+def ann_topk(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), qv, k=ANN_K)
+
+
+def ann_ivf(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), qv, k=ANN_K, m=IVF_M, nprobe=IVF_NPROBE)
+
+
+def text_stats_q(spark, sf_dir):
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def lang_id_q(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents")).select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+def quality_q(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents")).select("doc_id", "quality").orderBy("doc_id")
+
+
+def fingerprint_q(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fp").orderBy("doc_id")
+
+
+def multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.as_media_table(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
+    return multimodal.extract_features(media).orderBy("media_id")
+
+
+def _duck_shingle_cte() -> str:
+    return (
+        f"sh AS (SELECT doc_id, unnest({portable.shingles_duck('text', SHINGLE_K)}) AS shingle "
+        f"FROM documents)"
+    )
+
+
+def _duck_minhash_cte() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * hv + {b}) % {P}) AS mh{j}" for j, (a, b) in enumerate(PERMS)
+    )
+    return (
+        f"{_duck_shingle_cte()}, "
+        f"hm AS (SELECT doc_id, md5(shingle) AS m FROM sh), "
+        f"h AS (SELECT doc_id, {portable.hexfold_duck('m')} % {P} AS hv FROM hm), "
+        f"mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)"
+    )
+
+
+def _duck_band_union() -> str:
+    parts = []
+    for band in range(BANDS):
+        cols = ", ".join(
+            f"CAST(mh{band * RPB + r} AS VARCHAR)" for r in range(RPB)
+        )
+        parts.append(f"SELECT doc_id, {band} AS band, concat_ws('_', {cols}) AS key FROM mh")
+    return " UNION ALL ".join(parts)
+
+
+def _duck_simhash_cte() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((hv >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS s{k}" for k in range(SIMHASH_BITS)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(SIMHASH_BITS))
+    return (
+        f"toks AS (SELECT doc_id, unnest({portable.tokens_duck('text')}) AS tok FROM documents), "
+        f"hm AS (SELECT doc_id, md5(tok) AS m FROM toks), "
+        f"h AS (SELECT doc_id, {portable.hexfold_duck('m')} AS hv FROM hm), "
+        f"bs AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bs)"
+    )
+
+
+_MATCH_FRAC = " + ".join(f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(NP_))
+
+_LANG_HITS = ", ".join(
+    "len(list_filter(tk, t -> list_contains(["
+    + ", ".join(f"'{w}'" for w in words)
+    + f"], t))) AS h_{lang}"
+    for lang, words in text.LANG_MARKERS.items()
+)
+_LANG_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang in text.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_LANG_GREATEST} > 0 AND h_{lang} = {_LANG_GREATEST} THEN '{lang}'"
+        for lang in text.LANG_MARKERS
+    )
+    + " ELSE 'unknown' END"
+)
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+_TOKS = portable.tokens_duck("text")
+
+ORACLE_LLM = {
+    "dq21_dedup_exact": """
+        SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY text ORDER BY keep_id""",
+    "dq21b_dedup_minhash": f"""
+        WITH {_duck_minhash_cte()},
+        bucketed AS ({_duck_band_union()}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bucketed a JOIN bucketed b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) AS est_jaccard
+        FROM cand JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+        WHERE (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_T}
+        ORDER BY id_a, id_b""",
+    "dq21c_dedup_simhash": f"""
+        WITH {_duck_simhash_cte()}
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
+        ORDER BY id_a, id_b""",
+    "dq21d_dedup_ngram_jaccard": f"""
+        WITH {_duck_shingle_cte()},
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS it
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               (floor((it / (sa.sz + sb.sz - it)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE (floor((it / (sa.sz + sb.sz - it)) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_T}
+        ORDER BY id_a, id_b""",
+    "dq22_ann_topk": f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, (floor(({vector.cosine_duck('embedding', 'qv', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+        FROM embeddings CROSS JOIN q
+        ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+    "dq22b_ann_ivf": f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_M}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS (SELECT cid FROM (SELECT cid, {vector.cosine_duck('cv', 'qv', EMB_DIM)} AS qcos
+                                   FROM cents CROSS JOIN q)
+                  ORDER BY qcos DESC, cid ASC LIMIT {IVF_NPROBE}),
+        scored AS (SELECT e.vec_id AS vid, c.cid AS cid,
+                          {vector.cosine_duck('e.embedding', 'c.cv', EMB_DIM)} AS cos
+                   FROM embeddings e CROSS JOIN cents c),
+        assign AS (SELECT vid, cid FROM
+                     (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn
+                      FROM scored) WHERE rn = 1)
+        SELECT e.vec_id AS vec_id, (floor(({vector.cosine_duck('e.embedding', 'qv', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+        FROM embeddings e CROSS JOIN q
+        JOIN assign ON e.vec_id = assign.vid
+        JOIN probe ON assign.cid = probe.cid
+        ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+    "dq22c_embedding_near_dup": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               (floor(({vector.cosine_duck('a.embedding', 'b.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE (floor(({vector.cosine_duck('a.embedding', 'b.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) >= {EMB_COS_T}
+        ORDER BY id_a, id_b""",
+    "dq23_text_stats": f"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               (floor((avg(length(text))) * 10000.0 + 0.5) / 10000.0) AS avg_chars,
+               (floor((avg(len({_TOKS}))) * 10000.0 + 0.5) / 10000.0) AS avg_tokens,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        FROM documents GROUP BY lang ORDER BY lang""",
+    "dq23b_lang_id": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        hits AS (SELECT doc_id, {_LANG_HITS} FROM toks)
+        SELECT doc_id, {_LANG_CASE} AS lang_pred FROM hits ORDER BY doc_id""",
+    "dq23c_quality_score": f"""
+        SELECT doc_id, (floor((0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN
+              (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))
+              / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+          + 0.3 * least((CASE WHEN len({_TOKS}) > 0 THEN
+              CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_LIST}], t))) AS DOUBLE)
+              / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)) * 10000.0 + 0.5) / 10000.0) AS quality FROM documents ORDER BY doc_id""",
+    "dq23d_fingerprint": f"""
+        SELECT doc_id, CAST({portable.fingerprint_duck('text')} AS BIGINT) AS fp
+        FROM documents ORDER BY doc_id""",
+}
+
+# ---------------------------------------------------------------------------
+# registry
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dq01_pc_scan_count": pc_scan_count,
+    "dq02_pc_range": pc_range,
+    "dq03_pc_bounds": pc_bounds,
+    "dq04_pc_mean": pc_mean,
+    "dq05_pc_rect_count": pc_rect_count,
+    "dq06_pc_circle": pc_circle,
+    "dq07_pc_sample": pc_sample,
+    "dq08_pc_knn": pc_knn,
+    "dq24_pc_grid_cells": pc_grid_cells,
+    "dq24b_pc_quadtree_cells": pc_quadtree_cells,
+    "dq09_groupby_agg": relational.tpch_q1,
+    "dq10_join_broadcast": relational.join_broadcast,
+    "dq11_multiway_join": relational.multiway_join,
+    "dq12a_join_semi": relational.join_semi,
+    "dq12b_join_anti": relational.join_anti,
+    "dq13_distinct": relational.distinct_count,
+    "dq14_set_ops": relational.set_ops,
+    "dq15_window_rank": relational.window_rank,
+    "dq16_window_running": relational.window_running,
+    "dq17_date_functions": relational.date_functions,
+    "dq18_string_functions": relational.string_functions,
+    "dq19a_rollup": relational.rollup_agg,
+    "dq19b_cube": relational.cube_agg,
+    "dq20_time_bucket": relational.time_bucket,
+    "dq21_dedup_exact": dedup_exact,
+    "dq21b_dedup_minhash": dedup_minhash,
+    "dq21c_dedup_simhash": dedup_simhash,
+    "dq21d_dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dq22_ann_topk": ann_topk,
+    "dq22b_ann_ivf": ann_ivf,
+    "dq22c_embedding_near_dup": embedding_near_dup,
+    "dq23_text_stats": text_stats_q,
+    "dq23b_lang_id": lang_id_q,
+    "dq23c_quality_score": quality_q,
+    "dq23d_fingerprint": fingerprint_q,
+    # rows-only (no SQL equivalent): Arrow-batched multimodal plumbing
+    "dq25_multimodal_features": multimodal_features,
+}
+
+ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM}

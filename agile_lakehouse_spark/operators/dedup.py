@@ -1,0 +1,253 @@
+"""Deduplication operators over document tables (north-star LLM-pipeline ops).
+
+Five families, all JVM-side expressions (no Python UDFs), all using the
+cross-engine portable hash (functions/portable.py) so every one is
+DuckDB-oracle-verifiable:
+
+- :func:`exact_dedup`          — hash group-by, keep lowest id per text
+- :func:`ngram_jaccard_pairs`  — exact character-shingle Jaccard (the slow
+                                  truth; at scale, run only on candidates)
+- :func:`minhash_signatures` / :func:`minhash_near_dup` — MinHash + LSH
+  banding: shingle -> 60-bit hash -> per-perm min (single agg pass) ->
+  band-bucket self-join -> signature-similarity estimate
+- :func:`simhash` / :func:`simhash_near_dup` — 32-bit SimHash with
+  pigeonhole chunk blocking (exact for the hamming radius, no O(n²) pass)
+- embedding near-dup lives in operators/similarity.py
+
+Scale shape (100 TB): every step is shuffle-on-key + map-side combine; the
+only self-joins are on LSH band buckets / simhash chunks, never all-pairs.
+Skewed buckets (boilerplate shingles) are AQE-skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.functions import portable
+from agile_lakehouse_spark.functions.portable import round4
+
+DEFAULT_NUM_PERMS = 12
+DEFAULT_BANDS = 4
+DEFAULT_ROWS_PER_BAND = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one surviving (lowest-id) row per distinct text.
+
+    A single hash-aggregate: shuffles once on the text hash, map-side
+    combines first.  Returns (id, n_dups) per surviving doc.
+    """
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def shingle_df(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each doc into its distinct character k-gram shingles."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.expr(portable.shingles_spark(text_col, k))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
+
+    Inverted-index join: explode shingles, self-join on the shingle, count
+    intersections, derive |A∪B| from per-doc set sizes.  At 100 TB this is
+    the *verification* stage after MinHash candidate generation — the join
+    key is the shingle so common shingles dominate cost; cap or TF-filter
+    ultra-frequent shingles in a real pipeline.
+    """
+    sh = shingle_df(df, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", round4(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 5,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash signature per doc: columns ``mh0..mh{n-1}``.
+
+    One explode + ONE aggregation pass computes all permutations (each perm
+    is a `min` agg expression -> map-side partial mins, single shuffle).
+    """
+    perms = portable.minhash_perms(num_perms, seed)
+    sh = (
+        shingle_df(df, k, text_col, id_col)
+        .withColumn("m", F.md5("shingle"))  # md5 once; the fold touches chars only
+        .withColumn("h", F.expr(portable.hexfold_spark("m")) % portable.MERSENNE_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % portable.MERSENNE_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing any identical band become a candidate pair.
+
+    Band key = the band's row values concatenated; self-join is per
+    (band, key) bucket — never all-pairs.
+    """
+    entries = []
+    for band in range(bands):
+        cols = [F.col(f"mh{band * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        entries.append(F.struct(F.lit(band).alias("band"), F.concat_ws("_", *cols).alias("key")))
+    bucketed = sigs.select(F.col(id_col), F.explode(F.array(*entries)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    k: int = 5,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline -> (id_a, id_b, est_jaccard).
+
+    est_jaccard = fraction of matching signature positions on LSH candidate
+    pairs only.
+    """
+    sigs = minhash_signatures(df, k, num_perms, text_col, id_col, seed)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_perms)])
+    sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_perms)])
+    matches = sum(F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_perms))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", round4(matches / F.lit(num_perms)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash over whitespace tokens -> (id, simhash BIGINT).
+
+    Bit k of the hash = sign of Σ_tokens (±1 by bit k of the token hash).
+    One explode + one aggregation (all bit-sums in a single pass).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.expr(portable.tokens_spark(text_col))).alias("tok"))
+        .withColumn("m", F.md5("tok"))
+        .withColumn("h", F.expr(portable.hexfold_spark("m")))
+    )
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), kk).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{kk}")
+        for kk in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = sum(F.when(F.col(f"s{kk}") > 0, F.lit(2**kk)).otherwise(F.lit(0)) for kk in range(bits))
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with pigeonhole blocking — exact, not all-pairs.
+
+    Hamming distance <= ``chunks - 1`` guarantees at least one of ``chunks``
+    equal bit-chunks, so candidates come from per-chunk bucket joins; the
+    hamming check then verifies.  (``max_hamming`` must be < ``chunks``.)
+    """
+    if max_hamming >= chunks:
+        raise ValueError("pigeonhole blocking needs max_hamming < chunks")
+    sims = simhash(df, bits, text_col, id_col)
+    width = bits // chunks
+    entries = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(2**width - 1)).alias("val"),
+        )
+        for c in range(chunks)
+    ]
+    blocked = sims.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("ck")).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "hamming")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,196 @@
+"""Point-cloud query operators — the reference's core workload, Spark-first.
+
+Reproduces the semantics of the reference benchmark queries
+(``pc-cli/src/benchmark.rs:95-265``) and filter expression builders
+(``pc-format/src/expressions.rs``, ``pc-format/src/compute.rs``):
+
+- :func:`bounds`        — per-dimension min/max, ONE pass (reference loops per dim)
+- :func:`range_query`   — half-open rectangle with the closed-importance rule
+- :func:`circle_query`  — bbox prefilter -> cache -> exact x²+y²<r² refine
+- :func:`sample`        — importance sampling ``i < p``
+- :func:`knn`           — exact top-k by squared distance (TakeOrderedAndProject)
+- :func:`knn_approx`    — the reference's sqrt(k/10)-radius bbox heuristic
+- :func:`grid_cells` / :func:`quadtree_cells` — layout cell assignment as
+  native column expressions (see plans/layout.py for the write side)
+
+All operators are pure Catalyst expressions: filters push to the Parquet
+scan, aggregations get map-side partial combine, top-k plans as
+TakeOrderedAndProject (no full sort).  Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count(df: DataFrame) -> DataFrame:
+    """Exact row count (benchmark.rs:100-104) as a 1-row DataFrame."""
+    return df.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+def bounds(df: DataFrame, dims: list[str]) -> DataFrame:
+    """Per-dimension min/max AABB in ONE aggregation pass.
+
+    Reference computes one aggregate per dimension sequentially
+    (``pc-format/src/expressions.rs:18-105``); a single ``agg`` with 2·d
+    expressions is one scan + one partial/final combine — strictly better at
+    scale and exactly what Parquet aggregate-pushdown can answer from
+    footer statistics.
+    """
+    aggs = []
+    for d in dims:
+        aggs.append(F.min(d).alias(f"{d}_min"))
+        aggs.append(F.max(d).alias(f"{d}_max"))
+    return df.agg(*aggs)
+
+
+def range_predicate(
+    df_or_cols: DataFrame | None,
+    box: dict[str, tuple[float, float]],
+    importance_col: str | None = None,
+) -> Column:
+    """Half-open conjunctive range predicate (the workload's core filter).
+
+    ``lo <= col AND col < hi`` per dimension (``benchmark.rs:131-137``,
+    ``pc-format/src/expressions.rs:108-164``) with the reference's edge rule
+    (``pc-format/src/compute.rs:188-190``): the *importance* dimension's
+    upper bound becomes closed (``<=``) when ``hi >= 1`` — otherwise
+    sampling at p=1.0 would silently drop rows with i == 1.0.
+    """
+    pred = F.lit(True)
+    for col, (lo, hi) in box.items():
+        closed_upper = importance_col is not None and col == importance_col and hi >= 1.0
+        upper = F.col(col) <= F.lit(hi) if closed_upper else F.col(col) < F.lit(hi)
+        pred = pred & (F.col(col) >= F.lit(lo)) & upper
+    return pred
+
+
+def range_query(
+    df: DataFrame,
+    box: dict[str, tuple[float, float]],
+    importance_col: str | None = None,
+    projection: list[str] | None = None,
+) -> DataFrame:
+    """Rectangular range query: filter + projection, both pushed to the scan."""
+    out = df.filter(range_predicate(df, box, importance_col))
+    return out.select(*projection) if projection else out
+
+
+def circle_query(
+    df: DataFrame,
+    cx: float,
+    cy: float,
+    r: float,
+    x: str = "x",
+    y: str = "y",
+    cache: bool = False,
+) -> DataFrame:
+    """Circle query: bbox prefilter -> (optional cache) -> exact refine.
+
+    Two-phase shape of ``benchmark.rs:183-220``: the bbox conjunction prunes
+    row groups at the scan; the ``pow`` refine runs only on survivors.
+    ``cache=True`` reproduces the reference's explicit cache between phases —
+    useful when the same prefilter feeds several refinements; default off
+    because a single-shot query is faster un-cached.
+    """
+    bbox = range_query(df, {x: (cx - r, cx + r), y: (cy - r, cy + r)})
+    if cache:
+        bbox = bbox.cache()
+    dist2 = F.pow(F.col(x) - cx, 2) + F.pow(F.col(y) - cy, 2)
+    return bbox.filter(dist2 < F.lit(float(r) ** 2))
+
+
+def sample(df: DataFrame, n: int | None = None, p: float | None = None, importance_col: str = "i") -> DataFrame:
+    """Importance sampling: ``i < p`` (p = n/total when n given).
+
+    ``benchmark.rs:147-180``: a size-≈n uniform sample is a pure filter on
+    the precomputed uniform importance column — deterministic, pushdown-able,
+    and (unlike ``df.sample``) repeatable across runs and engines.
+    """
+    if p is None:
+        if n is None:
+            raise ValueError("need n or p")
+        total = df.count()
+        p = min(n / max(total, 1), 1.0)
+    return df.filter(range_predicate(df, {importance_col: (0.0, p)}, importance_col))
+
+
+def knn(
+    df: DataFrame,
+    cx: float,
+    cy: float,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "pid",
+) -> DataFrame:
+    """EXACT k nearest neighbours by squared euclidean distance.
+
+    ``orderBy(dist).limit(k)`` plans as ``TakeOrderedAndProject`` — a true
+    distributed top-k (per-partition heap + k-way driver merge), not a full
+    sort.  Ties broken by ``id_col`` for cross-engine determinism
+    (FIXTURES.md determinism rules).
+    """
+    dist2 = (F.pow(F.col(x) - cx, 2) + F.pow(F.col(y) - cy, 2)).alias("dist2")
+    return df.select(F.col(id_col), dist2).orderBy(F.asc_nulls_last("dist2"), F.asc(id_col)).limit(k)
+
+
+def knn_approx(df: DataFrame, cx: float, cy: float, k: int, x: str = "x", y: str = "y", id_col: str = "pid") -> DataFrame:
+    """The reference's approximate kNN (``benchmark.rs:223-264``).
+
+    bbox prefilter of radius ``sqrt(k/10)`` (assumes >= 10 pts/unit²; may
+    return < k rows or miss true neighbours — SURVEY.md §7) -> distance ->
+    top-k.  Kept for bench parity; use :func:`knn` when exactness matters.
+    """
+    r = (k / 10.0) ** 0.5
+    pre = range_query(df, {x: (cx - r, cx + r), y: (cy - r, cy + r)})
+    return knn(pre, cx, cy, k, x=x, y=y, id_col=id_col)
+
+
+def grid_cells(df: DataFrame, deltas: dict[str, float]) -> DataFrame:
+    """Assign each point its grid cell: ``floor(col/δ)`` per axis.
+
+    The reference materializes cells as AABB objects keyed by a string id
+    (``pc-format/src/framework.rs:8-41``, ``aabb.rs:23-34``); in Spark the
+    cell is just a group key computed natively — it never exists as an
+    object, and the layout writer shuffles on it (plans/layout.py).
+    """
+    out = df
+    for col, delta in deltas.items():
+        out = out.withColumn(f"cell_{col}", F.floor(F.col(col) / F.lit(delta)).cast("bigint"))
+    return out
+
+
+def quadtree_cells(
+    df: DataFrame,
+    depth: int,
+    side: float,
+    x: str = "x",
+    y: str = "y",
+    importance_col: str = "i",
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> DataFrame:
+    """Importance-stratified quadtree cell assignment (framework.rs:169-219).
+
+    Level ℓ ∈ [0, depth] holds 4^ℓ XY cells and the importance slab
+    [cells_before/total, cells_through/total); the leaf level's upper bound
+    is closed (i -> 1.0).  Emitted as three native columns
+    ``level, qx, qy`` — pure CASE/floor arithmetic, no UDF.
+    """
+    total = sum(4**level for level in range(depth + 1))
+    cum = 0
+    level_expr = None
+    cuts: list[tuple[int, float]] = []
+    for level in range(depth + 1):
+        cum += 4**level
+        cuts.append((level, cum / total))
+    # CASE WHEN i < cut0 THEN 0 WHEN i < cut1 THEN 1 ... ELSE depth
+    level_expr = F.lit(depth)
+    for level, cut in reversed(cuts[:-1]):
+        level_expr = F.when(F.col(importance_col) < F.lit(cut), F.lit(level)).otherwise(level_expr)
+    out = df.withColumn("level", level_expr.cast("int"))
+    cell_size = F.lit(float(side)) / F.pow(F.lit(2.0), F.col("level").cast("double"))
+    out = out.withColumn("qx", F.floor((F.col(x) - origin[0]) / cell_size).cast("bigint"))
+    out = out.withColumn("qy", F.floor((F.col(y) - origin[1]) / cell_size).cast("bigint"))
+    return out

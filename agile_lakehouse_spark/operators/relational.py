@@ -1,0 +1,244 @@
+"""Relational query surface — Catalyst built-ins, declared and tested.
+
+The reference implements no joins/windows/set-ops itself but opens the full
+SQL door via DataFusion ``ctx.sql`` (``pc-io/src/las/mod.rs:101-126``); our
+engine declares the full Spark-SQL relational surface as part of its
+contract (SURVEY.md §2.8, DQ9-DQ20).  Each builder returns a DataFrame whose
+column names/types match the DuckDB oracle exactly (FIXTURES.md determinism
+rules: explicit aliases, round(.,4) on float aggregates, total ordering).
+
+Scale notes: small dimensions are broadcast explicitly; fact-fact joins
+shuffle on their keys and AQE handles skew; aggregations rely on map-side
+partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from agile_lakehouse_spark.sources.catalog import load_table
+from agile_lakehouse_spark.functions.portable import round4
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by with map-side combine (DQ9)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round4(F.sum("l_quantity")).alias("sum_qty"),
+            round4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            round4(F.avg("l_quantity")).alias("avg_qty"),
+            round4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join: orders ⋈ customer, revenue per nation (DQ10).
+
+    ``customer`` is the small side -> explicit ``F.broadcast`` so no shuffle
+    of the fact table happens even if stats are stale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            round4(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join + filter + agg (DQ11).
+
+    lineitem⋈orders shuffles on the order key; every dimension side
+    (customer/supplier/nation/region) broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            round4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers that have at least one order (DQ12a)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            round4(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders (DQ12b)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            round4(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct / count-distinct (DQ13) — exact, plus row count of distinct pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")).crossJoin(
+        li.agg(F.countDistinct("l_partkey").cast("bigint").alias("n_parts"))
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets (DQ14), one row out."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    u = c.union(s).distinct().agg(F.count(F.lit(1)).cast("bigint").alias("union_cnt"))
+    i = c.intersect(s).agg(F.count(F.lit(1)).cast("bigint").alias("intersect_cnt"))
+    e = c.subtract(s).agg(F.count(F.lit(1)).cast("bigint").alias("except_cnt"))
+    return u.crossJoin(i).crossJoin(e)
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-5 orders per status by price (DQ15)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderstatus", "rn", "o_orderkey", round4("o_totalprice").alias("price"))
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: running sum of event value per user (DQ16)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select("user_id", "event_id", round4(F.sum("value").over(w)).alias("running_value"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions over the events table (DQ17)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("y", "m", "d")
+    )
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions over part (DQ18)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) (DQ19a)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            round4(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority) (DQ19b)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            round4(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute buckets — batch analogue of a streaming window (DQ20).
+
+    Pure epoch arithmetic so the DuckDB oracle agrees; the Structured
+    Streaming twin (streaming/windows.py) uses ``F.window`` + watermark.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 600).cast("bigint")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk`        — brute-force exact top-k for a query vector:
+  one narrow projection + TakeOrderedAndProject (per-partition heap, k-way
+  merge at the driver; no shuffle of the data itself).  The correctness
+  baseline at any scale.
+- :func:`ivf_assign` / :func:`ivf_topk` — IVF-style ANN: partition vectors
+  by nearest centroid once (a write-time layout job at scale), probe only
+  ``nprobe`` cells at query time.  With a partitioned/bucketed table the
+  probe is partition pruning — the 100 TB scale path.
+- :func:`embedding_near_dup` — near-duplicate pairs by cosine within a
+  blocking key (label / IVF cell), never all-pairs.
+
+All dot products are JVM-side higher-order functions (functions/vector.py);
+no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.functions import vector
+from agile_lakehouse_spark.functions.portable import round4
+
+
+def _query_array(qvec: list[float]):
+    return F.array(*[F.lit(float(v)) for v in qvec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector."""
+    q = _query_array(qvec)
+    cos = vector.cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), round4(cos).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, min-id ties).
+
+    Broadcast the (small) centroid table, compute all similarities in one
+    projection, pick the argmax with ``max_by`` — single pass, no window.
+    At scale this runs once at ingest and the result is written
+    ``partitionBy(cell)`` so probes prune partitions.
+    """
+    joined = df.crossJoin(F.broadcast(centroids))
+    cos = vector.cosine(F.col(vec_col), F.col(centroid_vec))
+    scored = joined.select(
+        F.col(id_col),
+        F.col(centroid_id),
+        # negate id inside the struct so equal-cos ties pick the LOWEST id
+        F.struct(cos.alias("cos"), (-F.col(centroid_id)).alias("neg_id")).alias("score"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max_by(centroid_id, F.col("score")).alias("cell"))
+    )
+
+
+def default_centroids(df: DataFrame, m: int = 8, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Deterministic centroids: the vectors with the ``m`` lowest ids.
+
+    (A real pipeline would k-means; fixed seeds keep the oracle exact.)
+    """
+    return (
+        df.orderBy(id_col)
+        .limit(m)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    m: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` cells nearest the query.
+
+    Query-to-centroid ranking happens on the tiny centroid table; the big
+    table is filtered to those cells before the exact kernel runs.
+    """
+    cents = default_centroids(df, m, vec_col, id_col)
+    q = _query_array(qvec)
+    probe_cells = (
+        cents.select("centroid_id", vector.cosine(F.col("centroid_vec"), q).alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias("cell"))
+    )
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    candidates = df.join(assigned, id_col).join(F.broadcast(probe_cells), "cell", "left_semi")
+    return cosine_topk(candidates, qvec, k, vec_col, id_col)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within a blocking key.
+
+    The block column (label, or an IVF/LSH cell) keeps the self-join from
+    being all-pairs; the join shuffles both sides on the block key only.
+    """
+    a = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = vector.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", round4(cos).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators (north-star LLM-pipeline ops over ``documents``).
+
+All pure JVM-side expressions (split/filter/aggregate higher-order
+functions) — no Python UDFs — and all cross-engine deterministic so the
+DuckDB oracle can verify them:
+
+- :func:`token_count`   — whitespace tokenization count
+- :func:`lang_id`       — stopword-hit n-gram heuristic language guess
+- :func:`quality_score` — length / punctuation / stopword-ratio blend
+- :func:`fingerprint`   — rolling polynomial hash of the full text
+- :func:`text_stats`    — per-language corpus statistics
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.functions import portable
+from agile_lakehouse_spark.functions.portable import round4
+
+# Tiny distinctive-stopword lists; the heuristic is intentionally simple and
+# fully SQL-expressible (same CASE logic in the DuckDB oracle).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _tokens(text_col: str) -> Column:
+    return F.expr(portable.tokens_spark(text_col))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_tokens`` = whitespace token count (BPE-ish proxy)."""
+    return df.withColumn("n_tokens", F.size(_tokens(text_col)).cast("bigint"))
+
+
+def _marker_hits(text_col: str, words: tuple[str, ...]) -> Column:
+    toks = _tokens(text_col)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred``: language with the most marker-token hits.
+
+    Ties broken by fixed language order (en, de, fr, es, zh) — strictly
+    deterministic, mirrored in the oracle SQL.
+    """
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        out = out.withColumn(f"_hits_{lang}", _marker_hits(text_col, words))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"_hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    out = out.withColumn("lang_pred", pred)
+    return out.drop(*[f"_hits_{lang}" for lang in langs])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``quality`` in [0,1]: 0.4·length + 0.3·(1-punct) + 0.3·stopword.
+
+    - length score: min(chars/500, 1) — favors substantive docs
+    - punctuation ratio: fraction of [.,;:!?] characters (lower is better)
+    - stopword ratio: fraction of tokens in a tiny function-word set
+      (natural text has some; keyboard mash has none)
+    """
+    n = F.length(F.col(text_col)).cast("double")
+    len_score = F.least(n / 500.0, F.lit(1.0))
+    n_punct = n - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", "")).cast("double")
+    punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+    toks = _tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = F.when(
+        n_tok > 0, F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    q = 0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    return df.withColumn("quality", round4(q))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``fp``: rolling polynomial hash of the text (mod 1e9+7)."""
+    return df.withColumn("fp", F.expr(portable.fingerprint_spark(text_col)).cast("bigint"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Per-language corpus stats: docs, avg chars, avg tokens, distinct texts."""
+    with_tok = token_count(df, text_col)
+    return (
+        with_tok.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            round4(F.avg(F.length(text_col))).alias("avg_chars"),
+            round4(F.avg("n_tokens")).alias("avg_tokens"),
+            F.countDistinct(text_col).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy(lang_col)
+    )

@@ -1,0 +1,171 @@
+"""Data-layout engine — the paper's core contribution, as Spark write jobs.
+
+The reference streams spatial windows through a hand-rolled cache/evict
+partitioner so each grid/quadtree cell lands in its own Parquet row group
+(``pc-cli/src/partition.rs:80-374``).  In Spark the entire mechanism IS the
+shuffle: assign cell keys as native columns, ``repartition`` on them,
+``sortWithinPartitions`` so row groups are tight in (cell, importance), and
+write.  The memory-bounded out-of-core behavior the reference implements by
+hand (window buffers, global cell cache, eviction) comes for free from
+shuffle spill.
+
+Read-side benefit needs no custom planner rule: queries filter on x/y/i,
+Parquet footer + page stats prune files/row-groups/pages that the layout
+made tight (SURVEY.md §4).
+
+Sizing arithmetic mirrors the reference:
+- :func:`derive_grid_size`     (pc-cli/src/partition.rs:164-198)
+- :func:`derive_quadtree_depth`(pc-cli/src/partition.rs:199-237)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import Column
+
+from agile_lakehouse_spark.operators.pointcloud import bounds, grid_cells, quadtree_cells
+from agile_lakehouse_spark.session import DEFAULT_BATCH_SIZE
+
+
+def zorder_key(cx: Column | str, cy: Column | str, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two non-negative cell indices.
+
+    Pure bit arithmetic (shifts + masks — whole-stage-codegen friendly), so
+    ``repartitionByRange(zkey)`` gives every output file a spatially
+    CONTIGUOUS block of cells — the Spark-first equivalent of Delta
+    ``OPTIMIZE ZORDER BY``.  Plain hash ``repartition(cell)`` would scatter
+    distant cells into the same file and destroy min/max pruning.
+    Negative cell indices are offset into the non-negative range first.
+    """
+    cx = F.col(cx) if isinstance(cx, str) else cx
+    cy = F.col(cy) if isinstance(cy, str) else cy
+    half = F.lit(1 << (bits - 1))
+    x = (cx + half).cast("bigint")
+    y = (cy + half).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        z = z + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+    return z
+
+
+def derive_grid_size(count: int, area: float, splits: int = 1, batch_size: int = DEFAULT_BATCH_SIZE) -> float:
+    """Grid spacing so one cell holds ≈ one row group of points.
+
+    ``size = sqrt(area / (count/batch_size / splits))`` — same arithmetic as
+    the reference (two cheap agg queries feed it: count + bounds).
+    """
+    n_cells = max(count / batch_size / max(splits, 1), 1.0)
+    return math.sqrt(area / n_cells)
+
+
+def derive_quadtree_depth(count: int, batch_size: int = DEFAULT_BATCH_SIZE) -> int:
+    """``depth = round(log4(count / batch_size))``, min 0 (partition.rs:210-212)."""
+    batches = max(count / batch_size, 1.0)
+    return max(round(math.log(batches, 4)), 0)
+
+
+def write_grid_layout(
+    df: DataFrame,
+    path: str,
+    delta_x: float,
+    delta_y: float,
+    importance_splits: int = 1,
+    x: str = "x",
+    y: str = "y",
+    importance_col: str = "i",
+    max_records_per_file: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    """Grid layout: shuffle on (cell_x, cell_y[, islice]), cluster, write.
+
+    ``importance_splits`` > 1 reproduces grid(8): each xy cell is further
+    sliced into equal importance bands (framework.rs:69-110 via split_aabb).
+    One shuffle, then files whose row groups are tight in (x, y, i) — at
+    100 TB this is the job you run once per ingest batch, and every later
+    query pays less scan.
+    """
+    out = grid_cells(df, {x: delta_x, y: delta_y}).withColumn(
+        "zkey", zorder_key("cell_x", "cell_y")
+    )
+    sort_keys = ["zkey"]
+    if importance_splits > 1:
+        out = out.withColumn(
+            "islice",
+            F.least(
+                F.floor(F.col(importance_col) * importance_splits),
+                F.lit(importance_splits - 1),
+            ).cast("int"),
+        )
+        sort_keys = ["zkey", "islice"]
+    # range-partition on the space-filling curve: each task (and therefore
+    # each file) owns a contiguous, spatially compact block of cells
+    (
+        out.repartitionByRange(*sort_keys)
+        .sortWithinPartitions(*sort_keys)
+        .drop("zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def write_quadtree_layout(
+    df: DataFrame,
+    path: str,
+    depth: int,
+    side: float,
+    x: str = "x",
+    y: str = "y",
+    importance_col: str = "i",
+    origin: tuple[float, float] = (0.0, 0.0),
+    max_records_per_file: int = DEFAULT_BATCH_SIZE,
+) -> None:
+    """Importance-stratified quadtree layout (framework.rs:169-219).
+
+    ``partitionBy(level)`` externalizes the LoD hierarchy as directory
+    partitions (partition pruning on ``level`` predicates = free), and rows
+    inside each level are clustered by (qx, qy).
+    """
+    out = quadtree_cells(df, depth, side, x=x, y=y, importance_col=importance_col, origin=origin)
+    out = out.withColumn("zkey", zorder_key("qx", "qy"))
+    (
+        out.repartitionByRange("level", "zkey")
+        .sortWithinPartitions("level", "zkey", importance_col)
+        .drop("zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("level")
+        .parquet(path)
+    )
+
+
+def compact(spark: SparkSession, src_paths: list[str], dest: str, target_files: int) -> None:
+    """File merge/compaction (reference merge.rs:46-84): many files -> few.
+
+    Row-group boundaries follow the repartition; zstd to mirror the
+    reference's merged-output default.
+    """
+    df = spark.read.parquet(*src_paths)
+    (
+        df.repartition(target_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(dest)
+    )
+
+
+def layout_stats(spark: SparkSession, path: str, dims: list[str]) -> DataFrame:
+    """Per-file extent/count stats (mirrors scripts/evaluation.py:36-103).
+
+    Reads back a layout and reports, per physical file, row count and the
+    per-dimension extents — the validation that "row group ≈ cell" held.
+    """
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for d in dims:
+        aggs += [F.min(d).alias(f"{d}_min"), F.max(d).alias(f"{d}_max")]
+    return df.groupBy("_file").agg(*aggs)

@@ -1,0 +1,85 @@
+"""Layout engine: count conservation across re-layouts + pruning benefit.
+
+Mirrors the reference's cross-layout invariants (same seeded queries over
+convert/grid/quadtree layouts must return identical counts —
+pc-cli/examples/partition.rs:21-136) and the evaluation-style stats job.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.operators import pointcloud as pc
+from agile_lakehouse_spark.plans import layout
+from agile_lakehouse_spark.sources.catalog import points_view
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return points_view(spark, sf_dir)
+
+
+def test_derivations():
+    # 2B points over 4 km² at default batch -> sensible positive numbers
+    size = layout.derive_grid_size(count=2_000_000, area=4_000_000.0)
+    assert size > 0
+    assert layout.derive_quadtree_depth(524_288) == 0
+    assert layout.derive_quadtree_depth(524_288 * 16) == 2
+    assert layout.derive_quadtree_depth(100) == 0
+
+
+def test_grid_layout_roundtrip(points, spark, tmp_path):
+    dest = str(tmp_path / "grid")
+    layout.write_grid_layout(points, dest, 200.0, 200.0)
+    back = spark.read.parquet(dest)
+    # count + content conservation (same multiset of pids)
+    assert back.count() == points.count()
+    assert back.select(F.sum("pid")).collect()[0][0] == points.select(F.sum("pid")).collect()[0][0]
+    # identical query answers across layouts (the reference's invariant)
+    box = {"x": (100.0, 400.0), "y": (200.0, 600.0)}
+    assert pc.range_query(back, box).count() == pc.range_query(points, box).count()
+
+
+def test_grid_layout_importance_slices(points, spark, tmp_path):
+    dest = str(tmp_path / "grid8")
+    layout.write_grid_layout(points, dest, 400.0, 400.0, importance_splits=8)
+    back = spark.read.parquet(dest)
+    assert back.count() == points.count()
+    assert pc.sample(back, p=0.25).count() == pc.sample(points, p=0.25).count()
+
+
+def test_quadtree_layout_partitions(points, spark, tmp_path):
+    dest = str(tmp_path / "qt")
+    layout.write_quadtree_layout(points, dest, depth=2, side=1024.0)
+    back = spark.read.parquet(dest)
+    assert back.count() == points.count()
+    # level became a partition column -> level predicate prunes directories
+    lv = back.filter(F.col("level") == 0)
+    assert lv.count() == pc.quadtree_cells(points, 2, 1024.0).filter(F.col("level") == 0).count()
+
+
+def test_layout_stats_tightness(points, spark, tmp_path):
+    """Files written by the grid layout are tight in x/y (row group ≈ cell)."""
+    dest = str(tmp_path / "grid_tight")
+    # small max_records_per_file ≈ "row group = cell" at this tiny SF; the
+    # z-sorted stream slices into contiguous (tight) files
+    layout.write_grid_layout(points, dest, 250.0, 250.0, max_records_per_file=500)
+    stats = layout.layout_stats(spark, dest, ["x", "y"]).collect()
+    xmin = min(r["x_min"] for r in stats)
+    xmax = max(r["x_max"] for r in stats)
+    full_extent = xmax - xmin
+    # average per-file x-extent must be far below the full extent
+    avg_extent = sum(r["x_max"] - r["x_min"] for r in stats) / len(stats)
+    assert avg_extent < full_extent * 0.6
+
+
+def test_compact(points, spark, tmp_path):
+    src = str(tmp_path / "many")
+    points.repartition(16).write.parquet(src)
+    dest = str(tmp_path / "one")
+    layout.compact(spark, [src], dest, target_files=2)
+    back = spark.read.parquet(dest)
+    assert back.count() == points.count()
+    files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
+    assert len(files) <= 2

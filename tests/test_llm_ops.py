@@ -1,0 +1,137 @@
+"""Dedup / text / similarity operator behavior on synthetic micro-fixtures.
+
+These tests use hand-built tiny corpora with KNOWN duplicates so they
+verify semantics (recall of true near-dups, exactness of blocking), not
+just spark-vs-duckdb agreement (the oracle gate covers that).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.functions import portable
+from agile_lakehouse_spark.operators import dedup, multimodal, similarity, text
+from agile_lakehouse_spark.plans import explain
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("tonight", "today")),  # near dup of 0
+        (3, "completely different content about database engines and query optimizers working hard"),
+        (4, "spark shuffles partitions across the cluster while catalyst optimizes logical plans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.keep_id: r.n_dups for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[2] == out[3] == out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (3, 4) not in pairs
+
+
+def test_minhash_near_dup_recall(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_near_dup(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup always caught (identical signatures)
+    assert (3, 4) not in pairs
+
+
+def test_minhash_signature_identical_for_identical_text(docs):
+    sigs = dedup.minhash_signatures(docs)
+    a, b = (
+        sigs.filter(F.col("doc_id").isin([0, 1]))
+        .orderBy("doc_id")
+        .drop("doc_id")
+        .collect()
+    )
+    assert tuple(a) == tuple(b)
+
+
+def test_simhash_blocking_is_exact(spark, sf_dir):
+    """Pigeonhole-blocked pairs == brute-force pairs (hamming <= 3)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    blocked = {(r.id_a, r.id_b) for r in dedup.simhash_near_dup(docs, max_hamming=3).collect()}
+    sims = dedup.simhash(docs)
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .collect()
+    }
+    assert blocked == brute
+
+
+def test_cosine_topk_self_first(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = similarity.cosine_topk(emb, qv, k=5).collect()
+    assert top[0].vec_id == 7 and top[0].cos == 1.0
+    assert explain.is_top_k(similarity.cosine_topk(emb, qv, k=5))
+
+
+def test_ivf_probes_subset_of_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=20).collect()]
+    approx = [r.vec_id for r in similarity.ivf_topk(emb, qv, k=10, m=8, nprobe=8).collect()]
+    # probing ALL cells makes IVF exact -> must equal brute force head
+    assert approx == brute[:10]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze nicht hier"),
+            (2, "le chat et les chiens"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "unknown"
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [(0, "the " * 200), (1, "!!!.,;;;???"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.quality for r in text.quality_score(df).collect()}
+    assert 0.0 <= min(out.values()) and max(out.values()) <= 1.0
+    assert out[0] > out[1]  # long natural text beats punctuation mash
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(0, "abc"), (1, "abc"), (2, "abd")], "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in text.fingerprint(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+    # cross-check the fold arithmetic in plain python
+    expected = 0
+    for ch in "abc":
+        expected = (expected * 31 + ord(ch)) % portable.FNV_MOD
+    assert fps[0] == expected
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(0, "hello"), (1, "")], "doc_id long, text string")
+    media = multimodal.as_media_table(df, "doc_id", F.encode(F.col("text"), "utf-8"))
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0].n_bytes == 5 and feats[0].head_byte == ord("h")
+    assert feats[0].checksum == sum(b"hello") % 1_000_003
+    assert feats[1].n_bytes == 0 and feats[1].head_byte == -1
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG", "image")

@@ -1,0 +1,110 @@
+"""Point-cloud operator semantics (reference benchmark.rs parity rules)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.operators import pointcloud as pc
+from agile_lakehouse_spark.plans import explain
+from agile_lakehouse_spark.schema import PC_DIMENSION, dimensions, importance, validate
+from agile_lakehouse_spark.sources.catalog import points_view
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    return points_view(spark, sf_dir).cache()
+
+
+def test_schema_metadata(points):
+    assert dimensions(points.schema) == ["x", "y", "z", "i"]
+    assert importance(points.schema) == "i"
+    validate(points.schema)  # >= 3 numeric dims
+    assert points.schema["x"].metadata[PC_DIMENSION] == 1
+
+
+def test_half_open_range(points, spark):
+    """Right-open upper bound: a point exactly AT the bound is excluded."""
+    xmax = points.agg(F.max("x")).collect()[0][0]
+    box = {"x": (0.0, xmax)}
+    n_open = pc.range_query(points, box).count()
+    n_all = points.count()
+    n_at_bound = points.filter(F.col("x") == xmax).count()
+    assert n_open == n_all - n_at_bound
+    assert n_at_bound >= 1
+
+
+def test_importance_closed_bound_rule(points):
+    """i-dimension upper bound becomes <= when hi >= 1 (compute.rs:188-190):
+    sampling at p=1.0 must keep every row."""
+    n = points.count()
+    assert pc.sample(points, p=1.0).count() == n
+    # and p=0.5 keeps roughly half (i is uniform-ish)
+    frac = pc.sample(points, p=0.5).count() / n
+    assert 0.4 < frac < 0.6
+
+
+def test_circle_subset_of_bbox(points):
+    cx, cy, r = 500.0, 500.0, 100.0
+    circ = pc.circle_query(points, cx, cy, r)
+    bbox = pc.range_query(points, {"x": (cx - r, cx + r), "y": (cy - r, cy + r)})
+    assert circ.count() <= bbox.count()
+    worst = circ.select(
+        (F.pow(F.col("x") - cx, 2) + F.pow(F.col("y") - cy, 2)).alias("d2")
+    ).agg(F.max("d2")).collect()[0][0]
+    assert worst < r * r
+
+
+def test_knn_exact_and_plan(points):
+    out = pc.knn(points, 500.0, 500.0, 50)
+    rows = out.collect()
+    assert len(rows) == 50
+    dists = [r.dist2 for r in rows]
+    assert dists == sorted(dists)
+    # top-k must plan as TakeOrderedAndProject, not a global sort
+    assert explain.is_top_k(out)
+
+
+def test_knn_approx_may_undershoot(points):
+    # reference heuristic: bbox r=sqrt(k/10); on sparse data returns < k
+    out = pc.knn_approx(points, 500.0, 500.0, 1000)
+    assert out.count() <= 1000
+
+
+def test_bounds_single_pass(spark, sf_dir):
+    # fresh (uncached) view: the cached fixture's InMemoryRelation printout
+    # embeds its own plan and would double-count exchanges
+    b = pc.bounds(points_view(spark, sf_dir), ["x", "y", "z", "i"])
+    row = b.collect()[0]
+    assert row["x_min"] <= row["x_max"]
+    assert 0.0 <= row["i_min"] and row["i_max"] <= 1.0
+    assert explain.num_shuffles(b) <= 1  # one partial/final agg, no extra exchange
+
+
+def test_grid_cells_conserve_count(points):
+    g = pc.grid_cells(points, {"x": 100.0, "y": 100.0})
+    total = g.groupBy("cell_x", "cell_y").count().agg(F.sum("count")).collect()[0][0]
+    assert total == points.count()
+
+
+def test_quadtree_levels(points):
+    qt = pc.quadtree_cells(points, depth=2, side=1024.0)
+    levels = {r.level for r in qt.select("level").distinct().collect()}
+    assert levels <= {0, 1, 2}
+    assert qt.count() == points.count()
+    # deeper level -> finer cells -> more distinct cells
+    per_level = {
+        r["level"]: r["n"]
+        for r in qt.groupBy("level").agg(F.countDistinct("qx", "qy").alias("n")).collect()
+    }
+    if 0 in per_level and 2 in per_level:
+        assert per_level[2] >= per_level[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_quantity") > 30)
+    assert explain.has_pushed_filters(li)
+
+
+def test_column_pruning(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    read_cols = explain.read_schema_columns(df)
+    assert set(read_cols) == {"l_orderkey", "l_quantity"}

@@ -1,0 +1,64 @@
+"""Relational surface: plan-shape assertions (the perf contract).
+
+Value correctness is covered by the DuckDB oracle gate; these tests pin the
+PHYSICAL plans — broadcast where expected, no Python UDFs in declared
+queries, top-k without global sort — so a regression in plan quality fails
+fast.
+"""
+
+from agile_lakehouse_spark import declared
+from agile_lakehouse_spark.operators import relational
+from agile_lakehouse_spark.plans import explain
+
+
+def test_broadcast_join_plan(spark, sf_dir):
+    df = relational.join_broadcast(spark, sf_dir)
+    assert explain.has_broadcast_join(df)
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    plan = explain.formatted_plan(relational.multiway_join(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_no_python_udf_in_declared_queries(spark, sf_dir):
+    for name, fn in declared.SPARK_QUERIES.items():
+        if name == "dq25_multimodal_features":
+            continue  # mapInPandas is the point there
+        df = fn(spark, sf_dir)
+        assert not explain.uses_python_udf(df), f"{name} fell off the JVM fast path"
+
+
+def test_knn_is_take_ordered(spark, sf_dir):
+    df = declared.SPARK_QUERIES["dq08_pc_knn"](spark, sf_dir)
+    assert explain.is_top_k(df)
+
+
+def test_ply_roundtrip(spark, tmp_path):
+    from agile_lakehouse_spark.sources import ply
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0), (-1.5, 0.25, 9.0)], "x double, y double, z double"
+    )
+    path = str(tmp_path / "cloud.ply")
+    ply.write_ply(df, path)
+    back = ply.read_ply(spark, path)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_las_ingest_plumbing(spark):
+    from agile_lakehouse_spark.sources import las
+
+    plans = las.plan_chunks("fake.las", total_points=10, chunk_points=4)
+    assert [(p.offset, p.count) for p in plans] == [(0, 4), (4, 4), (8, 2)]
+
+    def fake_decoder(plan):
+        return [
+            (float(plan.offset + j), 0.0, 1.0, j, 2) for j in range(plan.count)
+        ]
+
+    df = las.ingest_las(spark, plans, decoder=fake_decoder)
+    assert df.count() == 10
+    assert df.columns == ["x", "y", "z", "intensity", "classification"]
+    assert df.agg({"x": "max"}).collect()[0][0] == 9.0

@@ -1,0 +1,80 @@
+"""Structured Streaming: windows, watermark, stateful dedup.
+
+Streams are driven from file sources over a temp copy of the events
+fixture, drained with availableNow triggers into memory sinks, and checked
+against the equivalent batch aggregation (streams and batch must agree on
+closed windows).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.sources.catalog import load_table
+from agile_lakehouse_spark.streaming import windows
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(dest)
+    return dest
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir, events_schema):
+    stream = windows.read_events_stream(spark, events_dir, events_schema)
+    agg = windows.tumbling_counts(windows.with_event_time(stream))
+    windows.run_to_memory(agg, "tumbling_out", output_mode="complete")
+    got = {
+        (r.w_start, r.w_end): (r.n_events, round(r.sum_value, 6))
+        for r in spark.table("tumbling_out").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r.w.start, r.w.end): (r.n, round(r.s, 6)) for r in batch}
+    assert got == want
+
+
+def test_sliding_stream_runs(spark, events_dir, events_schema):
+    stream = windows.read_events_stream(spark, events_dir, events_schema)
+    agg = windows.sliding_counts(windows.with_event_time(stream))
+    windows.run_to_memory(agg, "sliding_out", output_mode="complete")
+    rows = spark.table("sliding_out").collect()
+    assert rows
+    # hop < width -> every event lands in exactly width/slide = 2 windows
+    total = sum(r.n_events for r in rows)
+    assert total == 2 * spark.read.parquet(events_dir).count()
+
+
+def test_session_windows(spark, events_dir, events_schema):
+    stream = windows.read_events_stream(spark, events_dir, events_schema)
+    agg = windows.session_counts(windows.with_event_time(stream), gap="5 minutes")
+    windows.run_to_memory(agg, "session_out", output_mode="complete")
+    rows = spark.table("session_out").collect()
+    assert rows
+    for r in rows:
+        assert r.w_end > r.w_start and r.n_events >= 1
+
+
+def test_streaming_dedup(spark, tmp_path, events_schema):
+    src = str(tmp_path / "dups")
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 5, "click", 1.0, "{}"),
+         (1, "2024-01-01 00:00:02", 5, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:01:00", 6, "view", 2.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.parquet(src)
+    stream = windows.read_events_stream(spark, src, ev.schema)
+    dd = windows.dedup_within_watermark(windows.with_event_time(stream), ["event_id"])
+    windows.run_to_memory(dd, "dedup_out")
+    out = spark.table("dedup_out").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
