@@ -137,6 +137,50 @@ def pc_quadtree_cells(spark, sf_dir):
     )
 
 
+RAW_TRANSFORMS = {"x": (0.0, 0.01), "y": (0.0, 0.01)}  # LAS-style offset/scale
+
+
+def pc_raw_coords(spark, sf_dir):
+    raw = pointcloud.to_raw_coords(_q(spark, sf_dir), RAW_TRANSFORMS)
+    res = pointcloud.resolve_coords(raw, ["x", "y"])
+    return res.select(
+        "pid",
+        "x_raw",
+        "y_raw",
+        round4(F.col("x_resolved")).alias("x_res"),
+        round4(F.col("y_resolved")).alias("y_res"),
+    ).orderBy("pid")
+
+
+RP_PLANES, RP_SEED, RP_THRESHOLD = 8, 11, 0.4
+
+
+def rp_lsh_near_dup_q(spark, sf_dir):
+    return similarity.rp_lsh_near_dup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=RP_THRESHOLD,
+        planes=RP_PLANES,
+        dim=EMB_DIM,
+        seed=RP_SEED,
+    )
+
+
+def _rp_bucket_duck() -> str:
+    import random
+
+    rng = random.Random(RP_SEED)
+    plane_terms = []
+    for p in range(RP_PLANES):
+        coeffs = [rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+        # identical fold order to functions/vector.dot: ((0 + p1) + p2) + ...
+        dot = " + ".join(
+            f"(CAST(embedding[{k + 1}] AS DOUBLE) * CAST({c!r} AS DOUBLE))"
+            for k, c in enumerate(coeffs)
+        )
+        plane_terms.append(f"(CASE WHEN (0.0 + {dot}) >= 0 THEN {2**p} ELSE 0 END)")
+    return " + ".join(plane_terms)
+
+
 def _rect_sql(box: dict[str, tuple[float, float]]) -> str:
     # half-open, importance-closed rule handled by caller when needed
     return " AND ".join(f"({c} >= {lo} AND {c} < {hi})" for c, (lo, hi) in box.items())
@@ -179,6 +223,13 @@ ORACLE_PC = {
                CAST(floor(y/{GRID_DELTA}) AS BIGINT) AS cell_y,
                CAST(count(*) AS BIGINT) AS n_points
         FROM points GROUP BY 1, 2 ORDER BY 1, 2""",
+    "dq26_pc_raw_coords": f"""{POINTS_CTE}
+        SELECT pid,
+               CAST(floor((x - 0.0) / 0.01 + 0.5) AS INT) AS x_raw,
+               CAST(floor((y - 0.0) / 0.01 + 0.5) AS INT) AS y_raw,
+               (floor((CAST(CAST(floor((x - 0.0) / 0.01 + 0.5) AS INT) AS DOUBLE) * 0.01 + 0.0) * 10000.0 + 0.5) / 10000.0) AS x_res,
+               (floor((CAST(CAST(floor((y - 0.0) / 0.01 + 0.5) AS INT) AS DOUBLE) * 0.01 + 0.0) * 10000.0 + 0.5) / 10000.0) AS y_res
+        FROM points ORDER BY pid""",
     "dq24b_pc_quadtree_cells": f"""{POINTS_CTE},
         lv AS (SELECT x, y,
                  CASE WHEN i < {_QT_CUT0!r} THEN 0 WHEN i < {_QT_CUT1!r} THEN 1 ELSE 2 END AS level
@@ -447,6 +498,14 @@ ORACLE_LLM = {
         JOIN assign ON e.vec_id = assign.vid
         JOIN probe ON assign.cid = probe.cid
         ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}""",
+    "dq22d_rp_lsh_near_dup": f"""
+        WITH b AS (SELECT vec_id, embedding, CAST({_rp_bucket_duck()} AS BIGINT) AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               (floor(({vector.cosine_duck('a.embedding', 'bb.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+        FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        WHERE (floor(({vector.cosine_duck('a.embedding', 'bb.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) >= {RP_THRESHOLD}
+        ORDER BY id_a, id_b""",
     "dq22c_embedding_near_dup": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                (floor(({vector.cosine_duck('a.embedding', 'b.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
@@ -511,6 +570,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq22_ann_topk": ann_topk,
     "dq22b_ann_ivf": ann_ivf,
     "dq22c_embedding_near_dup": embedding_near_dup,
+    "dq22d_rp_lsh_near_dup": rp_lsh_near_dup_q,
+    "dq26_pc_raw_coords": pc_raw_coords,
     "dq23_text_stats": text_stats_q,
     "dq23b_lang_id": lang_id_q,
     "dq23c_quality_score": quality_q,

@@ -60,22 +60,17 @@ def minhash_perms(num_perms: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def hexfold_spark(m: str) -> str:
-    """Spark SQL: fold the first 15 chars of hex-string column ``m``."""
-    return (
-        f"aggregate(sequence(1, 15), 0L, (acc, k) -> acc * 16 + "
-        f"(ascii(substring({m}, k, 1)) - "
-        f"CASE WHEN substring({m}, k, 1) >= 'a' THEN 87 ELSE 48 END))"
-    )
+    """Spark SQL: first 15 hex chars of string column ``m`` as BIGINT.
+
+    ``conv`` is a JVM built-in (whole-stage codegen) — ~10x faster than a
+    per-char higher-order fold.  15 chars = 60 bits, always < 2^63.
+    """
+    return f"CAST(conv(substring({m}, 1, 15), 16, 10) AS BIGINT)"
 
 
 def hexfold_duck(m: str) -> str:
-    """DuckDB SQL: identical fold (list_reduce)."""
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16), "
-        f"k -> CAST(ord(substring({m}, CAST(k AS INT), 1)) - "
-        f"CASE WHEN substring({m}, CAST(k AS INT), 1) >= 'a' THEN 87 ELSE 48 END AS BIGINT))), "
-        f"(acc, v) -> acc * 16 + v)"
-    )
+    """DuckDB SQL: identical value via native hex-literal cast."""
+    return f"CAST('0x' || substring({m}, 1, 15) AS BIGINT)"
 
 
 def hex15_spark(e: str) -> str:

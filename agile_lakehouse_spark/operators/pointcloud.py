@@ -148,6 +148,41 @@ def knn_approx(df: DataFrame, cx: float, cy: float, k: int, x: str = "x", y: str
     return knn(pre, cx, cy, k, x=x, y=y, id_col=id_col)
 
 
+def to_raw_coords(df: DataFrame, transforms: dict[str, tuple[float, float]]) -> DataFrame:
+    """Resolved f64 coords -> raw i32 grid coords + offset/scale columns.
+
+    The LAS storage model (``pc-io/src/las/schema.rs:11-53``): a coordinate
+    is stored as ``int32 raw`` with per-axis ``offset``/``scale`` so
+    ``resolved = raw * scale + offset``.  Emits ``{col}_raw`` (int) plus
+    ``{col}_offset``/``{col}_scale`` literal columns — the ``--raw``
+    storage-footprint mode of the reference (README.md:53-54).
+    """
+    out = df
+    for col, (offset, scale) in transforms.items():
+        raw = F.floor((F.col(col) - F.lit(offset)) / F.lit(scale) + F.lit(0.5))
+        out = (
+            out.withColumn(f"{col}_raw", raw.cast("int"))
+            .withColumn(f"{col}_offset", F.lit(float(offset)))
+            .withColumn(f"{col}_scale", F.lit(float(scale)))
+        )
+    return out
+
+
+def resolve_coords(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Raw i32 grid coords -> resolved f64: ``raw * scale + offset``.
+
+    Inverse of :func:`to_raw_coords` (reference resolves at decode time,
+    ``pc-io/src/las/builder.rs:49-188``).
+    """
+    out = df
+    for col in cols:
+        out = out.withColumn(
+            f"{col}_resolved",
+            F.col(f"{col}_raw").cast("double") * F.col(f"{col}_scale") + F.col(f"{col}_offset"),
+        )
+    return out
+
+
 def grid_cells(df: DataFrame, deltas: dict[str, float]) -> DataFrame:
     """Assign each point its grid cell: ``floor(col/δ)`` per axis.
 

@@ -113,6 +113,62 @@ def ivf_topk(
     return cosine_topk(candidates, qvec, k, vec_col, id_col)
 
 
+def rp_lsh_buckets(
+    df: DataFrame,
+    planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (sign pattern of ``planes`` dots).
+
+    Hyperplane coefficients are seeded driver-side constants baked into the
+    plan as literals — deterministic across runs and engines.  Vectors with
+    high cosine land in the same bucket with probability
+    ``(1 - theta/pi)^planes``; buckets are the blocking key for near-dup
+    at scale (no label column needed, unlike :func:`embedding_near_dup`).
+    """
+    import random
+
+    rng = random.Random(seed)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        coeffs = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        plane = F.array(*[F.lit(c) for c in coeffs])
+        d = vector.dot(F.col(vec_col), plane)
+        bucket = bucket + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def rp_lsh_near_dup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs via random-projection LSH blocking + exact verify.
+
+    The self-join key is the LSH bucket — candidate count scales with
+    bucket occupancy, not n².  Recall is tunable via ``planes`` (fewer
+    planes = bigger buckets = higher recall, more verify work).
+    """
+    b = rp_lsh_buckets(df, planes, dim, vec_col, id_col, seed)
+    a_side = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b_side = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a_side.join(b_side, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = vector.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", round4(cos).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.9,

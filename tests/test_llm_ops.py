@@ -135,3 +135,14 @@ def test_multimodal_plumbing(spark):
     assert feats[1].n_bytes == 0 and feats[1].head_byte == -1
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG", "image")
+
+
+def test_rp_lsh_candidates_subset_verified(spark, sf_dir):
+    """rp-LSH pairs are verified-exact (cos >= t) and one bucket per vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = similarity.rp_lsh_buckets(emb, planes=6)
+    assert b.count() == emb.count()
+    assert b.select("vec_id").distinct().count() == emb.count()
+    pairs = similarity.rp_lsh_near_dup(emb, threshold=0.3, planes=6).collect()
+    for r in pairs:
+        assert r.cos >= 0.3

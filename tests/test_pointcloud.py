@@ -108,3 +108,26 @@ def test_column_pruning(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
     read_cols = explain.read_schema_columns(df)
     assert set(read_cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_raw_coords_roundtrip(points):
+    raw = pc.to_raw_coords(points, {"x": (0.0, 0.01)})
+    res = pc.resolve_coords(raw, ["x"])
+    # resolution error bounded by scale/2
+    worst = res.select(F.max(F.abs(F.col("x") - F.col("x_resolved")))).collect()[0][0]
+    assert worst <= 0.005 + 1e-9
+    assert dict(raw.dtypes)["x_raw"] == "int"
+
+
+def test_add_importance_idempotent(spark, sf_dir):
+    from agile_lakehouse_spark.schema import add_importance, importance
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    with_i = add_importance(li, "imp", seed=42)
+    assert importance(with_i.schema) == "imp"
+    lo, hi = with_i.agg(F.min("imp"), F.max("imp")).collect()[0]
+    assert 0.0 <= lo and hi < 1.0
+    assert dict(with_i.dtypes)["imp"] == "float"
+    # idempotent: column already present -> unchanged
+    again = add_importance(with_i, "imp", seed=99)
+    assert again.columns == with_i.columns
