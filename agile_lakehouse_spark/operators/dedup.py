@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, jaccard >= threshold).
 
@@ -73,6 +74,19 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_df(df, k, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        # drop boilerplate shingles that appear in too many docs: they blow
+        # up the inverted-index join quadratically while contributing almost
+        # no discrimination.  NOTE: changes the computed Jaccard slightly
+        # (union sizes still use full sets) — use for candidate generation,
+        # not for the declared exact query.
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

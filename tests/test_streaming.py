@@ -78,3 +78,36 @@ def test_streaming_dedup(spark, tmp_path, events_schema):
     windows.run_to_memory(dd, "dedup_out")
     out = spark.table("dedup_out").collect()
     assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_stream_to_grid_layout(spark, tmp_path):
+    from agile_lakehouse_spark.sources.catalog import points_view
+    from agile_lakehouse_spark.streaming import ingest
+
+    src = str(tmp_path / "pts_src")
+    pts = points_view(spark, "/root/testdata/sf0.001")
+    pts.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    dest = str(tmp_path / "pts_layout")
+    ingest.stream_to_grid_layout(stream, dest, str(tmp_path / "ckpt"), 200.0, 200.0)
+    back = spark.read.parquet(dest)
+    assert back.count() == pts.count()
+    assert "cell_x" in back.columns and "cell_y" in back.columns
+
+
+def test_running_user_counts_stateful(spark, tmp_path):
+    from agile_lakehouse_spark.streaming import ingest, windows
+
+    src = str(tmp_path / "ev_src")
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i%10:02d}:00", i % 3, "click", 1.0, "{}") for i in range(30)],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.parquet(src)
+    stream = windows.read_events_stream(spark, src, ev.schema)
+    counts = ingest.running_user_counts(stream)
+    windows.run_to_memory(counts, "user_counts", output_mode="update")
+    out = {r.user_id: r.n_events for r in spark.table("user_counts").collect()}
+    assert out == {0: 10, 1: 10, 2: 10}
