@@ -8,11 +8,15 @@ DuckDB at sf0.01 (SURVEY.md §2.8 / FIXTURES.md).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from agile_lakehouse_spark import declared
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agile_lakehouse_spark import declared  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

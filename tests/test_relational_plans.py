@@ -62,3 +62,17 @@ def test_las_ingest_plumbing(spark):
     assert df.count() == 10
     assert df.columns == ["x", "y", "z", "intensity", "classification"]
     assert df.agg({"x": "max"}).collect()[0][0] == 9.0
+
+
+def test_sql_door(spark, sf_dir):
+    """The SQL lifecycle (SURVEY §3.1): register views, run plain SQL."""
+    from agile_lakehouse_spark.sources.catalog import POINTS_SQL, register_all
+
+    register_all(spark, sf_dir)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW points AS {POINTS_SQL}")
+    n_all = spark.sql("SELECT count(*) AS c FROM points").collect()[0].c
+    n_rect = spark.sql(
+        "SELECT count(*) AS c FROM points WHERE x >= 100 AND x < 170 AND y >= 200 AND y < 420"
+    ).collect()[0].c
+    mean_x = spark.sql("SELECT avg(x) AS m FROM lineitem JOIN points ON pid = l_orderkey*10+l_linenumber").collect()[0].m
+    assert n_all > 0 and 0 < n_rect < n_all and mean_x > 0
