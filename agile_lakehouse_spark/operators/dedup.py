@@ -32,6 +32,21 @@ DEFAULT_BANDS = 4
 DEFAULT_ROWS_PER_BAND = 3
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Rebalance a narrow input before an explode-heavy pipeline.
+
+    Shingle/token explosion amplifies rows ~100-300x WITHOUT a shuffle, so
+    a table read as few partitions (one small file, a coalesced upstream)
+    would run the whole hash pipeline on a few cores.  Shuffling the
+    pre-explode rows (the cheap representation) buys full parallelism for
+    the expensive stage.  No-op when the input is already wide enough.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one surviving (lowest-id) row per distinct text.
 
@@ -50,6 +65,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_df(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Explode each doc into its distinct character k-gram shingles."""
+    df = spread(df)
     return df.select(
         F.col(id_col),
         F.explode(F.expr(portable.shingles_spark(text_col, k))).alias("shingle"),
@@ -201,7 +217,8 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     One explode + one aggregation (all bit-sums in a single pass).
     """
     toks = (
-        df.select(F.col(id_col), F.explode(F.expr(portable.tokens_spark(text_col))).alias("tok"))
+        spread(df)
+        .select(F.col(id_col), F.explode(F.expr(portable.tokens_spark(text_col))).alias("tok"))
         .withColumn("m", F.md5("tok"))
         .withColumn("h", F.expr(portable.hexfold_spark("m")))
     )
