@@ -51,7 +51,10 @@ def num_shuffles(df: DataFrame) -> int:
     return sum(
         1
         for line in tree.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line and "QueryStage" not in line
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line  # broadcast is not a data shuffle
+        and "QueryStage" not in line
     )
 
 

@@ -76,3 +76,18 @@ def test_sql_door(spark, sf_dir):
     ).collect()[0].c
     mean_x = spark.sql("SELECT avg(x) AS m FROM lineitem JOIN points ON pid = l_orderkey*10+l_linenumber").collect()[0].m
     assert n_all > 0 and 0 < n_rect < n_all and mean_x > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Same-bucketed tables join with zero Exchange (write-once, join-forever)."""
+    from agile_lakehouse_spark.plans import bucketing
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    bucketing.write_bucketed(li, "li_b", ["l_orderkey"], num_buckets=4, sort_cols=["l_orderkey"])
+    bucketing.write_bucketed(orders, "ord_b", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"])
+    joined = bucketing.co_located_join(spark, "li_b", "ord_b", "l_orderkey", "o_orderkey", force_sort_merge=True)
+    # same number of rows as the plain join
+    assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert explain.num_shuffles(joined) == 0, explain.formatted_plan(joined)
