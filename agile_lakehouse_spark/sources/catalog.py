@@ -55,6 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division (ns epochs exceed double's 2^53 exact range — never divide as
     float).
     """
+    # Self-defending confs: declared queries may run on a CALLER-built
+    # session (the correctness driver's), not ours — set the two runtime
+    # confs every query depends on.  UTC pins timestamp<->local conversions
+    # (year()/casts) to match the oracle's naive timestamps; nanosAsLong
+    # makes TIMESTAMP(NANOS) parquet readable at all.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
