@@ -317,6 +317,26 @@ ORACLE_REL = {
         SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
                CAST(count(*) AS BIGINT) AS n_rows, (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "dq20b_session_islands": """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, value,
+                 epoch_ms(ts) AS ts_ms,
+                 lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+          FROM events WHERE user_id < 20
+        ), flagged AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN prev_ms IS NULL OR (ts_ms - prev_ms) > 300000 THEN 1 ELSE 0 END AS new_sess
+          FROM ordered
+        ), sessed AS (
+          SELECT user_id, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM flagged
+        )
+        SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+        FROM sessed GROUP BY user_id, sess ORDER BY user_id, session_id""",
     "dq20_time_bucket": """
         SELECT CAST(floor(epoch(ts)/600) AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_events, (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
@@ -563,6 +583,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq19a_rollup": relational.rollup_agg,
     "dq19b_cube": relational.cube_agg,
     "dq20_time_bucket": relational.time_bucket,
+    "dq20b_session_islands": relational.session_islands,
     "dq21_dedup_exact": dedup_exact,
     "dq21b_dedup_minhash": dedup_minhash,
     "dq21c_dedup_simhash": dedup_simhash,

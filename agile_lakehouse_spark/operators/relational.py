@@ -226,6 +226,40 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_islands(spark: SparkSession, sf_dir: str, gap_s: int = 300) -> DataFrame:
+    """Batch sessionization (gaps-and-islands) — oracle-testable twin of the
+    streaming ``session_window`` (DQ20b).
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_s``; sessions are numbered per user with a running
+    sum over the new-session flags.  Two window passes, both over the same
+    ``(user_id, ts)`` partitioning — Catalyst reuses one Exchange.
+    """
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    # exact integer milliseconds — never compare fractional epochs across
+    # engines (truncation semantics differ)
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(ts_ms).over(w)
+    new_session = F.when(prev.isNull() | ((ts_ms - prev) > gap_s * 1000), 1).otherwise(0)
+    with_sess = (
+        events.withColumn("sess", F.sum(new_session).over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ))
+    )
+    return (
+        with_sess.groupBy("user_id", F.col("sess").cast("bigint").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute buckets — batch analogue of a streaming window (DQ20).
 
