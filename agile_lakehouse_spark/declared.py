@@ -337,6 +337,14 @@ ORACLE_REL = {
                CAST(count(*) AS BIGINT) AS n_events,
                (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
         FROM sessed GROUP BY user_id, sess ORDER BY user_id, session_id""",
+    "dq19c_grouping_sets": """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status""",
     "dq20_time_bucket": """
         SELECT CAST(floor(epoch(ts)/600) AS BIGINT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_events, (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
@@ -582,6 +590,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq18_string_functions": relational.string_functions,
     "dq19a_rollup": relational.rollup_agg,
     "dq19b_cube": relational.cube_agg,
+    "dq19c_grouping_sets": relational.grouping_sets,
     "dq20_time_bucket": relational.time_bucket,
     "dq20b_session_islands": relational.session_islands,
     "dq21_dedup_exact": dedup_exact,

@@ -260,6 +260,29 @@ def session_islands(spark: SparkSession, sf_dir: str, gap_s: int = 300) -> DataF
     )
 
 
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL door (DQ19c).
+
+    DataFrame API exposes rollup/cube; arbitrary grouping sets go through
+    ``spark.sql`` — same Catalyst Expand operator underneath.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               -- Spark SQL parses 10000.0 as DECIMAL and floor() yields BIGINT;
+               -- force DOUBLE so the result type/value matches round4 exactly
+               (CAST(floor(sum(l_extendedprice) * CAST(10000.0 AS DOUBLE) + 0.5) AS DOUBLE)
+                / CAST(10000.0 AS DOUBLE)) AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status
+        """
+    )
+
+
 def time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute buckets — batch analogue of a streaming window (DQ20).
 

@@ -50,6 +50,34 @@ def execute_fully(df) -> int:
     return 0
 
 
+def layout_jobs(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Layout-pipeline timings comparable to BASELINE.md's partition rows
+    (convert/grid/quadtree — pc-cli/examples/partition.rs)."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans import layout
+    from agile_lakehouse_spark.sources.catalog import points_view
+
+    tmp = tempfile.mkdtemp(prefix="bench_layout_")
+    try:
+        pts = points_view(spark, sf_dir)
+        t0 = time.time()
+        pts.write.mode("overwrite").parquet(f"{tmp}/convert")
+        timings["layout_convert"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        layout.write_grid_layout(pts, f"{tmp}/grid1", 100.0, 100.0)
+        timings["layout_grid1"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        layout.write_grid_layout(pts, f"{tmp}/grid8", 100.0, 100.0, importance_splits=8)
+        timings["layout_grid8"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        layout.write_quadtree_layout(pts, f"{tmp}/qt", depth=2, side=1024.0)
+        timings["layout_quadtree"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -67,6 +95,8 @@ def main() -> None:
         t0 = time.time()
         execute_fully(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+
+    layout_jobs(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
     print(

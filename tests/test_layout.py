@@ -83,3 +83,17 @@ def test_compact(points, spark, tmp_path):
     assert back.count() == points.count()
     files = {r[0] for r in back.select(F.input_file_name()).distinct().collect()}
     assert len(files) <= 2
+
+
+def test_layout_pruning_benefit(points, spark, tmp_path):
+    """Range queries on a z-ordered layout touch a small fraction of files."""
+    dest = str(tmp_path / "grid_prune")
+    layout.write_grid_layout(points, dest, 250.0, 250.0, max_records_per_file=400)
+    back = spark.read.parquet(dest)
+    total_files = back.select(F.input_file_name()).distinct().count()
+    box = {"x": (100.0, 350.0), "y": (100.0, 350.0)}
+    hit = pc.range_query(back, box)
+    hit_files = hit.select(F.input_file_name()).distinct().count()
+    assert hit.count() == pc.range_query(points, box).count()
+    # spatial locality: the query's rows live in a minority of files
+    assert hit_files < total_files * 0.5, (hit_files, total_files)
