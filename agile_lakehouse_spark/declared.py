@@ -401,25 +401,33 @@ def fingerprint_q(spark, sf_dir):
     return text.fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fp").orderBy("doc_id")
 
 
+
+def clean_corpus_q(spark, sf_dir):
+    from agile_lakehouse_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"), min_quality=0.5,
+                        shingle_k=SHINGLE_K, near_dup_threshold=MINHASH_T)
+
+
 def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
     return multimodal.extract_features(media).orderBy("media_id")
 
 
-def _duck_shingle_cte() -> str:
+def _duck_shingle_cte(src: str = "documents") -> str:
     return (
         f"sh AS (SELECT doc_id, unnest({portable.shingles_duck('text', SHINGLE_K)}) AS shingle "
-        f"FROM documents)"
+        f"FROM {src})"
     )
 
 
-def _duck_minhash_cte() -> str:
+def _duck_minhash_cte(src: str = "documents") -> str:
     mins = ", ".join(
         f"MIN(({a} * hv + {b}) % {P}) AS mh{j}" for j, (a, b) in enumerate(PERMS)
     )
     return (
-        f"{_duck_shingle_cte()}, "
+        f"{_duck_shingle_cte(src)}, "
         f"hm AS (SELECT doc_id, md5(shingle) AS m FROM sh), "
         f"h AS (SELECT doc_id, {portable.hexfold_duck('m')} % {P} AS hv FROM hm), "
         f"mh AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id)"
@@ -471,7 +479,31 @@ _LANG_CASE = (
 _STOP_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 _TOKS = portable.tokens_duck("text")
 
+_QUALITY_EXPR = f"""(floor((
+          0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + 0.3 * (1.0 - (CASE WHEN length(text) > 0 THEN
+              (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))
+              / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+          + 0.3 * least((CASE WHEN len({_TOKS}) > 0 THEN
+              CAST(len(list_filter({_TOKS}, t -> list_contains([{_STOP_LIST}], t))) AS DOUBLE)
+              / CAST(len({_TOKS}) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+        ) * 10000.0 + 0.5) / 10000.0)"""
+
 ORACLE_LLM = {
+    "dq27_clean_corpus": f"""
+        WITH scored AS (SELECT doc_id, text, {_QUALITY_EXPR} AS quality
+                        FROM documents WHERE {_QUALITY_EXPR} >= 0.5),
+        {_duck_minhash_cte('scored')},
+        bucketed AS ({_duck_band_union()}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bucketed a JOIN bucketed b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        pairs AS (SELECT id_b FROM cand
+                  JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+                  WHERE (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_T}),
+        keep AS (SELECT min(doc_id) AS doc_id, min(quality) AS quality FROM scored GROUP BY text)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, quality FROM keep
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs) ORDER BY doc_id""",
     "dq21_dedup_exact": """
         SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY text ORDER BY keep_id""",
@@ -608,6 +640,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq23d_fingerprint": fingerprint_q,
     # rows-only (no SQL equivalent): Arrow-batched multimodal plumbing
     "dq25_multimodal_features": multimodal_features,
+    "dq27_clean_corpus": clean_corpus_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM}

@@ -146,3 +146,11 @@ def test_rp_lsh_candidates_subset_verified(spark, sf_dir):
     pairs = similarity.rp_lsh_near_dup(emb, threshold=0.3, planes=6).collect()
     for r in pairs:
         assert r.cos >= 0.3
+
+
+def test_clean_corpus_pipeline(docs):
+    from agile_lakehouse_spark.operators.pipeline import clean_corpus
+
+    out = [r.doc_id for r in clean_corpus(docs, min_quality=0.0, near_dup_threshold=0.5).collect()]
+    # doc 1 (exact dup of 0) and doc 2 (near dup of 0) are gone; 0/3/4 survive
+    assert out == [0, 3, 4]
