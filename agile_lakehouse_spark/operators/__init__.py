@@ -1,3 +1,11 @@
-from agile_lakehouse_spark.operators import dedup, pointcloud, relational, similarity, text
+from agile_lakehouse_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    pointcloud,
+    relational,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "pointcloud", "relational", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "pointcloud", "relational", "similarity", "text"]
