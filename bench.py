@@ -50,6 +50,53 @@ def execute_fully(df) -> int:
     return 0
 
 
+def seeded_workload(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Reference-style seeded query workload (benchmark.rs:95-265).
+
+    N runs per query type with origins drawn uniformly from the data
+    bounds inset (reference: 10 runs, ChaCha20 seed 76, inset +1000/-400 —
+    scaled to our fixture's coordinate ranges).  Reported as total seconds
+    per type across all runs.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.operators import pointcloud as pc
+    from agile_lakehouse_spark.sources.catalog import points_view
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "10"))
+    rng = random.Random(76)
+    pts = points_view(spark, sf_dir)
+    x_lo, x_hi, y_lo, y_hi = pts.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    inset = 0.1 * min(x_hi - x_lo, y_hi - y_lo)
+    origins = [
+        (rng.uniform(x_lo + inset, x_hi - inset), rng.uniform(y_lo + inset, y_hi - inset))
+        for _ in range(runs)
+    ]
+
+    def run_all(name, make_df):
+        t0 = time.time()
+        for cx, cy in origins:
+            execute_fully(make_df(cx, cy))
+        timings[name] = round(time.time() - t0, 3)
+
+    side_s, side_m = 70.0, 220.0
+    run_all("w_s_rect", lambda cx, cy: pc.range_query(
+        pts, {"x": (cx, cx + side_s), "y": (cy, cy + side_s)}, importance_col="i"))
+    run_all("w_m_rect", lambda cx, cy: pc.range_query(
+        pts, {"x": (cx, cx + side_m), "y": (cy, cy + side_m)}, importance_col="i"))
+    run_all("w_s_circle", lambda cx, cy: pc.circle_query(pts, cx, cy, 25.0))
+    run_all("w_m_circle", lambda cx, cy: pc.circle_query(pts, cx, cy, 100.0))
+    run_all("w_knn_1000", lambda cx, cy: pc.knn(pts, cx, cy, 1000))
+    t0 = time.time()
+    for p in (0.05, 0.25, 0.35):
+        execute_fully(pc.sample(pts, p=p))
+    timings["w_sampling"] = round(time.time() - t0, 3)
+
+
 def layout_jobs(spark, sf_dir: str, timings: dict[str, float]) -> None:
     """Layout-pipeline timings comparable to BASELINE.md's partition rows
     (convert/grid/quadtree — pc-cli/examples/partition.rs)."""
@@ -88,6 +135,9 @@ def main() -> None:
     # a warmed session; JIT/codegen noise would otherwise dominate query 1)
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    from agile_lakehouse_spark.sources.catalog import points_view
+
+    points_view(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -96,6 +146,7 @@ def main() -> None:
         execute_fully(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
+    seeded_workload(spark, sf_dir, timings)
     layout_jobs(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
