@@ -7,6 +7,7 @@ fast.
 """
 
 from agile_lakehouse_spark import declared
+from pyspark.sql import functions as F
 from agile_lakehouse_spark.operators import relational
 from agile_lakehouse_spark.plans import explain
 
@@ -91,3 +92,18 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # same number of rows as the plain join
     assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
     assert explain.num_shuffles(joined) == 0, explain.formatted_plan(joined)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from agile_lakehouse_spark.plans.skew import salted_join
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+        F.count(F.lit(1)), F.sum("l_quantity"), F.sum("o_totalprice")
+    ).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4).agg(
+        F.count(F.lit(1)), F.sum("l_quantity"), F.sum("o_totalprice")
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
