@@ -409,6 +409,10 @@ def clean_corpus_q(spark, sf_dir):
                         shingle_k=SHINGLE_K, near_dup_threshold=MINHASH_T)
 
 
+def top_terms_q(spark, sf_dir):
+    return text.top_terms(load_table(spark, sf_dir, "documents"), n=5)
+
+
 def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
@@ -578,6 +582,13 @@ ORACLE_LLM = {
                (floor((avg(len({_TOKS}))) * 10000.0 + 0.5) / 10000.0) AS avg_tokens,
                CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
         FROM documents GROUP BY lang ORDER BY lang""",
+    "dq23e_top_terms": f"""
+        WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+        tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY lang, tok),
+        ranked AS (SELECT lang, tok, tf,
+                          CAST(row_number() OVER (PARTITION BY lang ORDER BY tf DESC, tok ASC) AS BIGINT) AS rnk
+                   FROM tf)
+        SELECT lang, tok, tf, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""",
     "dq23b_lang_id": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         hits AS (SELECT doc_id, {_LANG_HITS} FROM toks)
@@ -638,6 +649,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq23b_lang_id": lang_id_q,
     "dq23c_quality_score": quality_q,
     "dq23d_fingerprint": fingerprint_q,
+    "dq23e_top_terms": top_terms_q,
     # rows-only (no SQL equivalent): Arrow-batched multimodal plumbing
     "dq25_multimodal_features": multimodal_features,
     "dq27_clean_corpus": clean_corpus_q,

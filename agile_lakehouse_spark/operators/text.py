@@ -92,6 +92,27 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.expr(portable.fingerprint_spark(text_col)).cast("bigint"))
 
 
+def top_terms(df: DataFrame, n: int = 5, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Top-n most frequent tokens per language (tf table + ranking window).
+
+    Explode -> count per (lang, token) -> row_number per lang.  The tf
+    aggregation map-side combines before the shuffle; the window runs on
+    the already-tiny aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    toks = spread(df).select(F.col(lang_col), F.explode(_tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(lang_col, "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    w = Window.partitionBy(lang_col).orderBy(F.desc("tf"), F.asc("tok"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= n)
+        .orderBy(lang_col, "rnk")
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
     """Per-language corpus stats: docs, avg chars, avg tokens, distinct texts."""
     with_tok = token_count(df, text_col)
