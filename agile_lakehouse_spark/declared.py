@@ -274,7 +274,7 @@ ORACLE_REL = {
         FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
     "dq12b_join_anti": """
         SELECT CAST(count(*) AS BIGINT) AS n_customers, (floor((sum(c_acctbal)) * 10000.0 + 0.5) / 10000.0) AS sum_acctbal
-        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""",
     "dq13_distinct": """
         SELECT CAST(p.n AS BIGINT) AS n_pairs, CAST(d.n AS BIGINT) AS n_parts
         FROM (SELECT count(*) AS n FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) p,

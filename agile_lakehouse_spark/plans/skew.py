@@ -30,7 +30,17 @@ def salted_join(
     Correctness-equivalent to ``big.join(small, big[big_key] == small[small_key], how)``
     for inner/left joins on unique ``small_key``; cost trades a ``salt``-x
     replication of the small side for uniform shuffle partitions.
+
+    ``how`` is validated: right/full-outer would emit each unmatched
+    small-side row ``salt`` times (the small side is replicated before the
+    join), so those are rejected rather than silently wrong.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; {how!r} would duplicate "
+            f"unmatched small-side rows {salt}x (small side is replicated pre-join)"
+        )
     big_salted = big.withColumn("_salt", (F.rand(42) * salt).cast("int"))
     explode_salt = F.explode(F.array(*[F.lit(s) for s in range(salt)])).alias("_salt")
     small_replicated = small.select("*", explode_salt)

@@ -17,8 +17,13 @@ manifests listing immutable data files, made atomic by ``os.rename``
   reads of half-written data.
 - Writers stage data files first, then commit the manifest; a failed write
   leaves orphan files but never a corrupt table.
-- Concurrency: optimistic — the rename fails (or the version check does)
-  if another writer committed the same version first; the caller retries.
+- Concurrency: optimistic — the commit point is an atomic put-if-absent
+  (``os.link``, which raises ``FileExistsError`` if the target exists);
+  a writer that loses the race gets :class:`CommitConflict` and retries
+  on the new latest version.  Plain ``rename`` would NOT work here:
+  POSIX rename silently replaces an existing target, so two racing
+  writers could both "succeed" and the later one would clobber the
+  earlier committed manifest (a lost append).
 
 In production swap this for Delta/Iceberg; the engine's call sites
 (append/overwrite/read/history/compact) are format-agnostic.
@@ -75,10 +80,15 @@ class TransactionalTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         target = self._manifest_path(version)
-        if os.path.exists(target):  # lost the race
-            os.unlink(tmp)
+        try:
+            # Atomic put-if-absent: hard-link raises FileExistsError if the
+            # target already exists (checked and created in one syscall — no
+            # TOCTOU window, unlike exists()+rename which silently replaces).
+            os.link(tmp, target)
+        except FileExistsError:
             raise CommitConflict(f"version {version} already committed")
-        os.rename(tmp, target)  # atomic commit point
+        finally:
+            os.unlink(tmp)
         return version
 
     # -- write paths --------------------------------------------------------

@@ -39,7 +39,9 @@ _PLY_TO_SPARK = {
     "uchar": "smallint",
     "uint8": "smallint",
 }
-_SPARK_TO_PLY = {"float": "float", "double": "double", "int": "int", "bigint": "double", "smallint": "short", "tinyint": "char"}
+# PLY has no 64-bit integer type; bigint maps to 'int' (values must fit in
+# i32 — better a loud overflow than double's silent precision loss > 2^53).
+_SPARK_TO_PLY = {"float": "float", "double": "double", "int": "int", "bigint": "int", "smallint": "short", "tinyint": "char"}
 
 
 def parse_header(lines: list[str]) -> tuple[list[tuple[str, str]], int, str]:
@@ -83,8 +85,14 @@ def read_ply(spark: SparkSession, path: str) -> DataFrame:
         if not HAS_PLYFILE:
             raise NotImplementedError("binary PLY needs plyfile; ascii is supported natively")
         data = plyfile.PlyData.read(path)["vertex"]  # pragma: no cover
-        rows = [tuple(map(float, r)) for r in data]
-        return spark.createDataFrame(rows, schema=", ".join(f"{n} double" for n, _ in props))
+        # Preserve the header-declared dtypes (int stays int) instead of
+        # flattening everything to float.
+        is_float = {n: t in ("float", "double") for n, t in props}
+        rows = [
+            tuple(float(v) if is_float[n] else int(v) for v, (n, _) in zip(r, props))
+            for r in data
+        ]
+        return spark.createDataFrame(rows, schema=", ".join(f"{n} {t}" for n, t in props))
     with open(path, encoding="ascii") as f:
         lines = f.read().splitlines()
     body = lines[lines.index("end_header") + 1 :][:n_rows]
@@ -114,7 +122,9 @@ def write_ply(df: DataFrame, path: str) -> None:
     cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     header = ["ply", "format ascii 1.0", f"element vertex {df.count()}"]
     for name, t in cols:
-        header.append(f"property {_SPARK_TO_PLY.get(t, 'double')} {name}")
+        if t not in _SPARK_TO_PLY:
+            raise ValueError(f"column {name!r}: no faithful PLY type for Spark {t}")
+        header.append(f"property {_SPARK_TO_PLY[t]} {name}")
     header.append("end_header")
     lines = df.select(F.concat_ws(" ", *[F.col(n).cast("string") for n, _ in cols]).alias("l"))
     with open(path, "w", encoding="ascii") as f:

@@ -3,8 +3,12 @@
 ``foreachBatch`` bridges Structured Streaming and the batch layout engine:
 each micro-batch is routed through the same grid-cell assignment and landed
 as layout-clustered Parquet — the streaming analogue of the reference's
-append-time grid routing (``pc-format/src/pointcloud.rs:146-171``), with
-the checkpoint giving exactly-once per-batch semantics.
+append-time grid routing (``pc-format/src/pointcloud.rs:146-171``).
+Exactly-once: the checkpoint guarantees each batch_id is delivered
+at-least-once, and the writer makes the delivery idempotent by landing
+every micro-batch in its own ``batch=<id>`` subdirectory with
+``mode=overwrite`` — a retried batch replaces its own partial output
+instead of appending duplicates.
 
 Also here: a custom stateful operator via ``applyInPandasWithState`` —
 running per-user event counts with inactivity timeout (the kind of operator
@@ -47,6 +51,13 @@ def stream_to_grid_layout(
     batches -> sortWithinPartitions without repartition; periodic
     ``plans.layout.compact`` merges micro-batch files — the streaming
     equivalent of the reference's cell cache eviction).
+
+    Idempotent per batch: output lands under ``<path>/batch=<batch_id>/``
+    with ``mode=overwrite``, so a micro-batch retried from the checkpoint
+    after a partial write overwrites its own directory rather than
+    duplicating rows (at-least-once delivery x idempotent write =
+    exactly-once table contents).  Readers use ``spark.read.parquet(path)``
+    as before — ``batch`` is just one more partition column.
     """
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -56,7 +67,7 @@ def stream_to_grid_layout(
             .sortWithinPartitions("zkey")
             .drop("zkey")
         )
-        out.write.mode("append").parquet(path)
+        out.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
 
     writer = stream_df.writeStream.foreachBatch(_write_batch).option("checkpointLocation", checkpoint)
     if available_now:

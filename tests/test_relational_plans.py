@@ -107,3 +107,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count(F.lit(1)), F.sum("l_quantity"), F.sum("o_totalprice")
     ).collect()[0]
     assert tuple(plain) == tuple(salted)
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+
+    from agile_lakehouse_spark.plans.skew import salted_join
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li, orders, "l_orderkey", "o_orderkey", how=how)
+
+
+def test_write_ply_rejects_unrepresentable(spark, tmp_path):
+    import pytest
+
+    from agile_lakehouse_spark.sources.ply import write_ply
+
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError, match="no faithful PLY type"):
+        write_ply(df, str(tmp_path / "bad.ply"))

@@ -65,3 +65,38 @@ def test_compact_and_vacuum(spark, table):
     removed = table.vacuum(keep_versions=1)
     assert removed  # old files actually deleted
     assert table.read(spark).count() == 20  # newest snapshot intact
+
+
+def test_concurrent_commits_lose_nothing(spark, table):
+    """N racing writers on the same base version: exactly one wins each
+    version slot, no committed manifest is ever clobbered (the ADVICE.md
+    TOCTOU scenario — os.link makes the commit point atomic)."""
+    import threading
+
+    table.append(_df(spark, 0, 5))
+    files = table._read_manifest(0)["files"]
+    outcomes = []
+
+    def racer():
+        # every racer believes latest=0 -> all target version 1
+        try:
+            v = table._commit(files, "append")
+            outcomes.append(("ok", v))
+        except CommitConflict:
+            outcomes.append(("conflict", None))
+
+    orig = table.latest_version
+    table.latest_version = lambda: 0
+    try:
+        threads = [threading.Thread(target=racer) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        table.latest_version = orig
+    wins = [o for o in outcomes if o[0] == "ok"]
+    assert len(wins) == 1 and wins[0][1] == 1
+    assert len(outcomes) == 8
+    # the winning manifest is intact and readable
+    assert table._read_manifest(1)["files"] == files
