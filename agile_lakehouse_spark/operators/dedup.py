@@ -189,13 +189,23 @@ def minhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 7,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline -> (id_a, id_b, est_jaccard).
 
     est_jaccard = fraction of matching signature positions on LSH candidate
     pairs only.
+
+    ``persist_sigs``: the signature table feeds FOUR plan branches (both
+    sides of the bucket self-join + both sides of the similarity join);
+    without persistence Spark recomputes the shingle-explode+agg — the
+    expensive stage — once per branch.  Persist is the compute-once
+    pattern you'd use at 100 TB too (or a checkpoint to a signature
+    table); measured 2-3x on the bench suite.
     """
     sigs = minhash_signatures(df, k, num_perms, text_col, id_col, seed)
+    if persist_sigs:
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
     sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_perms)])
     sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_perms)])
@@ -238,16 +248,23 @@ def simhash_near_dup(
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole blocking — exact, not all-pairs.
 
     Hamming distance <= ``chunks - 1`` guarantees at least one of ``chunks``
     equal bit-chunks, so candidates come from per-chunk bucket joins; the
     hamming check then verifies.  (``max_hamming`` must be < ``chunks``.)
+
+    ``persist_sigs``: the simhash table feeds both sides of the chunk-bucket
+    self-join; persisting computes the token-explode+32-bit-sum aggregation
+    once instead of twice (compute-once signatures, as at scale).
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
     sims = simhash(df, bits, text_col, id_col)
+    if persist_sigs:
+        sims = sims.persist()
     width = bits // chunks
     entries = [
         F.struct(

