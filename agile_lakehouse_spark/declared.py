@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from agile_lakehouse_spark.functions import portable, vector
-from agile_lakehouse_spark.operators import dedup, multimodal, pointcloud, relational, similarity, text
+from agile_lakehouse_spark.operators import dedup, graph, multimodal, pointcloud, relational, similarity, text
 from agile_lakehouse_spark.sources.catalog import POINTS_CTE, load_table, points_view
 from agile_lakehouse_spark.functions.portable import round4
 
@@ -413,6 +413,20 @@ def top_terms_q(spark, sf_dir):
     return text.top_terms(load_table(spark, sf_dir, "documents"), n=5)
 
 
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup pairs -> transitive duplicate CLUSTERS via iterative
+    connected components (operators/graph.py) — per-cluster size, keyed by
+    the min doc_id representative (DQ31)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup(docs)
+    comp = graph.connected_components(pairs, "id_a", "id_b", "doc_id")
+    return (
+        comp.groupBy(F.col("component").cast("bigint").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.as_media_table(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
@@ -607,6 +621,65 @@ ORACLE_LLM = {
 }
 
 # ---------------------------------------------------------------------------
+# round-2 relational/graph additions (DQ28-DQ33)
+
+ORACLE_R2 = {
+    "dq28_pivot": """
+        SELECT l_returnflag,
+               (floor((coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0)) * 10000.0 + 0.5) / 10000.0) AS qty_f,
+               (floor((coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0)) * 10000.0 + 0.5) / 10000.0) AS qty_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dq29_array_agg": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id < 30 GROUP BY user_id ORDER BY user_id""",
+    "dq30_json_extract": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               (floor((avg(CAST(props->>'$.k' AS BIGINT))) * 10000.0 + 0.5) / 10000.0) AS avg_k
+        FROM events GROUP BY event_type ORDER BY event_type""",
+    "dq31_dedup_clusters": f"""
+        WITH RECURSIVE {_duck_minhash_cte()},
+        bucketed AS ({_duck_band_union()}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bucketed a JOIN bucketed b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        pairs AS (SELECT id_a, id_b
+                  FROM cand JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+                  WHERE (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_T}),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+            SELECT DISTINCT a, a FROM sym
+            UNION
+            SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id),
+        comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+        SELECT CAST(component AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS n_docs
+        FROM comp GROUP BY component ORDER BY component""",
+    "dq32_correlated_subquery": """
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)""",
+    "dq33_asof_join": """
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        views AS (SELECT user_id, ts, value, event_id AS view_id FROM events WHERE event_type = 'view'),
+        ranked AS (
+            SELECT c.event_id, c.user_id, v.value, v.view_id,
+                   row_number() OVER (PARTITION BY c.event_id ORDER BY v.ts DESC, v.view_id DESC) AS rn
+            FROM clicks c LEFT JOIN views v ON v.user_id = c.user_id AND v.ts <= c.ts)
+        SELECT event_id, user_id,
+               (floor((value) * 10000.0 + 0.5) / 10000.0) AS view_value,
+               CAST(view_id AS BIGINT) AS view_id
+        FROM ranked WHERE rn = 1 ORDER BY event_id""",
+}
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -653,6 +726,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (no SQL equivalent): Arrow-batched multimodal plumbing
     "dq25_multimodal_features": multimodal_features,
     "dq27_clean_corpus": clean_corpus_q,
+    "dq28_pivot": relational.pivot_agg,
+    "dq29_array_agg": relational.array_agg_users,
+    "dq30_json_extract": relational.json_extract_events,
+    "dq31_dedup_clusters": dedup_clusters_q,
+    "dq32_correlated_subquery": relational.correlated_subquery,
+    "dq33_asof_join": relational.asof_clicks_to_views,
 }
 
-ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM}
+ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2}

@@ -1,0 +1,99 @@
+"""Graph operators: connected components for dedup-cluster resolution.
+
+Near-dup detection (operators/dedup.py, operators/similarity.py) emits
+PAIRS; a training-data pipeline needs GROUPS — "keep one doc per duplicate
+cluster" is transitive, so pairs must be closed into connected components.
+The reference has no iterative operators at all; this is the canonical
+Spark pattern for them: a driver loop over lazy DataFrame steps with
+``localCheckpoint`` per iteration (truncates the lineage that would
+otherwise grow unboundedly and re-execute every prior round).
+
+Algorithm: min-label propagation. Every node starts labeled with its own
+id; each round every node takes the min of its label and its neighbors'
+labels; fixpoint = every node holds the min id of its component.
+Converges in O(diameter) rounds — fine for dedup graphs, whose components
+are small and dense.  For web-scale graphs with long chains, swap the
+round body for large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds, same
+driver-loop skeleton.
+
+Scale notes (100 TB): each round is one shuffle (edge ⋈ label on dst,
+combine-min on src) + one broadcast-able label join; the edge table is
+read from the checkpointed/persisted symmetric form, never recomputed.
+The convergence check rides on the same job that materializes the round's
+labels (localCheckpoint is eager) — no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Undirected connected components -> (id_col, component).
+
+    ``component`` is the minimum node id in the node's component — a
+    deterministic canonical representative (cross-engine reproducible,
+    unlike hash-based labeling).
+
+    ``edges`` may be directed pairs (e.g. near-dup ``id_a < id_b`` output);
+    they are symmetrized internally.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+
+    labels = sym.select(F.col("a").alias(id_col)).distinct().withColumn("lbl", F.col(id_col))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed(id_col, "b_id"), F.col("b") == F.col("b_id"))
+            .groupBy(F.col("a").alias(id_col))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        proposed = labels.withColumnRenamed("lbl", "old").join(nbr_min, id_col, "left").select(
+            F.col(id_col),
+            F.col("old"),
+            F.least(F.col("old"), F.coalesce(F.col("nbr_lbl"), F.col("old"))).alias("lbl"),
+        )
+        proposed = proposed.localCheckpoint()
+        changed = proposed.filter(F.col("lbl") < F.col("old")).count()
+        labels = proposed.drop("old")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.withColumnRenamed("lbl", "component")
+
+
+def component_sizes(components: DataFrame, id_col: str = "id") -> DataFrame:
+    """Cluster summary: one row per component with its size."""
+    return (
+        components.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Drop all but the canonical (min-id) member of every duplicate cluster.
+
+    The end-to-end near-dup removal a corpus pipeline actually wants:
+    ``df`` minus every row whose id sits in a component but is not its
+    representative.  Non-paired rows pass through untouched.
+    """
+    comp = connected_components(pairs, pair_a, pair_b, id_col)
+    losers = comp.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

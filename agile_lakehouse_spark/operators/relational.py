@@ -299,3 +299,182 @@ def time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: lineitem quantities by linestatus column per returnflag (DQ28).
+
+    Explicit value list (``F, O``) — at scale an implicit pivot triggers a
+    distinct-values collect job; pinning the columns keeps it one pass and
+    makes the output schema static (a Catalyst pivot lowers to
+    ``sum(CASE WHEN ...)`` conditional aggregation, the same shape the
+    oracle states explicitly).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return (
+        piv.select(
+            "l_returnflag",
+            round4(F.coalesce(F.col("F"), F.lit(0.0))).alias("qty_f"),
+            round4(F.coalesce(F.col("O"), F.lit(0.0))).alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions per user (DQ29).
+
+    ``collect_set`` -> ``sort_array`` -> ``array_join``: the deterministic
+    way to aggregate rows into lists (bare ``collect_list`` order is
+    partition-dependent — never expose it unsorted).  ``size`` exercises
+    array introspection.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    types = F.sort_array(F.collect_set("event_type"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.array_join(types, ",").alias("types_csv"),
+            F.size(types).cast("bigint").alias("n_types"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events ``props`` column (DQ30).
+
+    ``get_json_object`` runs JVM-side (Jackson) — no UDF; the extracted
+    value feeds a normal aggregation.  At scale, parse-once-then-reuse:
+    extract to a typed column in one projection rather than re-parsing the
+    JSON per expression.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            round4(F.avg("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape) through the SQL door (DQ32).
+
+    Selects lineitems whose quantity is below 20% of their part's average
+    quantity.  Catalyst decorrelates the subquery into an aggregate +
+    join — no per-row re-execution (``.explain`` shows a single
+    aggregation over lineitem joined back, not a nested-loop).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_cs_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               (CAST(floor(sum(l_extendedprice) * CAST(10000.0 AS DOUBLE) + 0.5) AS DOUBLE)
+                / CAST(10000.0 AS DOUBLE)) AS sum_price
+        FROM _cs_lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM _cs_lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Generic as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (ties: the right row
+    wins, matching DuckDB ``ASOF JOIN``'s ``>=`` semantics).
+
+    Spark has no native as-of join; the scalable formulation is the
+    union-sort trick: tag both sides, union, and run ``last(value,
+    ignorenulls=True)`` over a per-key window ordered by (ts, side) with
+    right rows sorted before left rows at equal timestamps.  ONE shuffle
+    on the key (the window partition), no range self-join blowup —
+    equivalent to pandas ``merge_asof`` but distributed.
+
+    Returns the left rows plus ``value_cols`` carried from the matched
+    right row (NULL when no earlier right row exists).
+
+    ``tie_col`` (a right-side column) deterministically breaks ties among
+    right rows sharing the same (key, timestamp): the HIGHEST ``tie_col``
+    row wins.  Without it, which same-timestamp right row is carried is
+    partition-order-dependent.
+    """
+    lcols = left.columns
+    side_right = F.lit(0)
+    side_left = F.lit(1)
+    tie_expr = F.col(tie_col) if tie_col else F.lit(0)
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        side_right.alias("_side"),
+        tie_expr.cast("bigint").alias("_tie"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        side_left.alias("_side"),
+        F.lit(0).cast("bigint").alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+    filled = unioned.select(
+        "*", *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def asof_clicks_to_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo on events: each click joined to the user's latest
+    prior-or-simultaneous view's value (DQ33)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view").select("user_id", "ts", "value", "event_id")
+    # deterministic tie-break among same-timestamp views: keep max event_id
+    # (the window's last() picks the final row in sort order)
+    views = views.withColumnRenamed("event_id", "view_id")
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["value", "view_id"],
+        tie_col="view_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        round4(F.col("asof_value")).alias("view_value"),
+        F.col("asof_view_id").cast("bigint").alias("view_id"),
+    ).orderBy("event_id")

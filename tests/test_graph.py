@@ -1,0 +1,68 @@
+"""Connected components + as-of join (round-2 operators)."""
+
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.operators import graph, relational
+
+
+def test_connected_components_basic(spark):
+    # two components {1,2,3,7} and {5,6}; 9 isolated via self-pair input absence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6)], "src bigint, dst bigint"
+    )
+    comp = graph.connected_components(edges, "src", "dst", "node")
+    got = {r.node: r.component for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_chain_converges(spark):
+    # a long chain exercises multiple propagation rounds
+    n = 40
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src bigint, dst bigint")
+    comp = graph.connected_components(edges, "src", "dst", "node")
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r.component for r in rows} == {0}
+
+
+def test_dedup_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 4), (1, 5)], "id_a bigint, id_b bigint")
+    kept = graph.dedup_keep_representatives(docs, pairs)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2]
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 1, 5), (2, 1, 10), (3, 1, 2), (4, 2, 7)],
+        "eid bigint, k bigint, t bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0, 100), (1, 10, 99.0, 101), (1, 10, 98.0, 102), (2, 8, 1.0, 103)],
+        "k bigint, t bigint, v double, rid bigint",
+    )
+    out = relational.asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=["v", "rid"], tie_col="rid"
+    )
+    got = {r.eid: (r.asof_v, r.asof_rid) for r in out.collect()}
+    # eid=1 t=5: latest right t<=5 is t=3 -> 30.0
+    # eid=2 t=10: ties at t=10 -> highest rid (102) wins -> 98.0
+    # eid=3 t=2: no earlier right row -> NULLs
+    # eid=4 k=2 t=7: right t=8 is later -> NULLs
+    assert got == {1: (30.0, 100), 2: (98.0, 102), 3: (None, None), 4: (None, None)}
+    assert out.count() == left.count()  # left join: every left row survives
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-window formulation must shuffle ONCE (on the key), not do
+    a range self-join."""
+    left = spark.createDataFrame([(1, 1, 5)], "eid bigint, k bigint, t bigint")
+    right = spark.createDataFrame([(1, 3, 30.0, 1)], "k bigint, t bigint, v double, rid bigint")
+    out = relational.asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", value_cols=["v"], tie_col="rid"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
