@@ -48,6 +48,9 @@ class TransactionalTable:
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         os.makedirs(self.log_dir, exist_ok=True)
+        # footer stats for files staged since the last commit, folded into
+        # the next manifest (per-file min/max -> reader-side file skipping)
+        self._pending_stats: dict[str, dict] = {}
 
     # -- log helpers --------------------------------------------------------
 
@@ -70,10 +73,16 @@ class TransactionalTable:
     def _commit(self, files: list[str], op: str) -> int:
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
+        # stats carry forward for retained files; newly staged files bring
+        # their own footer stats from _pending_stats
+        prev_stats = self._stats(latest) if latest is not None else {}
+        known = {**prev_stats, **self._pending_stats}
+        stats = {f: known[f] for f in files if f in known}
         manifest = {
             "version": version,
             "op": op,
             "files": files,
+            "stats": stats,
             "committed_at": time.time(),
         }
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -89,7 +98,13 @@ class TransactionalTable:
             raise CommitConflict(f"version {version} already committed")
         finally:
             os.unlink(tmp)
+        self._pending_stats = {}
         return version
+
+    def _stats(self, version: int) -> dict:
+        """Per-file column min/max recorded at commit time (may be absent
+        for files staged by older versions of this module)."""
+        return self._read_manifest(version).get("stats", {})
 
     # -- write paths --------------------------------------------------------
 
@@ -97,11 +112,49 @@ class TransactionalTable:
         """Write immutable data files into a staging subdir, return paths."""
         stage_dir = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage_dir)
-        return [
+        paths = [
             os.path.join(stage_dir, f)
             for f in os.listdir(stage_dir)
             if f.endswith(".parquet")
         ]
+        self._pending_stats.update(self._collect_stats(paths))
+        return paths
+
+    @staticmethod
+    def _collect_stats(paths: list[str]) -> dict[str, dict]:
+        """Read per-file numeric column min/max from the Parquet footers.
+
+        This is the manifest-level statistics index the reference builds as
+        a row-group R-tree over footer stats (``pc-io/src/helpers.rs:35-125``)
+        — externalized into the commit log so readers can skip whole files
+        WITHOUT opening them (planner-side pruning, the Delta/Iceberg
+        file-stats mechanism).  Footer reads are metadata-only (no row
+        decode); at real scale run this on executors and collect.
+        """
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            mins: dict[str, float] = {}
+            maxs: dict[str, float] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if not isinstance(st.min, (int, float)) or isinstance(st.min, bool):
+                        continue
+                    name = col.path_in_schema
+                    mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                    maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+            out[p] = {
+                "rows": md.num_rows,
+                "min": mins,
+                "max": maxs,
+            }
+        return out
 
     def append(self, df: DataFrame) -> int:
         """ACID append: new snapshot = previous files + newly staged files."""
@@ -117,6 +170,67 @@ class TransactionalTable:
         """
         return self._commit(self._stage(df), "overwrite")
 
+    def _affected_files(self, spark: SparkSession, files: list[str], marker: DataFrame) -> list[str]:
+        """Physical files containing at least one row of ``marker``
+        (a filtered view of the snapshot carrying ``_file``)."""
+        rows = marker.select("_file").distinct().collect()
+        # input_file_name() yields URIs (file:///...); manifests store paths
+        found = {r._file.removeprefix("file://") for r in rows}
+        return [f for f in files if f in found]
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Copy-on-write DELETE (Delta-style): rewrite ONLY the files that
+        contain matching rows; untouched files are carried into the new
+        snapshot as-is.
+
+        ``condition``: SQL string or Column.  Old files remain on disk for
+        time travel until :func:`vacuum`.
+        """
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        latest = self.latest_version()
+        files = self._read_manifest(latest)["files"]
+        tagged = spark.read.parquet(*files).withColumn("_file", F.input_file_name())
+        affected = self._affected_files(spark, files, tagged.filter(cond))
+        if not affected:
+            return latest  # nothing to delete — no new version needed
+        survivors = (
+            spark.read.parquet(*affected)
+            .filter(~cond)
+        )
+        keep = [f for f in files if f not in set(affected)]
+        new_files = self._stage(survivors) if survivors.limit(1).count() else []
+        return self._commit(keep + new_files, "delete")
+
+    def merge(self, spark: SparkSession, source: DataFrame, key: str) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``source`` replace
+        same-``key`` rows in the table; unmatched source rows are inserted.
+
+        Only files containing a matching key are rewritten (semi-join
+        against the source keys finds them); everything else is carried
+        forward untouched — the same file-level copy-on-write Delta's
+        MERGE performs, with the matching-file discovery done by a
+        broadcast-able key join instead of a full rewrite.
+        """
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            return self.append(source)
+        files = self._read_manifest(latest)["files"]
+        keys = source.select(key).distinct()
+        tagged = spark.read.parquet(*files).withColumn("_file", F.input_file_name())
+        affected = self._affected_files(spark, files, tagged.join(F.broadcast(keys), key, "left_semi"))
+        keep = [f for f in files if f not in set(affected)]
+        new_files = []
+        if affected:
+            survivors = spark.read.parquet(*affected).join(F.broadcast(keys), key, "left_anti")
+            if survivors.limit(1).count():
+                new_files += self._stage(survivors)
+        new_files += self._stage(source)
+        return self._commit(keep + new_files, "merge")
+
     # -- read paths ----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -128,6 +242,59 @@ class TransactionalTable:
         if not files:
             raise FileNotFoundError("empty snapshot")
         return spark.read.parquet(*files)
+
+    def prune_files(self, ranges: dict[str, tuple[float, float]], version: int | None = None) -> list[str]:
+        """Manifest-stats file skipping: the files a scan with the given
+        per-column [lo, hi] predicate must read.
+
+        A file survives if, for every predicated column, its footer
+        [min, max] interval intersects [lo, hi] (files without recorded
+        stats are conservatively kept).  This is planner-side pruning from
+        the COMMIT LOG alone — no file is opened (SURVEY.md §4's
+        "externalized manifest index"; same role as the reference's
+        row-group R-tree, pc-io/src/helpers.rs:35-125).
+        """
+        v = self.latest_version() if version is None else version
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        kept = []
+        for f in manifest["files"]:
+            st = stats.get(f)
+            keep = True
+            if st:
+                for col, (lo, hi) in ranges.items():
+                    if col in st["min"] and (st["max"][col] < lo or st["min"][col] > hi):
+                        keep = False
+                        break
+            if keep:
+                kept.append(f)
+        return kept
+
+    def scan(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple[float, float]] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with manifest-level file skipping.
+
+        The range predicate is BOTH used to prune files from the manifest
+        stats AND re-applied as a Spark filter (manifest pruning is a
+        superset guarantee, exactly like the reference's Inexact pushdown
+        contract, pc-format/src/table.rs:128-155).
+        """
+        from pyspark.sql import functions as F
+
+        if not ranges:
+            return self.read(spark, version)
+        files = self.prune_files(ranges, version)
+        if not files:
+            return self.read(spark, version).limit(0)
+        df = spark.read.parquet(*files)
+        pred = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            pred = pred & (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        return df.filter(pred)
 
     def history(self) -> list[dict]:
         return [self._read_manifest(v) for v in self.versions()]

@@ -130,3 +130,51 @@ def test_write_ply_rejects_unrepresentable(spark, tmp_path):
     df = spark.createDataFrame([("a",)], "s string")
     with pytest.raises(ValueError, match="no faithful PLY type"):
         write_ply(df, str(tmp_path / "bad.ply"))
+
+
+def test_csv_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    from agile_lakehouse_spark.sources import textio
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    textio.write_csv(nation, csv_path)
+    textio.write_jsonl(nation, json_path)
+    schema = nation.schema
+    back_csv = textio.read_csv(spark, csv_path, schema)
+    back_json = textio.read_jsonl(spark, json_path, schema)
+    orig = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == orig
+    assert sorted(map(tuple, back_json.collect())) == orig
+
+
+def test_csv_failfast_on_malformed(spark, tmp_path):
+    import pytest
+
+    from agile_lakehouse_spark.sources import textio
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text("a,b\n1,2\nnot_an_int,3\n")
+    df = textio.read_csv(spark, str(p), "a int, b int")
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        df.collect()
+    # permissive mode quarantines instead of failing
+    ok = textio.read_csv(spark, str(p), "a int, b int", permissive=True)
+    assert ok.count() == 2
+
+
+def test_approximate_aggregates(spark, sf_dir):
+    """approx_count_distinct (HLL++) and approx percentile: sketch-based,
+    so no cross-engine oracle — assert error bounds against exact values."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_partkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+    med_exact = li.approxQuantile("l_quantity", [0.5], 0.0)[0]
+    med_approx = li.approxQuantile("l_quantity", [0.5], 0.01)[0]
+    assert abs(med_approx - med_exact) <= 2.0

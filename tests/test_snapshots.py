@@ -100,3 +100,58 @@ def test_concurrent_commits_lose_nothing(spark, table):
     assert len(outcomes) == 8
     # the winning manifest is intact and readable
     assert table._read_manifest(1)["files"] == files
+
+
+def test_delete_where_copy_on_write(spark, table):
+    # two disjoint key ranges land in separate files
+    table.append(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 100, 110).coalesce(1))
+    files_before = set(table._read_manifest(table.latest_version())["files"])
+    v = table.delete_where(spark, "k >= 100 AND k < 105")
+    out = table.read(spark)
+    assert out.count() == 15
+    assert out.filter("k >= 100 AND k < 105").count() == 0
+    # copy-on-write: the untouched file is carried forward byte-identical
+    files_after = set(table._read_manifest(v)["files"])
+    assert files_before & files_after, "untouched files must be reused, not rewritten"
+    # time travel still sees the pre-delete rows
+    assert table.read(spark, version=v - 1).count() == 20
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    v0 = table.append(_df(spark, 0, 10))
+    v = table.delete_where(spark, "k > 999")
+    assert v == v0  # no new version for a no-op delete
+
+
+def test_merge_upsert(spark, table):
+    table.append(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 100, 110).coalesce(1))
+    files_before = set(table._read_manifest(table.latest_version())["files"])
+    # update k=0..2 (new v values), insert k=200..201
+    src = spark.createDataFrame([(0, -1), (1, -1), (2, -1), (200, -1), (201, -1)], "k long, v long")
+    v = table.merge(spark, src, "k")
+    out = table.read(spark)
+    assert out.count() == 22  # 20 - 3 replaced + 3 replacements + 2 inserts
+    assert out.filter("v = -1").count() == 5
+    assert sorted(r.k for r in out.filter("v = -1").collect()) == [0, 1, 2, 200, 201]
+    # the 100..110 file contains no matching key -> carried forward untouched
+    files_after = set(table._read_manifest(v)["files"])
+    assert files_before & files_after
+
+
+def test_manifest_stats_pruning(spark, table):
+    # three files with disjoint k ranges -> stats recorded per file
+    table.append(_df(spark, 0, 100).coalesce(1))
+    table.append(_df(spark, 100, 200).coalesce(1))
+    table.append(_df(spark, 200, 300).coalesce(1))
+    all_files = table._read_manifest(table.latest_version())["files"]
+    assert len(all_files) == 3
+    pruned = table.prune_files({"k": (120.0, 130.0)})
+    assert len(pruned) == 1  # only the middle file intersects
+    out = table.scan(spark, {"k": (120.0, 130.0)})
+    assert out.count() == 11  # inclusive both ends
+    # scan with no ranges = plain snapshot read
+    assert table.scan(spark).count() == 300
+    # a range hitting nothing reads zero files and zero rows
+    assert table.scan(spark, {"k": (1e6, 2e6)}).count() == 0
