@@ -413,6 +413,25 @@ def top_terms_q(spark, sf_dir):
     return text.top_terms(load_table(spark, sf_dir, "documents"), n=5)
 
 
+SPATIAL_RECTS = [
+    (0, 100.0, 300.0, 100.0, 300.0),
+    (1, 250.0, 500.0, 250.0, 500.0),
+    (2, 400.0, 450.0, 600.0, 900.0),
+    (3, 50.0, 950.0, 480.0, 520.0),
+    (4, 800.0, 1000.0, 100.0, 200.0),
+]
+
+
+def spatial_join_q(spark, sf_dir):
+    """Grid-bucketed point-in-rectangle spatial join (DQ34) — equi-join on
+    covering cells + exact refine, never a nested-loop cross join."""
+    rects = spark.createDataFrame(
+        SPATIAL_RECTS, "rect_id long, x_lo double, x_hi double, y_lo double, y_hi double"
+    )
+    out = pointcloud.rect_join_counts(_q(spark, sf_dir), rects, GRID_DELTA, GRID_DELTA)
+    return out.select(F.col("rect_id").cast("bigint").alias("rect_id"), "n_points").orderBy("rect_id")
+
+
 def dedup_clusters_q(spark, sf_dir):
     """Near-dup pairs -> transitive duplicate CLUSTERS via iterative
     connected components (operators/graph.py) — per-cluster size, keyed by
@@ -658,6 +677,12 @@ ORACLE_R2 = {
         comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
         SELECT CAST(component AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS n_docs
         FROM comp GROUP BY component ORDER BY component""",
+    "dq34_spatial_join": f"""{POINTS_CTE},
+        rects(rect_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {", ".join(f"({r}, {xl!r}, {xh!r}, {yl!r}, {yh!r})" for r, xl, xh, yl, yh in SPATIAL_RECTS)})
+        SELECT CAST(rect_id AS BIGINT) AS rect_id, CAST(count(*) AS BIGINT) AS n_points
+        FROM rects r JOIN points p
+          ON p.x >= r.x_lo AND p.x < r.x_hi AND p.y >= r.y_lo AND p.y < r.y_hi
+        GROUP BY rect_id ORDER BY rect_id""",
     "dq32_correlated_subquery": """
         SELECT CAST(count(*) AS BIGINT) AS n_small,
                (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price
@@ -732,6 +757,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq31_dedup_clusters": dedup_clusters_q,
     "dq32_correlated_subquery": relational.correlated_subquery,
     "dq33_asof_join": relational.asof_clicks_to_views,
+    "dq34_spatial_join": spatial_join_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2}

@@ -197,6 +197,55 @@ def grid_cells(df: DataFrame, deltas: dict[str, float]) -> DataFrame:
     return out
 
 
+def rect_join_counts(
+    points: DataFrame,
+    rects: DataFrame,
+    delta_x: float,
+    delta_y: float,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Spatial join: count points inside each half-open rectangle —
+    grid-bucketed, NEVER a cross join.
+
+    ``rects``: (rect_id, x_lo, x_hi, y_lo, y_hi).  Each rectangle explodes
+    into its covering grid cells (a few rows per rect); points carry their
+    cell key; the join is a plain EQUI-join on the cell, followed by the
+    exact containment refine.  Catalyst would otherwise plan rect-vs-point
+    range predicates as BroadcastNestedLoopJoin — O(|points|·|rects|)
+    comparisons; bucketing makes it O(|points| + candidates), the same
+    cell-blocking idea the reference's partitioner uses for routing
+    (pc-cli/src/partition.rs:249-374), applied to a join.
+
+    Half-open semantics ([lo, hi) per axis) match range_query/P2.
+    """
+    cover_x = F.sequence(
+        F.floor(F.col("x_lo") / delta_x).cast("bigint"),
+        F.floor(F.col("x_hi") / delta_x).cast("bigint"),
+    )
+    cover_y = F.sequence(
+        F.floor(F.col("y_lo") / delta_y).cast("bigint"),
+        F.floor(F.col("y_hi") / delta_y).cast("bigint"),
+    )
+    rect_cells = (
+        rects.select("*", F.explode(cover_x).alias("cell_x"))
+        .select("*", F.explode(cover_y).alias("cell_y"))
+    )
+    pts = grid_cells(points, {x: delta_x, y: delta_y})
+    contained = (
+        (F.col(x) >= F.col("x_lo"))
+        & (F.col(x) < F.col("x_hi"))
+        & (F.col(y) >= F.col("y_lo"))
+        & (F.col(y) < F.col("y_hi"))
+    )
+    return (
+        pts.join(F.broadcast(rect_cells), ["cell_x", "cell_y"])
+        .filter(contained)
+        .groupBy("rect_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    )
+
+
 def quadtree_cells(
     df: DataFrame,
     depth: int,

@@ -70,7 +70,7 @@ class TransactionalTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], op: str) -> int:
+    def _commit(self, files: list[str], op: str, txn: tuple[str, int] | None = None) -> int:
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
         # stats carry forward for retained files; newly staged files bring
@@ -85,6 +85,10 @@ class TransactionalTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        if txn is not None:
+            # streaming-sink transaction marker (Delta's txn appId/version):
+            # lets an idempotent writer detect an already-committed batch
+            manifest["txn"] = {"app": txn[0], "batch": txn[1]}
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -203,7 +207,17 @@ class TransactionalTable:
         new_files = self._stage(survivors) if survivors.limit(1).count() else []
         return self._commit(keep + new_files, "delete")
 
-    def merge(self, spark: SparkSession, source: DataFrame, key: str) -> int:
+    def last_txn_batch(self, app: str) -> int:
+        """Highest batch id committed by ``app``, or -1 (idempotence probe
+        for streaming writers — see streaming/ingest.stream_upsert)."""
+        best = -1
+        for v in self.versions():
+            txn = self._read_manifest(v).get("txn")
+            if txn and txn["app"] == app:
+                best = max(best, txn["batch"])
+        return best
+
+    def merge(self, spark: SparkSession, source: DataFrame, key: str, txn: tuple[str, int] | None = None) -> int:
         """Copy-on-write MERGE (upsert): rows of ``source`` replace
         same-``key`` rows in the table; unmatched source rows are inserted.
 
@@ -217,7 +231,7 @@ class TransactionalTable:
 
         latest = self.latest_version()
         if latest is None:
-            return self.append(source)
+            return self._commit(self._stage(source), "merge", txn=txn)
         files = self._read_manifest(latest)["files"]
         keys = source.select(key).distinct()
         tagged = spark.read.parquet(*files).withColumn("_file", F.input_file_name())
@@ -229,7 +243,7 @@ class TransactionalTable:
             if survivors.limit(1).count():
                 new_files += self._stage(survivors)
         new_files += self._stage(source)
-        return self._commit(keep + new_files, "merge")
+        return self._commit(keep + new_files, "merge", txn=txn)
 
     # -- read paths ----------------------------------------------------------
 

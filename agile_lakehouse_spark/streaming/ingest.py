@@ -77,6 +77,42 @@ def stream_to_grid_layout(
     return q
 
 
+def stream_upsert(
+    stream_df: DataFrame,
+    table,
+    key: str,
+    checkpoint: str,
+    app_id: str = "stream_upsert",
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT into a :class:`TransactionalTable`.
+
+    The Delta streaming-sink pattern: the checkpoint replays failed batches
+    (at-least-once), and the table's commit log records a ``txn``
+    (app_id, batch_id) marker per merge — a replayed batch whose id is
+    already committed is skipped, so the MERGE applies exactly once even
+    across driver restarts.  Combined with the table's copy-on-write merge
+    this is streaming CDC-style ingestion with ACID snapshots.
+
+    ``app_id`` identifies the (stream, checkpoint) lineage — batch ids are
+    only monotonic within one checkpoint, so starting over with a NEW
+    checkpoint on the same table requires a new ``app_id`` (same contract
+    as Delta's ``txnAppId``).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= table.last_txn_batch(app_id):
+            return  # already committed by a previous attempt
+        table.merge(batch_df.sparkSession, batch_df, key, txn=(app_id, batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q
+
+
 SESSION_STATE_SCHEMA = StructType([StructField("n_events", LongType(), False)])
 SESSION_OUTPUT_SCHEMA = StructType(
     [

@@ -131,3 +131,15 @@ def test_add_importance_idempotent(spark, sf_dir):
     # idempotent: column already present -> unchanged
     again = add_importance(with_i, "imp", seed=99)
     assert again.columns == with_i.columns
+
+
+def test_rect_join_is_not_nested_loop(spark, sf_dir):
+    """The spatial join must plan as an equi-join on cell keys (hash or
+    broadcast-hash), never BroadcastNestedLoopJoin/CartesianProduct."""
+    from agile_lakehouse_spark import declared
+
+    df = declared.SPARK_QUERIES["dq34_spatial_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -131,3 +131,30 @@ def test_stream_ingest_idempotent_per_batch(spark, tmp_path):
     stream2 = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     stream_to_grid_layout(stream2, dest, str(tmp_path / "ckpt3"), 200.0, 200.0)
     assert spark.read.parquet(dest).count() == n1
+
+
+def test_stream_upsert_exactly_once(spark, tmp_path):
+    """foreachBatch + txn markers: a replayed batch must not re-apply."""
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+    from agile_lakehouse_spark.streaming.ingest import stream_upsert
+
+    src = str(tmp_path / "upsert_src")
+    spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long").coalesce(
+        2
+    ).write.parquet(src)
+    table = TransactionalTable(str(tmp_path / "acid_tbl"))
+    table.append(spark.createDataFrame([(0, -1), (100, -1)], "k long, v long"))
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream_upsert(stream, table, "k", str(tmp_path / "up_ckpt"))
+    out = table.read(spark)
+    assert out.count() == 21  # 20 upserted + untouched k=100
+    assert out.filter("k = 0").collect()[0].v == 0  # updated, not duplicated
+    v_after = table.latest_version()
+
+    # simulate a batch replay: fresh checkpoint -> same batch ids replayed
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    stream_upsert(stream2, table, "k", str(tmp_path / "up_ckpt2"))
+    assert table.latest_version() == v_after  # skipped: no duplicate merge
+    assert table.read(spark).count() == 21
