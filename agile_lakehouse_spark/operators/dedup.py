@@ -206,16 +206,50 @@ def minhash_near_dup(
     sigs = minhash_signatures(df, k, num_perms, text_col, id_col, seed)
     if persist_sigs:
         sigs = sigs.persist()
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
-    sa = sigs.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_perms)])
-    sb = sigs.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_perms)])
-    matches = sum(F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_perms))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+    mh_cols = [f"mh{j}" for j in range(num_perms)]
+
+    # Same decomposition as simhash_near_dup: est_jaccard depends only on
+    # the SIGNATURES, so candidate generation runs over distinct signatures
+    # (struct-typed — Spark structs compare/join lexicographically) and doc
+    # pairs expand afterwards.  Exact duplicates share full signatures, so
+    # a doc-level band join would enumerate every intra-cluster pair per
+    # band; the distinct-signature join is bounded by content diversity,
+    # not corpus size.
+    usig = sigs.select(*mh_cols).distinct()
+    cands = lsh_candidate_pairs(
+        usig.withColumn("_sig", F.struct(*mh_cols)), bands, rows_per_band, "_sig"
+    )
+    matches = sum(
+        F.when(F.col(f"_sig_a.mh{j}") == F.col(f"_sig_b.mh{j}"), 1).otherwise(0)
+        for j in range(num_perms)
+    )
+    sig_pairs = (
+        cands.select(F.col("id_a").alias("_sig_a"), F.col("id_b").alias("_sig_b"))
         .withColumn("est_jaccard", round4(matches / F.lit(num_perms)))
         .filter(F.col("est_jaccard") >= threshold)
-        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "est_jaccard")
+    )
+    sa = sigs.select(F.col(id_col).alias("id_x"), F.struct(*mh_cols).alias("_sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_y"), F.struct(*mh_cols).alias("_sig_b"))
+    cross_group = (
+        sig_pairs.join(sa, "_sig_a")
+        .join(sb, "_sig_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    ident = round4(F.lit(1.0))
+    ga = sigs.select(F.col(id_col).alias("id_a"), F.struct(*mh_cols).alias("_sig"))
+    gb = sigs.select(F.col(id_col).alias("id_b"), F.struct(*mh_cols).alias("_sig"))
+    within_group = (
+        ga.join(gb, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ident.alias("est_jaccard"))
+    )
+    out = cross_group.unionByName(within_group) if 1.0 >= threshold else cross_group
+    return (
+        out.select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "est_jaccard")
         .orderBy("id_a", "id_b")
     )
 
@@ -265,6 +299,16 @@ def simhash_near_dup(
     sims = simhash(df, bits, text_col, id_col)
     if persist_sigs:
         sims = sims.persist()
+
+    # Hamming distance depends only on the HASH VALUES, so the quadratic
+    # stage (bucket self-join) runs over DISTINCT simhashes and doc pairs
+    # are expanded afterwards by two hash-equality joins.  On real corpora
+    # exact duplicates dominate: thousands of docs share one hash, and a
+    # doc-level bucket join would enumerate all O(n²) intra-bucket pairs
+    # BEFORE the distinct — at 100 TB that's the difference between a
+    # bounded join and a blowup.  The expansion emits exactly the output
+    # pairs, nothing more.
+    hashes = sims.select("simhash").distinct()
     width = bits // chunks
     entries = [
         F.struct(
@@ -273,29 +317,44 @@ def simhash_near_dup(
         )
         for c in range(chunks)
     ]
-    blocked = sims.select(F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("ck")).select(
-        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
+    blocked = hashes.select(F.col("simhash"), F.explode(F.array(*entries)).alias("ck")).select(
+        "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val")
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    ha, hb = blocked.alias("ha"), blocked.alias("hb")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("bigint"))
+    hash_pairs = (
+        ha.join(
+            hb,
+            (F.col("ha.chunk") == F.col("hb.chunk"))
+            & (F.col("ha.val") == F.col("hb.val"))
+            & (F.col("ha.simhash") < F.col("hb.simhash")),
+        )
+        .select(F.col("ha.simhash").alias("sh_a"), F.col("hb.simhash").alias("sh_b"))
+        .distinct()
+        .withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+    sa = sims.select(F.col(id_col).alias("id_x"), F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("id_y"), F.col("simhash").alias("sh_b"))
+    cross_group = (
+        hash_pairs.join(sa, "sh_a")
+        .join(sb, "sh_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    # identical-hash docs: hamming 0, all intra-group pairs
+    ga = sims.select(F.col(id_col).alias("id_a"), "simhash")
+    gb = sims.select(F.col(id_col).alias("id_b"), "simhash")
+    within_group = (
+        ga.join(gb, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+    return (
+        cross_group.unionByName(within_group)
         .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "hamming")
         .orderBy("id_a", "id_b")
     )

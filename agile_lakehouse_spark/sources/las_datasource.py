@@ -1,0 +1,149 @@
+"""LAS/LAZ as a native Spark data source (Python DataSource API, Spark 4).
+
+Where ``sources/las.py`` is a one-shot ELT helper, this module makes LAS a
+first-class ``spark.read.format("las")`` source — the direct counterpart
+of the reference's DataFusion ``TableProvider`` + ``LasExec``
+(``pc-io/src/las/source.rs:49-138``, ``pc-io/src/las/exec.rs:108-169``):
+
+- ``partitions()``  ≙ the LAZ chunk table: one ``InputPartition`` per
+  fixed-size point chunk per file, so a 2-billion-point tile set fans out
+  across the cluster exactly like the reference's rayon-per-chunk loop —
+  except scheduled by Spark over executors, not threads.
+- ``read(partition)`` ≙ ``LasExec::execute``: decode one chunk, yield
+  rows.  With ``laspy`` installed the decode is vectorized numpy; without
+  it (this container) a clearly-marked deterministic synthetic decoder
+  keeps the plumbing (registration, schema, partition planning, executor
+  round-trip) real and testable.
+
+Filter pushdown note: the Python DataSource API (as of Spark 4.1) exposes
+projection/partitioning but not filter pushdown hooks, so file/chunk
+min-max skipping (reference ``provider.rs:43-81``) stays in the ELT path:
+ingest once to Parquet and let footer/page stats prune.  This source is
+for exploratory direct scans; the lakehouse path remains convert-then-query
+(SURVEY.md §2.1 S1-S5).
+"""
+
+from __future__ import annotations
+
+import os
+import struct as _struct
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from agile_lakehouse_spark.sources.las import DEFAULT_CHUNK_POINTS, HAS_LASPY
+
+LAS_SCHEMA = StructType(
+    [
+        StructField("x", DoubleType(), False),
+        StructField("y", DoubleType(), False),
+        StructField("z", DoubleType(), False),
+        StructField("intensity", IntegerType(), False),
+        StructField("classification", IntegerType(), False),
+    ]
+)
+
+
+class LasChunkPartition(InputPartition):
+    def __init__(self, path: str, offset: int, count: int):
+        self.path = path
+        self.offset = offset
+        self.count = count
+
+
+def _las_point_count(path: str) -> int:
+    """Point count from the LAS public header block (bytes 107-110 for
+    legacy, 247-254 for 1.4 extended) — metadata-only, no point decode.
+
+    Synthetic fixture files (``.fakelas``) store the count as ASCII.
+    """
+    if path.endswith(".fakelas"):
+        with open(path) as f:
+            return int(f.read().strip())
+    with open(path, "rb") as f:  # pragma: no cover - needs real LAS data
+        hdr = f.read(375)
+        legacy = _struct.unpack_from("<I", hdr, 107)[0]
+        if legacy:
+            return legacy
+        return _struct.unpack_from("<Q", hdr, 247)[0]
+
+
+def _decode_chunk(path: str, offset: int, count: int):
+    """Yield (x, y, z, intensity, classification) rows for one chunk."""
+    if path.endswith(".fakelas"):
+        # SYNTHETIC decoder (laspy absent in this container): deterministic
+        # rows derived from the global point index — NOT real LAS decode.
+        for idx in range(offset, offset + count):
+            yield (float(idx) * 0.5, float(idx % 1000), float(idx % 97), idx % 65536, idx % 256)
+        return
+    if not HAS_LASPY:  # pragma: no cover
+        raise NotImplementedError("real .las/.laz decode needs laspy")
+    import laspy  # pragma: no cover
+
+    with laspy.open(path) as rd:  # pragma: no cover
+        rd.seek(offset)
+        pts = rd.read_points(count)
+        hdr = rd.header
+        xs = pts.X * hdr.scales[0] + hdr.offsets[0]
+        ys = pts.Y * hdr.scales[1] + hdr.offsets[1]
+        zs = pts.Z * hdr.scales[2] + hdr.offsets[2]
+        yield from zip(
+            map(float, xs),
+            map(float, ys),
+            map(float, zs),
+            map(int, pts.intensity),
+            map(int, pts.classification),
+        )
+
+
+class LasDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("las source requires a path")
+        self.chunk_points = int(options.get("chunk_points", DEFAULT_CHUNK_POINTS))
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".las", ".laz", ".fakelas"))
+            )
+        return [self.path]
+
+    def partitions(self):
+        # the chunk table: one read unit per (file, point-range) — the unit
+        # of parallelism AND of future skip-masks (source.rs:159-208)
+        parts = []
+        for f in self._files():
+            total = _las_point_count(f)
+            off = 0
+            while off < total:
+                n = min(self.chunk_points, total - off)
+                parts.append(LasChunkPartition(f, off, n))
+                off += n
+        return parts or [LasChunkPartition(self._files()[0], 0, 0)]
+
+    def read(self, partition: LasChunkPartition):
+        yield from _decode_chunk(partition.path, partition.offset, partition.count)
+
+
+class LasDataSource(DataSource):
+    """``spark.dataSource.register(LasDataSource)`` then
+    ``spark.read.format("las").option("chunk_points", ...).load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "las"
+
+    def schema(self) -> StructType:
+        return LAS_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return LasDataSourceReader(self.options)

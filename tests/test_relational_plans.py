@@ -178,3 +178,28 @@ def test_approximate_aggregates(spark, sf_dir):
     med_exact = li.approxQuantile("l_quantity", [0.5], 0.0)[0]
     med_approx = li.approxQuantile("l_quantity", [0.5], 0.01)[0]
     assert abs(med_approx - med_exact) <= 2.0
+
+
+def test_las_python_datasource(spark, tmp_path):
+    """Native spark.read.format('las'): chunk-table partition planning +
+    executor-side decode through the Python DataSource API."""
+    from agile_lakehouse_spark.sources.las_datasource import LasDataSource, LasDataSourceReader
+
+    d = tmp_path / "lasdir"
+    d.mkdir()
+    (d / "a.fakelas").write_text("700")
+    (d / "b.fakelas").write_text("300")
+    spark.dataSource.register(LasDataSource)
+    df = (
+        spark.read.format("las")
+        .option("chunk_points", 256)
+        .load(str(d))
+    )
+    assert df.count() == 1000
+    assert df.columns == ["x", "y", "z", "intensity", "classification"]
+    # partition planning: ceil(700/256) + ceil(300/256) = 3 + 2 chunks
+    reader = LasDataSourceReader({"path": str(d), "chunk_points": "256"})
+    assert len(reader.partitions()) == 5
+    # spot-check decoded values are the deterministic synthetic rows
+    row = df.filter("intensity = 10 and x = 5.0").collect()
+    assert len(row) == 2  # idx 10 exists in both files
