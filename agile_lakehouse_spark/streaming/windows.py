@@ -85,3 +85,31 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_lag: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join: each left event pairs with same-key right
+    events from the preceding ``max_lag`` (right.ts in [left.ts - lag,
+    left.ts]).
+
+    Both sides carry watermarks and the join condition is time-BOUNDED in
+    both directions — that's what lets Spark evict join state: without the
+    range bound the state store would buffer both streams forever.  The
+    batch twin (same condition on static frames) is what tests assert
+    equality against.
+    """
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+    )
+    return lw.join(rw, cond, "inner")

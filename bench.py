@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "dq22_ann_topk",
     "dq23_text_stats",
     "dq23c_quality_score",
+    "dq28_pivot",
+    "dq30_json_extract",
+    "dq32_correlated_subquery",
+    "dq33_asof_join",
+    "dq34_spatial_join",
 ]
 
 

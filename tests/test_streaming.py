@@ -158,3 +158,50 @@ def test_stream_upsert_exactly_once(spark, tmp_path):
     stream_upsert(stream2, table, "k", str(tmp_path / "up_ckpt2"))
     assert table.latest_version() == v_after  # skipped: no duplicate merge
     assert table.read(spark).count() == 21
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.streaming import windows
+
+    src = str(tmp_path / "ssj_src")
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i % 3, "click" if i % 2 else "view", float(i), "{}")
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "value")
+    ev.coalesce(2).write.parquet(src)
+
+    batch = spark.read.parquet(src)
+    b_clicks = batch.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    b_views = batch.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts", "value"
+    )
+    expected = sorted(
+        (r.event_id, r.view_id)
+        for r in b_clicks.alias("l")
+        .join(
+            b_views.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 15 minutes"))
+            & (F.col("r.ts") <= F.col("l.ts")),
+        )
+        .select(F.col("l.event_id"), F.col("r.view_id"))
+        .collect()
+    )
+    assert expected  # non-trivial fixture
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    s_clicks = stream.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    s_views = stream.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts", "value"
+    )
+    joined = windows.interval_join(s_clicks, s_views).select(
+        F.col("l.event_id").alias("event_id"), F.col("r.view_id").alias("view_id")
+    )
+    windows.run_to_memory(joined, "ssj_out")
+    got = sorted((r.event_id, r.view_id) for r in spark.table("ssj_out").collect())
+    assert got == expected
