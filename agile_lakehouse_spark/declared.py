@@ -413,6 +413,16 @@ def top_terms_q(spark, sf_dir):
     return text.top_terms(load_table(spark, sf_dir, "documents"), n=5)
 
 
+def bpe_tokens_q(spark, sf_dir):
+    """BPE-ish pre-token counts per doc (LLM token-budget proxy, DQ23f)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.bpe_token_count(docs)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 SPATIAL_RECTS = [
     (0, 100.0, 300.0, 100.0, 300.0),
     (1, 250.0, 500.0, 250.0, 500.0),
@@ -677,6 +687,10 @@ ORACLE_R2 = {
         comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
         SELECT CAST(component AS BIGINT) AS component, CAST(count(*) AS BIGINT) AS n_docs
         FROM comp GROUP BY component ORDER BY component""",
+    "dq23f_bpe_tokens": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_extract_all(text, '{text.BPE_REGEX.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""",
     "dq34_spatial_join": f"""{POINTS_CTE},
         rects(rect_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES {", ".join(f"({r}, {xl!r}, {xh!r}, {yl!r}, {yh!r})" for r, xl, xh, yl, yh in SPATIAL_RECTS)})
         SELECT CAST(rect_id AS BIGINT) AS rect_id, CAST(count(*) AS BIGINT) AS n_points
@@ -748,6 +762,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq23c_quality_score": quality_q,
     "dq23d_fingerprint": fingerprint_q,
     "dq23e_top_terms": top_terms_q,
+    "dq23f_bpe_tokens": bpe_tokens_q,
     # rows-only (no SQL equivalent): Arrow-batched multimodal plumbing
     "dq25_multimodal_features": multimodal_features,
     "dq27_clean_corpus": clean_corpus_q,

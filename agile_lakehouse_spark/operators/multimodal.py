@@ -96,3 +96,76 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize stage (1 row in -> 1 row out), Arrow-batched.
+
+    The codec body is a STUB (deterministic byte subsampling stands in for
+    Pillow's ``Image.resize``); the Spark plumbing — binary in/out schema,
+    batch iteration, target-dims parameterization — is the real shape a
+    production resize runs in.  Swap the body via :func:`decode_stub`.
+    """
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(b):
+                if b is None or len(b) == 0:
+                    return b
+                # deterministic subsample to n_out bytes (STUB for decode->resize->encode)
+                step = max(len(b) // n_out, 1)
+                return bytes(b[::step][:n_out])
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(fake_resize),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling (1 row in -> up to ``max_frames`` rows out).
+
+    Demonstrates the row-expanding ``mapInPandas`` shape a real frame
+    sampler (pyav keyframe iteration) uses: each output row is one frame
+    payload with its index.  STUB codec: fixed-stride byte windows stand
+    in for decoded frames.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                for k in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                    ids.append(mid)
+                    idxs.append(k)
+                    payloads.append(bytes(b[k * every_n_bytes : (k + 1) * every_n_bytes]))
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "payload": payloads})
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)

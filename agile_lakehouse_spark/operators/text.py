@@ -126,3 +126,22 @@ def text_stats(df: DataFrame, text_col: str = "text", lang_col: str = "lang") ->
         )
         .orderBy(lang_col)
     )
+
+
+# GPT-2-style pre-tokenizer approximation, ASCII-explicit so the Java
+# (Spark) and RE2 (DuckDB) regex engines agree: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``n_bpe_tokens``: count of BPE-ish pre-tokens.
+
+    A closer proxy for LLM token budgets than whitespace counts (captures
+    punctuation splits and contractions); still pure JVM regex — no
+    tokenizer library in the hot path.
+    """
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))).cast("bigint"),
+    )

@@ -154,3 +154,45 @@ def test_clean_corpus_pipeline(docs):
     out = [r.doc_id for r in clean_corpus(docs, min_quality=0.0, near_dup_threshold=0.5).collect()]
     # doc 1 (exact dup of 0) and doc 2 (near dup of 0) are gone; 0/3/4 survive
     assert out == [0, 3, 4]
+
+
+def test_multimodal_resize_and_frames(spark):
+    from agile_lakehouse_spark.operators import multimodal
+
+    media = multimodal.as_media_table(
+        spark.createDataFrame(
+            [(i, bytes(range(256)) * (i + 1)) for i in range(4)], "mid long, payload binary"
+        ),
+        "mid",
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("payload"),
+        modality="video",
+    )
+    resized = multimodal.resize_images(media, width=8, height=8)
+    rows = resized.collect()
+    assert len(rows) == 4
+    assert all(r.width == 8 and r.height == 8 and len(r.payload) <= 64 for r in rows)
+    # deterministic: same input -> same bytes
+    assert resized.collect() == rows
+
+    frames = multimodal.sample_frames(media, every_n_bytes=256, max_frames=3)
+    per_media = {r.media_id: 0 for r in frames.collect()}
+    for r in frames.collect():
+        per_media[r.media_id] += 1
+    # media i has 256*(i+1) bytes -> min(3, i+1) frames
+    assert per_media == {0: 1, 1: 2, 2: 3, 3: 3}
+    assert frames.filter("frame_idx = 0").count() == 4
+
+
+def test_bpe_token_count_examples(spark):
+    from agile_lakehouse_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(0, "I can't stop, won't stop!"), (1, "hello   world 123"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_count(df).collect()}
+    # "I","can","'t","stop",","," won","'t"," stop","!" -> 9
+    assert got[0] == 9
+    # "hello","world"(space-prefixed),"123" -> 3
+    assert got[1] == 3
+    assert got[2] == 0

@@ -61,3 +61,38 @@ def test_fingerprint_model(spark, s):
     for ch in s:
         want = (want * 31 + ord(ch)) % portable.FNV_MOD
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from agile_lakehouse_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # reference model: classic union-find with min-representative labels
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df, "src", "dst", "node").collect()}
+    assert got == want
