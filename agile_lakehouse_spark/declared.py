@@ -658,6 +658,17 @@ ORACLE_R2 = {
                (floor((coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0)) * 10000.0 + 0.5) / 10000.0) AS qty_f,
                (floor((coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0)) * 10000.0 + 0.5) / 10000.0) AS qty_o
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dq28b_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   (floor((coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0)) * 10000.0 + 0.5) / 10000.0) AS qty_f,
+                   (floor((coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0)) * 10000.0 + 0.5) / 10000.0) AS qty_o
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, status_col, qty FROM (
+            SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS qty FROM wide
+            UNION ALL
+            SELECT l_returnflag, 'qty_o' AS status_col, qty_o AS qty FROM wide)
+        ORDER BY l_returnflag, status_col""",
     "dq29_array_agg": """
         SELECT user_id,
                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
@@ -767,6 +778,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq25_multimodal_features": multimodal_features,
     "dq27_clean_corpus": clean_corpus_q,
     "dq28_pivot": relational.pivot_agg,
+    "dq28b_unpivot": relational.unpivot_agg,
     "dq29_array_agg": relational.array_agg_users,
     "dq30_json_extract": relational.json_extract_events,
     "dq31_dedup_clusters": dedup_clusters_q,

@@ -326,6 +326,24 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide pivot table back to long form (DQ28b).
+
+    ``df.unpivot`` lowers to Expand — one pass, rows multiply by the value
+    column count, no join; the relational dual of :func:`pivot_agg`.
+    """
+    wide = pivot_agg(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["qty_f", "qty_o"],
+            variableColumnName="status_col",
+            valueColumnName="qty",
+        )
+        .orderBy("l_returnflag", "status_col")
+    )
+
+
 def array_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions per user (DQ29).
 
