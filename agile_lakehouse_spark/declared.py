@@ -462,6 +462,21 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# round-2 wave 2 (DQ35-DQ42): percentiles, sampling, tf-idf, gap fill,
+# interval join, edit-distance dedup, range frames, histograms
+
+
+def tfidf_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs).orderBy("doc_id", "rnk")
+
+
+def levenshtein_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.levenshtein_near_dup(docs)
+
+
 def _duck_shingle_cte(src: str = "documents") -> str:
     return (
         f"sh AS (SELECT doc_id, unnest({portable.shingles_duck('text', SHINGLE_K)}) AS shingle "
@@ -728,6 +743,79 @@ ORACLE_R2 = {
         FROM ranked WHERE rn = 1 ORDER BY event_id""",
 }
 
+_ORDERKEY_PCT = f"({portable.hex15_duck('CAST(o_orderkey AS VARCHAR)')}) % 100"
+
+# round-2 wave 2 (DQ35-DQ42)
+ORACLE_R2B = {
+    "dq35_percentile": """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               (floor((quantile_cont(l_quantity, 0.25)) * 10000.0 + 0.5) / 10000.0) AS q25,
+               (floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0) AS q50,
+               (floor((quantile_cont(l_quantity, 0.75)) * 10000.0 + 0.5) / 10000.0) AS q75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dq36_stratified_sample": f"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN {_ORDERKEY_PCT} < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               (floor((max(CASE WHEN {_ORDERKEY_PCT} < 10 THEN o_totalprice END)) * 10000.0 + 0.5) / 10000.0) AS max_sampled_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "dq37_tfidf": f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+        dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, tf.tok AS tok, tf.tf AS tf,
+                          (floor((tf.tf * (nd.n_docs / dfreq.df)) * 10000.0 + 0.5) / 10000.0) AS score
+                   FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nd),
+        ranked AS (SELECT doc_id, tok, tf, score,
+                          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS BIGINT) AS rnk
+                   FROM scored)
+        SELECT doc_id, tok, tf, score, rnk FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "dq38_gap_fill": """
+        WITH per AS (SELECT user_id, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS h,
+                            CAST(count(*) AS BIGINT) AS n, max(value) AS mx
+                     FROM events WHERE user_id < 10 GROUP BY user_id, h),
+        spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM per GROUP BY user_id),
+        spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM spans)
+        SELECT s.user_id AS user_id, s.h AS h,
+               CAST(coalesce(p.n, 0) AS BIGINT) AS n_events,
+               (floor((last_value(p.mx IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0) AS ffill_max
+        FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.h = s.h
+        ORDER BY user_id, h""",
+    "dq39_interval_join": """
+        WITH clicks AS (SELECT event_id, user_id, epoch_ms(ts) AS c_ms FROM events WHERE event_type = 'click'),
+        views AS (SELECT user_id, epoch_ms(ts) AS v_ms, value FROM events WHERE event_type = 'view'),
+        m AS (SELECT c.event_id AS event_id, CAST(count(*) AS BIGINT) AS n_views, max(v.value) AS mx
+              FROM clicks c JOIN views v
+                ON v.user_id = c.user_id AND v.v_ms > c.c_ms - 600000 AND v.v_ms <= c.c_ms
+              GROUP BY c.event_id)
+        SELECT c.event_id AS event_id, c.user_id AS user_id,
+               CAST(coalesce(m.n_views, 0) AS BIGINT) AS n_views,
+               (floor((m.mx) * 10000.0 + 0.5) / 10000.0) AS max_view_value
+        FROM clicks c LEFT JOIN m ON c.event_id = m.event_id ORDER BY event_id""",
+    "dq40_levenshtein_near_dup": """
+        WITH blocked AS (SELECT doc_id, lang, text, substring(text, 1, 24) AS pfx FROM documents)
+        SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 64
+        ORDER BY id_a, id_b""",
+    "dq41_range_frame": """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+               (floor((max(value) OVER w) * 10000.0 + 0.5) / 10000.0) AS max_trailing_1h
+        FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events WHERE user_id < 10)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""",
+    "dq42_histogram": """
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               (floor((min(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS bin_min,
+               (floor((max(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS bin_max
+        FROM lineitem GROUP BY bin ORDER BY bin""",
+}
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -785,6 +873,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq32_correlated_subquery": relational.correlated_subquery,
     "dq33_asof_join": relational.asof_clicks_to_views,
     "dq34_spatial_join": spatial_join_q,
+    "dq35_percentile": relational.percentile_by_flag,
+    "dq36_stratified_sample": relational.stratified_sample,
+    "dq37_tfidf": tfidf_q,
+    "dq38_gap_fill": relational.gap_fill_hours,
+    "dq39_interval_join": relational.banded_interval_join,
+    "dq40_levenshtein_near_dup": levenshtein_q,
+    "dq41_range_frame": relational.range_frame_running,
+    "dq42_histogram": relational.price_histogram,
 }
 
-ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2}
+ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}

@@ -358,3 +358,46 @@ def simhash_near_dup(
         .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+def levenshtein_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    prefix: int = 24,
+    max_dist: int = 64,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with prefix blocking (DQ40).
+
+    Levenshtein is O(len²) per PAIR — unusable all-pairs.  Blocking on
+    (block_col, first ``prefix`` chars) turns it into an equi-join whose
+    candidate set is bounded by block sizes, then the exact distance
+    (JVM built-in ``levenshtein``, identical classic metric in DuckDB)
+    refines.  Recall is prefix-sensitive by design — pair docs whose
+    edits are past the prefix; complements MinHash (shingle-based, edit
+    position-independent).
+    """
+    blocked = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.col(text_col),
+        F.substring(F.col(text_col), 1, prefix).alias("_pfx"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pair_dist = F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a._pfx") == F.col("b._pfx"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").cast("bigint").alias("id_a"),
+            F.col(f"b.{id_col}").cast("bigint").alias("id_b"),
+            pair_dist.cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .orderBy("id_a", "id_b")
+    )

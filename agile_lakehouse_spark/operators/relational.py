@@ -496,3 +496,187 @@ def asof_clicks_to_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("asof_value")).alias("view_value"),
         F.col("asof_view_id").cast("bigint").alias("view_id"),
     ).orderBy("event_id")
+
+
+def percentile_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_quantity per returnflag (DQ35).
+
+    Spark ``percentile`` (exact, sort-based) ≙ DuckDB ``quantile_cont``:
+    both interpolate at position ``p * (n-1)``.  Only binary-exact
+    fractions (.25/.5/.75) over integral quantities are declared, so the
+    interpolation arithmetic is bit-identical across engines.  At scale
+    prefer ``approx_percentile`` (GK sketch, mergeable map-side); the
+    exact form is the oracle-checkable twin.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            round4(F.expr("percentile(l_quantity, 0.25)")).alias("q25"),
+            round4(F.expr("percentile(l_quantity, 0.5)")).alias("q50"),
+            round4(F.expr("percentile(l_quantity, 0.75)")).alias("q75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str, pct: int = 10) -> DataFrame:
+    """Deterministic hash-based stratified sample of orders (DQ36).
+
+    ``sample()``/``sampleBy()`` are seeded per-partition, so their output
+    changes with partitioning — useless for reproducible pipelines.  The
+    portable md5-fold hash on the key gives a sample that is stable across
+    engines, partition layouts, AND cluster sizes: membership is a pure
+    function of o_orderkey.  One pass, conditional aggregation per stratum.
+    """
+    from agile_lakehouse_spark.functions import portable
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.expr(portable.hex15_spark("CAST(o_orderkey AS STRING)")) % 100
+    in_sample = h < pct
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(in_sample, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            round4(F.max(F.when(in_sample, F.col("o_totalprice")))).alias("max_sampled_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def gap_fill_hours(spark: SparkSession, sf_dir: str, max_user: int = 10) -> DataFrame:
+    """Dense time-series gap fill with forward fill (DQ38).
+
+    Per user: hourly event counts on a dense hour spine spanning that
+    user's [first, last] event — missing hours appear with n_events=0 and
+    the last observed hourly max forward-filled.  ``sequence`` + explode
+    generates the spine distributed (each user's span expands in its own
+    task — no driver-side date range); integer hour indices avoid
+    cross-engine timestamp-arithmetic drift.  Aggregates are count/max
+    only (order-independent — no float-summation divergence).
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < max_user)
+    hour = (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("bigint")
+    per_hour = events.groupBy("user_id", hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("value").alias("mx"),
+    )
+    spine = (
+        per_hour.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(per_hour, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            round4(F.last("mx", ignorenulls=True).over(w)).alias("ffill_max"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+def banded_interval_join(spark: SparkSession, sf_dir: str, window_ms: int = 600000) -> DataFrame:
+    """Batch interval join via time-band blocking (DQ39).
+
+    Each click is joined to the same user's views in the trailing
+    ``window_ms``.  A naive range join is O(n*m) per user
+    (BroadcastNestedLoopJoin at scale); banding makes it an EQUI-join:
+    clicks explode to the (≤2) band buckets their window covers, views
+    hash to their own bucket, join on (user_id, bucket), then refine the
+    exact range.  Shuffle is bounded by data size × 2, never by pair
+    count — the batch twin of streaming interval_join
+    (streaming/windows.py).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ms.alias("c_ms")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", ms.alias("v_ms"), "value"
+    )
+    clicks_b = clicks.withColumn(
+        "b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("c_ms") - window_ms) / window_ms),
+                    F.floor(F.col("c_ms") / window_ms),
+                )
+            )
+        ),
+    )
+    views_b = views.withColumn("b", F.floor(F.col("v_ms") / window_ms))
+    matched = (
+        clicks_b.join(views_b, ["user_id", "b"])
+        .filter((F.col("v_ms") > F.col("c_ms") - window_ms) & (F.col("v_ms") <= F.col("c_ms")))
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.max("value").alias("mx"),
+        )
+    )
+    return (
+        clicks.join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_views", F.lit(0)).cast("bigint").alias("n_views"),
+            round4(F.col("mx")).alias("max_view_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def range_frame_running(spark: SparkSession, sf_dir: str, max_user: int = 10) -> DataFrame:
+    """RANGE-framed window: trailing-1h event count/max per user (DQ41).
+
+    ``rangeBetween`` on integer epoch-ms — the frame is defined by VALUE
+    distance, not row count, so same-timestamp peers are always included
+    together (deterministic under any shuffle order, unlike a ROWS frame
+    over a non-unique ordering).  Aggregates are count/max (order-free).
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < max_user)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    with_ms = events.select("event_id", "user_id", ms.alias("ms"), "value")
+    w = Window.partitionBy("user_id").orderBy("ms").rangeBetween(-3600000, 0)
+    return (
+        with_ms.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+            round4(F.max("value").over(w)).alias("max_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def price_histogram(spark: SparkSession, sf_dir: str, bin_width: float = 5000.0) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (DQ42).
+
+    ``floor(v / width)`` binning — a single map-side-combinable groupBy,
+    no data-dependent bounds pass (a min/max prescan would be a second
+    full scan at 100 TB; fixed widths or quantile-sketch-derived bounds
+    avoid it).  Bin ids are exact integer arithmetic in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / bin_width).cast("bigint")
+    return (
+        li.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            round4(F.min("l_extendedprice")).alias("bin_min"),
+            round4(F.max("l_extendedprice")).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )

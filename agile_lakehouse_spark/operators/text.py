@@ -145,3 +145,36 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), F.lit(0))).cast("bigint"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-n TF-IDF terms per document (DQ37).
+
+    tf = term count in doc; idf = N/df as a RATIONAL (no log): ``ln`` is
+    libm-dependent and can differ in the last ulp across engines, while
+    division of identical doubles is IEEE-exact — the ranking is the same
+    monotone order either way.  Three hash aggregations (doc-term tf,
+    term df, global N) + one broadcast-joined scoring pass; the window
+    ranks within each doc only.
+    """
+    from pyspark.sql.window import Window as W
+
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    toks = spread(df).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", round4(F.col("tf") * (F.col("n_docs") / F.col("df"))))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= n)
+        .select(id_col, "tok", "tf", "score", "rnk")
+    )

@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "dq32_correlated_subquery",
     "dq33_asof_join",
     "dq34_spatial_join",
+    "dq35_percentile",
+    "dq37_tfidf",
+    "dq39_interval_join",
+    "dq41_range_frame",
+    "dq42_histogram",
 ]
 
 

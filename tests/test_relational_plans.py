@@ -203,3 +203,81 @@ def test_las_python_datasource(spark, tmp_path):
     # spot-check decoded values are the deterministic synthetic rows
     row = df.filter("intensity = 10 and x = 5.0").collect()
     assert len(row) == 2  # idx 10 exists in both files
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The banded interval join must lower to a hash/sort-merge EQUI-join —
+    a raw range-predicate join would be BroadcastNestedLoopJoin (O(n*m))."""
+    df = relational.banded_interval_join(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_matches_naive_range_join(spark, sf_dir):
+    """Band-and-refine produces EXACTLY the naive range join's answer."""
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ms.alias("c_ms")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), ms.alias("v_ms"), "value"
+    )
+    naive = (
+        clicks.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ms") > F.col("c_ms") - 600000)
+            & (F.col("v_ms") <= F.col("c_ms")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("v_ms").alias("n_views"))
+        .collect()
+    )
+    banded = relational.banded_interval_join(spark, sf_dir).collect()
+    assert {r.event_id: r.n_views for r in naive} == {r.event_id: r.n_views for r in banded}
+
+
+def test_gap_fill_spine_is_dense(spark, sf_dir):
+    """Every user's hour spine is contiguous: (hi-lo+1) rows, no holes."""
+    out = relational.gap_fill_hours(spark, sf_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.h)
+    for user, hours in by_user.items():
+        assert hours == list(range(min(hours), max(hours) + 1)), f"holes for user {user}"
+    assert any(r.n_events == 0 for r in out), "fixture should contain gaps"
+
+
+def test_stratified_sample_is_partition_invariant(spark, sf_dir):
+    """Hash-based sampling must not depend on physical layout (seeded
+    sample() does — the reason it exists)."""
+    from agile_lakehouse_spark.sources.catalog import load_table
+    from agile_lakehouse_spark.functions import portable
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.expr(portable.hex15_spark("CAST(o_orderkey AS STRING)")) % 100
+    a = sorted(r[0] for r in orders.filter(h < 10).select("o_orderkey").collect())
+    b = sorted(
+        r[0]
+        for r in orders.repartition(7).filter(h < 10).select("o_orderkey").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_levenshtein_refine_only_shrinks_blocks(spark, sf_dir):
+    """Every reported pair shares the block key (lang, 24-char prefix) and
+    respects the distance threshold."""
+    from agile_lakehouse_spark.operators import dedup
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.levenshtein_near_dup(docs).collect()
+    meta = {r.doc_id: (r.lang, r.text[:24]) for r in docs.select("doc_id", "lang", "text").collect()}
+    for p in pairs:
+        assert meta[p.id_a] == meta[p.id_b]
+        assert p.dist <= 64
