@@ -167,12 +167,37 @@ class TransactionalTable:
         prev = self._read_manifest(latest)["files"] if latest is not None else []
         return self._commit(prev + new_files, "append")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """ACID overwrite: new snapshot references only the new files.
 
         Old files stay on disk for time travel until :func:`vacuum`.
         """
-        return self._commit(self._stage(df), "overwrite")
+        return self._commit(self._stage(df), "overwrite", txn=txn)
+
+    def added_files(self, since_version: int | None, version: int | None = None) -> list[str]:
+        """Data files present in ``version`` but not in ``since_version``
+        (``None`` = everything).  For append-only history this IS the
+        change set — the basis of incremental computation (see
+        plans/incremental.py)."""
+        v = self.latest_version() if version is None else version
+        cur = self._read_manifest(v)["files"]
+        if since_version is None:
+            return list(cur)
+        prev = set(self._read_manifest(since_version)["files"])
+        return [f for f in cur if f not in prev]
+
+    def appends_only_between(self, since_version: int | None, version: int | None = None) -> bool:
+        """True if every commit in (since, version] kept all prior files
+        (pure appends) — the precondition for file-diff incremental reads."""
+        v = self.latest_version() if version is None else version
+        if since_version is None:
+            start = 0
+        else:
+            start = since_version + 1
+        for mv in self.versions():
+            if start <= mv <= v and self._read_manifest(mv)["op"] != "append":
+                return False
+        return True
 
     def _affected_files(self, spark: SparkSession, files: list[str], marker: DataFrame) -> list[str]:
         """Physical files containing at least one row of ``marker``

@@ -96,3 +96,82 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component for r in connected_components(df, "src", "dst", "node").collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_join_matches_python_model(spark, left, right):
+    """asof_join(L, R): each left row carries the value of the LATEST right
+    row with ts <= left ts for its key (ties -> highest tie_col), on ANY
+    generated input, matching a brute-force Python model."""
+    from agile_lakehouse_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], "k int, ts long, v long"
+    )
+    got = {
+        r.lid: r.asof_v
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts", value_cols=["v"], tie_col="v").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None  # latest ts, ties -> max v
+        assert got[i] == want, f"lid={i} key={k} ts={t}: got {got[i]}, want {want}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000), st.booleans()),
+        min_size=1,
+        max_size=30,
+    ),
+    window=st.integers(min_value=1, max_value=2000),
+)
+def test_banded_interval_count_matches_python_model(spark, events, window):
+    """The band-and-refine trailing-window count equals the O(n*m) model for
+    ANY window width (band width == window is the <=2-bucket invariant)."""
+    from pyspark.sql import functions as F
+
+    clicks = [(i, u, t) for i, (u, t, is_click) in enumerate(events) if is_click]
+    views = [(u, t) for u, t, is_click in events if not is_click]
+    if not clicks:
+        return
+    cdf = spark.createDataFrame(clicks, "event_id int, user_id int, c_ms long")
+    vdf = spark.createDataFrame(views or [(99, -10**9)], "user_id int, v_ms long")
+
+    cb = cdf.withColumn(
+        "b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("c_ms") - window) / window),
+                    F.floor(F.col("c_ms") / window),
+                )
+            )
+        ),
+    )
+    vb = vdf.withColumn("b", F.floor(F.col("v_ms") / window))
+    got = {
+        r.event_id: r.n
+        for r in cb.join(vb, ["user_id", "b"])
+        .filter((F.col("v_ms") > F.col("c_ms") - window) & (F.col("v_ms") <= F.col("c_ms")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for i, u, t in clicks:
+        want = sum(1 for vu, vt in views if vu == u and t - window < vt <= t)
+        assert got.get(i, 0) == want, f"event={i} user={u} ts={t} window={window}"

@@ -155,3 +155,74 @@ def test_manifest_stats_pruning(spark, table):
     assert table.scan(spark).count() == 300
     # a range hitting nothing reads zero files and zero rows
     assert table.scan(spark, {"k": (1e6, 2e6)}).count() == 0
+
+
+def test_incremental_refresh_reads_only_new_files(spark, tmp_path):
+    """Refresh cost must be O(delta): second refresh touches only the
+    files appended since the first, and the state equals a full recompute."""
+    from agile_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    src = TransactionalTable(str(tmp_path / "src"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    src.append(mk(0, 100))
+    view = IncrementalAggregate(
+        src, str(tmp_path / "view"), ["k"],
+        {"n": ("count", "v"), "total": ("sum", "v"), "vmax": ("max", "v")},
+    )
+    r1 = view.refresh(spark)
+    assert r1["mode"] == "full"
+
+    src.append(mk(100, 150))
+    n_new = len(src.added_files(r1["source_version"]))
+    r2 = view.refresh(spark)
+    assert r2["mode"] == "incremental"
+    assert r2["files_read"] == n_new
+
+    got = {r.k: (r.n, r.total, r.vmax) for r in view.read(spark).collect()}
+    want = {
+        r.k: (r.n, r.total, r.vmax)
+        for r in mk(0, 150).groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("total"), F.max("v").alias("vmax")
+        ).collect()
+    }
+    assert got == want
+
+    # refresh with no source change is a no-op
+    assert view.refresh(spark)["mode"] == "noop"
+
+
+def test_incremental_refresh_falls_back_on_non_append(spark, tmp_path):
+    """DELETE between refreshes breaks delta equivalence -> full recompute,
+    and the state is still exactly right."""
+    from agile_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    src = TransactionalTable(str(tmp_path / "src"))
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    src.append(mk(0, 60))
+    view = IncrementalAggregate(src, str(tmp_path / "view"), ["k"], {"n": ("count", "v")})
+    view.refresh(spark)
+
+    src.delete_where(spark, "v >= 30")
+    r = view.refresh(spark)
+    assert r["mode"] == "full"
+    got = {r_.k: r_.n for r_ in view.read(spark).collect()}
+    want = {r_.k: r_.n for r_ in mk(0, 30).groupBy("k").agg(F.count("v").alias("n")).collect()}
+    assert got == want
+
+
+def test_incremental_rejects_non_mergeable_op(tmp_path):
+    from agile_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    src = TransactionalTable(str(tmp_path / "src2"))
+    try:
+        IncrementalAggregate(src, str(tmp_path / "v2"), ["k"], {"a": ("avg", "v")})
+        raise AssertionError("avg must be rejected (not a mergeable monoid as stored)")
+    except ValueError:
+        pass
