@@ -477,6 +477,24 @@ def levenshtein_q(spark, sf_dir):
     return dedup.levenshtein_near_dup(docs)
 
 
+def hof_vector_stats_q(spark, sf_dir):
+    """Higher-order array functions over embeddings (DQ45): norm via
+    zip_with+aggregate fold, sign counts via filter, max-abs via
+    transform+array_max — all JVM-side, no Python UDF."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return (
+        emb.select(
+            "vec_id",
+            round4(F.sqrt(vector.dot("embedding", "embedding"))).alias("norm"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            round4(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+            ).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _duck_shingle_cte(src: str = "documents") -> str:
     return (
         f"sh AS (SELECT doc_id, unnest({portable.shingles_duck('text', SHINGLE_K)}) AS shingle "
@@ -814,6 +832,34 @@ ORACLE_R2B = {
                (floor((min(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS bin_min,
                (floor((max(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS bin_max
         FROM lineitem GROUP BY bin ORDER BY bin""",
+    "dq43_recursive_cte": """
+        WITH RECURSIVE sub AS (
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        months(m) AS (
+            SELECT date_trunc('month', min(o_orderdate)) FROM sub
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM sub))
+        SELECT CAST(year(m) AS BIGINT) AS yr, CAST(month(m) AS BIGINT) AS mo,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN sub ON date_trunc('month', o_orderdate) = m
+        GROUP BY yr, mo ORDER BY yr, mo""",
+    "dq44_lateral": """
+        SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+               (floor((o.o_totalprice) * 10000.0 + 0.5) / 10000.0) AS price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 50
+        ORDER BY c_custkey, o_orderkey""",
+    "dq45_hof_vector": f"""
+        SELECT vec_id,
+               (floor((sqrt({vector.dot_duck('embedding', 'embedding', EMB_DIM)})) * 10000.0 + 0.5) / 10000.0) AS norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+               (floor((list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) * 10000.0 + 0.5) / 10000.0) AS max_abs
+        FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
 }
 
 
@@ -881,6 +927,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq40_levenshtein_near_dup": levenshtein_q,
     "dq41_range_frame": relational.range_frame_running,
     "dq42_histogram": relational.price_histogram,
+    "dq43_recursive_cte": relational.recursive_month_spine,
+    "dq44_lateral": relational.lateral_topk_orders,
+    "dq45_hof_vector": hof_vector_stats_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}

@@ -680,3 +680,59 @@ def price_histogram(spark: SparkSession, sf_dir: str, bin_width: float = 5000.0)
         )
         .orderBy("bin")
     )
+
+
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): dense monthly calendar spine over the order
+    date range, with per-month order counts — months with no orders appear
+    as 0 (DQ43).
+
+    ``WITH RECURSIVE`` iterates driver-coordinated like the DataFrame CC
+    loop (operators/graph.py) but through the SQL door; Spark supports
+    UNION ALL recursion (monotone append), so the recursion must be
+    ACYCLIC by construction — a bounded date walk, unlike the cyclic
+    label-propagation shape that needs fixpoint UNION semantics.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rcte_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE sub AS (
+            SELECT o_orderkey, o_orderdate FROM _rcte_orders
+            WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        months(m) AS (
+            SELECT date_trunc('MONTH', min(o_orderdate)) FROM sub
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate)) FROM sub))
+        SELECT CAST(year(m) AS BIGINT) AS yr, CAST(month(m) AS BIGINT) AS mo,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN sub ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY yr, mo ORDER BY yr, mo
+        """
+    )
+
+
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by price
+    (DQ44).
+
+    The lateral per-row LIMIT decorrelates to a ranked window under
+    Catalyst — no per-customer re-execution; same result as the
+    ``row_number() <= 2`` formulation but stated in the natural
+    "for each row" shape.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               (CAST(floor(o.o_totalprice * CAST(10000.0 AS DOUBLE) + 0.5) AS DOUBLE)
+                / CAST(10000.0 AS DOUBLE)) AS price
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 50
+        ORDER BY c_custkey, o_orderkey
+        """
+    )
