@@ -477,6 +477,16 @@ def levenshtein_q(spark, sf_dir):
     return dedup.levenshtein_near_dup(docs)
 
 
+def chunking_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs).orderBy("doc_id", "chunk_id")
+
+
+def packing_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs).orderBy("doc_id")
+
+
 def hof_vector_stats_q(spark, sf_dir):
     """Higher-order array functions over embeddings (DQ45): norm via
     zip_with+aggregate fold, sign counts via filter, max-abs via
@@ -860,6 +870,21 @@ ORACLE_R2B = {
                CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
                (floor((list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) * 10000.0 + 0.5) / 10000.0) AS max_abs
         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    "dq46_chunking": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        c AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, CAST(1 + ceil(greatest(len(toks) - 50, 0) / 40) AS INT) - 1)) AS chunk_id
+              FROM t)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id""",
+    "dq47_seq_packing": f"""
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(floor((sum(len(toks)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks)) / 256) AS BIGINT) AS bin
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ORDER BY doc_id""",
 }
 
 
@@ -930,6 +955,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq43_recursive_cte": relational.recursive_month_spine,
     "dq44_lateral": relational.lateral_topk_orders,
     "dq45_hof_vector": hof_vector_stats_q,
+    "dq46_chunking": chunking_q,
+    "dq47_seq_packing": packing_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}

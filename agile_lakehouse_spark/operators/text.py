@@ -178,3 +178,76 @@ def tfidf_top_terms(df: DataFrame, n: int = 3, text_col: str = "text", id_col: s
         .filter(F.col("rnk") <= n)
         .select(id_col, "tok", "tf", "score", "rnk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows (DQ46) — the
+    context-window chunking step of a training/RAG ingest pipeline.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the number
+    of chunks is 1 + ceil(max(n - chunk_tokens, 0) / stride), so EVERY
+    token lands in ≥1 chunk (ceil, not floor — floor silently drops the
+    tail whenever (n - chunk_tokens) % stride != 0) and the last window
+    may be short.  Pure JVM higher-order functions: ``sequence`` generates
+    chunk ids per doc (distributed — rows expand in place, no driver
+    loop), ``slice`` takes each window.  Rows amplify by ~n/stride: at
+    100 TB feed this through ``dedup.spread`` first for partition-count
+    headroom.
+    """
+    toks = _tokens(text_col)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.size(toks) - chunk_tokens, F.lit(0)) / F.lit(stride)
+        ).cast("int")
+    )
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(window).cast("bigint").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing (DQ47): assign docs, in id order,
+    to fixed-capacity token bins — the batch-packing step before LLM
+    training (maximize tokens per batch without shuffling doc order).
+
+    bin = floor((cumsum_tokens - n_tokens) / capacity): a doc starts in
+    the bin where its first token falls; a doc straddling a boundary
+    overflows its bin (contiguous packing semantics — bins stay in doc
+    order, no bin-packing search).  One window pass; at scale partition
+    the cumsum by a coarse shard key to avoid a single global ordering
+    (the global window is the declared, oracle-checkable form).
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = _tokens(text_col)
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+    return (
+        sized.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / capacity).cast("bigint").alias("bin"),
+        )
+    )

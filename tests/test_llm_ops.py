@@ -196,3 +196,48 @@ def test_bpe_token_count_examples(spark):
     # "hello","world"(space-prefixed),"123" -> 3
     assert got[1] == 3
     assert got[2] == 0
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk windows tile the token sequence: concatenating stride-prefixes
+    plus the last window reconstructs the doc, and overlap = chunk-stride."""
+    from agile_lakehouse_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(113))), (2, "a b c"), (3, " ".join(f"w{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(docs, chunk_tokens=50, stride=40).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    import math
+    for doc_id, rows in by_doc.items():
+        n = {1: 113, 2: 3, 3: 50}[doc_id]
+        expect_chunks = 1 + math.ceil(max(n - 50, 0) / 40)
+        assert len(rows) == expect_chunks
+        covered = set()
+        for r in rows:
+            assert r.n_tokens <= 50
+            start = r.chunk_id * 40
+            covered.update(range(start, min(start + 50, n)))
+        assert covered == set(range(n)), f"doc {doc_id}: tokens dropped"
+    # doc 2 fits in one short window
+    assert by_doc[2][0].chunk_text == "a b c"
+
+
+def test_seq_packing_bins_are_monotone_and_tight(spark):
+    from agile_lakehouse_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("x" for _ in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = T.pack_sequences(docs, capacity=100).orderBy("doc_id").collect()
+    bins = [r.bin for r in out]
+    assert bins == sorted(bins), "bins must be monotone in doc order"
+    # 30 tokens/doc, capacity 100 -> docs 0-3 start under 100 (bins 0), etc.
+    # bin of doc i = floor(30*i / 100)
+    assert bins == [(30 * i) // 100 for i in range(20)]
