@@ -160,12 +160,12 @@ class TransactionalTable:
             }
         return out
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """ACID append: new snapshot = previous files + newly staged files."""
         new_files = self._stage(df)
         latest = self.latest_version()
         prev = self._read_manifest(latest)["files"] if latest is not None else []
-        return self._commit(prev + new_files, "append")
+        return self._commit(prev + new_files, "append", txn=txn)
 
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """ACID overwrite: new snapshot references only the new files.

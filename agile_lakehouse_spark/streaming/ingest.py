@@ -167,3 +167,38 @@ def running_user_counts(events: DataFrame, timeout_ms: int | None = None) -> Dat
             timeoutConf=timeout_conf,
         )
     )
+
+
+def stream_to_incremental_view(
+    stream_df: DataFrame,
+    source_table,
+    view,
+    checkpoint: str,
+    app_id: str = "stream_incr",
+    available_now: bool = True,
+):
+    """End-to-end streaming lakehouse pipeline: exactly-once APPEND into a
+    :class:`TransactionalTable` + incremental materialized-view refresh per
+    micro-batch.
+
+    Each micro-batch (a) appends to the source table idempotently (txn
+    marker skips replayed batches — the append is the only at-least-once
+    step) and (b) calls ``view.refresh``, which reads ONLY the files that
+    batch added (plans/incremental.py).  The view is therefore continuously
+    fresh at O(micro-batch) cost — the streaming analogue of Delta's
+    streaming-aggregate + downstream-table pattern, with the refresh
+    high-water mark riding the view's own commit log so a crash between
+    append and refresh is repaired by the next batch's refresh call.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id > source_table.last_txn_batch(app_id):
+            source_table.append(batch_df, txn=(app_id, batch_id))
+        view.refresh(batch_df.sparkSession)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return q
