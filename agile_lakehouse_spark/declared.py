@@ -885,6 +885,21 @@ ORACLE_R2B = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(toks)) / 256) AS BIGINT) AS bin
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
         ORDER BY doc_id""",
+    "dq48_null_semantics": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(v) AS BIGINT) AS n_notnull,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN v IS NOT DISTINCT FROM CAST(NULL AS INT) THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe,
+               CAST(sum(coalesce(v, 0)) AS BIGINT) AS sum_coalesced
+        FROM (SELECT l_returnflag, nullif(l_linenumber % 3, 0) AS v FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dq49_decimal_revenue": """
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 }
 
 
@@ -957,6 +972,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq45_hof_vector": hof_vector_stats_q,
     "dq46_chunking": chunking_q,
     "dq47_seq_packing": packing_q,
+    "dq48_null_semantics": relational.null_semantics,
+    "dq49_decimal_revenue": relational.decimal_revenue,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}

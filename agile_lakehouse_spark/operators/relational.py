@@ -736,3 +736,54 @@ def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey, o_orderkey
         """
     )
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling semantics, pinned cross-engine (DQ48).
+
+    Nulls derived via NULLIF (fixtures have none); exercises the
+    count(*) / count(col) / count(DISTINCT col) distinctions, null-safe
+    equality (Spark ``<=>`` ≙ DuckDB ``IS NOT DISTINCT FROM``), and
+    COALESCE defaulting.  These are exactly the semantics silent data-bug
+    hunts hinge on at scale — declared so the oracle pins them.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.expr("nullif(l_linenumber % 3, 0)")
+    return (
+        li.withColumn("v", v)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("v").cast("bigint").alias("n_notnull"),
+            F.count_distinct(F.col("v")).cast("bigint").alias("n_distinct"),
+            F.sum(F.expr("CASE WHEN v <=> CAST(NULL AS INT) THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_null_safe"),
+            F.sum(F.coalesce("v", F.lit(0))).cast("bigint").alias("sum_coalesced"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal money aggregation (DQ49).
+
+    Float sums are partition-order-dependent (non-associative IEEE adds);
+    DECIMAL sums are exact integers underneath — the SAME answer under any
+    shuffle order, any cluster size, any retry.  Computed exactly in
+    decimal(18,2)/scale-4 products, presented as double (one deterministic
+    final conversion).  This is how money columns should be aggregated at
+    100 TB; the float-typed fixtures are cast at scan time.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("double").alias("sum_price"),
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
