@@ -900,6 +900,18 @@ ORACLE_R2B = {
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "dq50_integrity_audit": """
+        SELECT 'dup_customer_keys' AS check_name,
+               CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations FROM customer
+        UNION ALL
+        SELECT 'null_order_custkey', CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'orphan_lineitems', CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'orphan_orders', CAST(count(*) AS BIGINT) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        ORDER BY check_name""",
 }
 
 
@@ -974,6 +986,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq47_seq_packing": packing_q,
     "dq48_null_semantics": relational.null_semantics,
     "dq49_decimal_revenue": relational.decimal_revenue,
+    "dq50_integrity_audit": relational.integrity_audit,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}

@@ -787,3 +787,49 @@ def decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential integrity + key invariants (DQ50).
+
+    The checks a lakehouse runs after every load: orphaned foreign keys
+    (anti-joins — NULL-safe, unlike ``NOT IN``), duplicate primary keys,
+    null keys.  Each check is one aggregation; small dimension key-sets
+    broadcast, big-big anti-joins shuffle on the key like any other join.
+    One unioned report frame, stable check names.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _count(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    dup_keys = cust.agg(
+        (F.count("c_custkey") - F.count_distinct(F.col("c_custkey"))).cast("bigint").alias("n_violations")
+    ).select(F.lit("dup_customer_keys").alias("check_name"), "n_violations")
+    null_fk = _count(orders.filter(F.col("o_custkey").isNull()), "null_order_custkey")
+    orphan_orders = _count(
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        ),
+        "orphan_orders",
+    )
+    orphan_lineitems = _count(
+        li.join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        ),
+        "orphan_lineitems",
+    )
+    return (
+        dup_keys.unionByName(null_fk)
+        .unionByName(orphan_lineitems)
+        .unionByName(orphan_orders)
+        .orderBy("check_name")
+    )

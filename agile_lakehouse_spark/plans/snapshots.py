@@ -186,6 +186,24 @@ class TransactionalTable:
         prev = set(self._read_manifest(since_version)["files"])
         return [f for f in cur if f not in prev]
 
+    def read_changes(
+        self, spark: SparkSession, since_version: int | None, version: int | None = None
+    ) -> DataFrame:
+        """Change feed: rows added in ``(since_version, version]``.
+
+        Valid only across pure appends — a delete/merge/overwrite in the
+        window means the file diff is NOT the row diff, and this raises
+        rather than return wrong changes (the caller falls back to a full
+        diff or recompute, as plans/incremental.py does)."""
+        if not self.appends_only_between(since_version, version):
+            raise ValueError(
+                "non-append commit in the requested window: file diff is not a row diff"
+            )
+        files = self.added_files(since_version, version)
+        if not files:
+            return self.read(spark, version).limit(0)
+        return spark.read.parquet(*files)
+
     def appends_only_between(self, since_version: int | None, version: int | None = None) -> bool:
         """True if every commit in (since, version] kept all prior files
         (pure appends) — the precondition for file-diff incremental reads."""

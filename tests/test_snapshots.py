@@ -226,3 +226,22 @@ def test_incremental_rejects_non_mergeable_op(tmp_path):
         raise AssertionError("avg must be rejected (not a mergeable monoid as stored)")
     except ValueError:
         pass
+
+
+def test_read_changes_is_row_delta_for_appends(spark, tmp_path):
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    t = TransactionalTable(str(tmp_path / "cdf"))
+    v0 = t.append(spark.range(0, 10).selectExpr("id AS k"))
+    v1 = t.append(spark.range(10, 15).selectExpr("id AS k"))
+    got = sorted(r.k for r in t.read_changes(spark, v0, v1).collect())
+    assert got == list(range(10, 15))
+    # full-history changes = everything
+    assert t.read_changes(spark, None).count() == 15
+
+    t.delete_where(spark, "k >= 12")
+    try:
+        t.read_changes(spark, v1)
+        raise AssertionError("must refuse: delete in window")
+    except ValueError:
+        pass
