@@ -912,6 +912,37 @@ ORACLE_R2B = {
         SELECT 'orphan_orders', CAST(count(*) AS BIGINT) FROM orders
         WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
         ORDER BY check_name""",
+    "dq51_window_breadth": """
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               (floor((nth_value(o_totalprice, 2) OVER w_all) * 10000.0 + 0.5) / 10000.0) AS second_price,
+               (floor((first_value(o_totalprice) OVER w_all) * 10000.0 + 0.5) / 10000.0) AS top_price,
+               (floor((last_value(o_totalprice) OVER w_all) * 10000.0 + 0.5) / 10000.0) AS bottom_price,
+               CAST(lag(o_orderkey, 1, -1) OVER w AS BIGINT) AS prev_key
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+               w_all AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""",
+    "dq52_exact_moments": """
+        WITH agg AS (
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                   sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS ss
+            FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS mean_qty,
+               (floor(((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0) AS var_qty,
+               (floor((sqrt((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))) * 10000.0 + 0.5) / 10000.0) AS std_qty
+        FROM agg ORDER BY l_returnflag""",
+    "dq53_bool_bit_aggs": """
+        SELECT l_returnflag,
+               bool_and(l_quantity > 5) AS all_gt5,
+               bool_or(l_discount > 0.05) AS any_disc,
+               CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+               CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+               CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 }
 
 
@@ -987,6 +1018,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq48_null_semantics": relational.null_semantics,
     "dq49_decimal_revenue": relational.decimal_revenue,
     "dq50_integrity_audit": relational.integrity_audit,
+    "dq51_window_breadth": relational.window_breadth,
+    "dq52_exact_moments": relational.exact_moments,
+    "dq53_bool_bit_aggs": relational.bool_bit_aggs,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}

@@ -833,3 +833,78 @@ def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphan_orders)
         .orderBy("check_name")
     )
+
+
+def window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: ntile, nth_value, first/last over explicit
+    frames, lag with default (DQ51).
+
+    All one window partitioning (custkey-bounded orders) — Catalyst plans
+    a single Exchange + sort for every function in the set.  Ordering is
+    made total (o_totalprice, o_orderkey) so ranks are deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            round4(F.nth_value("o_totalprice", 2).over(w_all)).alias("second_price"),
+            round4(F.first("o_totalprice").over(w_all)).alias("top_price"),
+            round4(F.last("o_totalprice").over(w_all)).alias("bottom_price"),
+            F.lag("o_orderkey", 1, -1).over(w).cast("bigint").alias("prev_key"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mean/variance/stddev from exact decimal power sums
+    (DQ52).
+
+    Built-in ``stddev``/``variance`` stream floating-point accumulators —
+    partition-order-dependent in the last ulps, so they can flip a rounded
+    digit across engines or cluster sizes.  Computing Σx and Σx² as exact
+    DECIMALs (order-independent integer arithmetic) and deriving
+    var = (Σx² − (Σx)²/n) / (n−1) with ONE final float division gives
+    bit-stable moments under any shuffle — the same trick as dq49 applied
+    to second moments.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).alias("_s"),
+        F.sum(q * q).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    var = (ss - (s * s) / n) / (n - F.lit(1.0))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        round4(s / n).alias("mean_qty"),
+        round4(var).alias("var_qty"),
+        round4(F.sqrt(var)).alias("std_qty"),
+    ).orderBy("l_returnflag")
+
+
+def bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates (DQ53): bool_and/bool_or ≙ DuckDB
+    bool_and/bool_or, bit_and/bit_or/bit_xor on integer keys — all exact,
+    order-independent, map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 5).alias("all_gt5"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_disc"),
+            F.bit_and(F.col("l_orderkey")).cast("bigint").alias("key_and"),
+            F.bit_or(F.col("l_orderkey")).cast("bigint").alias("key_or"),
+            F.bit_xor(F.col("l_orderkey")).cast("bigint").alias("key_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
