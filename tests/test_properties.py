@@ -175,3 +175,42 @@ def test_banded_interval_count_matches_python_model(spark, events, window):
     for i, u, t in clicks:
         want = sum(1 for vu, vt in views if vu == u and t - window < vt <= t)
         assert got.get(i, 0) == want, f"event={i} user={u} ts={t} window={window}"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    delete_after=st.integers(min_value=-1, max_value=2),
+)
+def test_incremental_view_equals_full_recompute(spark, tmp_path_factory, batches, delete_after):
+    """For ANY sequence of appends (with an optional delete thrown in),
+    refreshing after each commit leaves the view identical to a full
+    groupBy over the table's current contents."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    root = tmp_path_factory.mktemp("ivp")
+    src = TransactionalTable(str(root / "src"))
+    view = IncrementalAggregate(
+        src, str(root / "view"), ["k"], {"n": ("count", "v"), "mx": ("max", "v")}
+    )
+    for i, batch in enumerate(batches):
+        src.append(spark.createDataFrame(batch, "k long, v long"))
+        if i == delete_after:
+            src.delete_where(spark, "v % 7 = 3")
+        view.refresh(spark)
+        got = {r.k: (r.n, r.mx) for r in view.read(spark).collect()}
+        want = {
+            r.k: (r.n, r.mx)
+            for r in src.read(spark)
+            .groupBy("k")
+            .agg(F.count("v").alias("n"), F.max("v").alias("mx"))
+            .collect()
+        }
+        assert got == want, f"divergence after commit {i} (delete_after={delete_after})"
