@@ -380,3 +380,23 @@ class TransactionalTable:
                     os.unlink(f)
                     removed.append(f)
         return removed
+
+
+def commit_with_retry(fn, retries: int = 5):
+    """Run a commit-producing callable under optimistic concurrency.
+
+    The commit log's put-if-absent link makes every version race safe but
+    LOSABLE: a concurrent writer claiming the version first raises
+    :class:`CommitConflict`.  Writers whose change is derived from the
+    latest snapshot must re-derive and retry — this helper is that loop
+    (Delta-style optimistic concurrency control).  ``fn`` must re-READ the
+    table state on each call; retrying a closure over a stale DataFrame
+    would silently resurrect the lost race.
+    """
+    last: CommitConflict | None = None
+    for _ in range(retries):
+        try:
+            return fn()
+        except CommitConflict as e:
+            last = e
+    raise last

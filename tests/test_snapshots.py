@@ -245,3 +245,33 @@ def test_read_changes_is_row_delta_for_appends(spark, tmp_path):
         raise AssertionError("must refuse: delete in window")
     except ValueError:
         pass
+
+
+def test_commit_with_retry_under_contention(spark, tmp_path):
+    """8 threads append concurrently with retry; every append lands exactly
+    once and the final row count proves no lost updates."""
+    import threading
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable, commit_with_retry
+
+    t = TransactionalTable(str(tmp_path / "occ"))
+    t.append(spark.range(0, 1).selectExpr("id AS k"))
+    errs = []
+
+    def writer(i):
+        try:
+            commit_with_retry(
+                lambda: t.append(spark.range(i * 100, i * 100 + 10).selectExpr("id AS k")),
+                retries=20,
+            )
+        except Exception as e:  # noqa: BLE001 — recorded for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 9)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.read(spark).count() == 1 + 8 * 10
+    assert t.latest_version() == 8  # exactly one version per successful append
