@@ -487,6 +487,46 @@ def packing_q(spark, sf_dir):
     return text.pack_sequences(docs).orderBy("doc_id")
 
 
+def stream_time_bucket_q(spark, sf_dir):
+    """DQ54: tumbling 10-minute buckets through the REAL Structured
+    Streaming engine (FileStreamSource → stateful agg → availableNow →
+    memory sink), hash-matched against the SAME DuckDB oracle as its batch
+    twin dq20 — streaming and batch declare one semantics.
+
+    Complete output mode + availableNow processes the whole fixture as a
+    bounded stream; the nanos→micros ts conversion mirrors
+    catalog.load_table for the raw streaming schema.
+    """
+    import tempfile
+    import uuid as _uuid
+
+    load_table(spark, sf_dir, "events")  # self-defends session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    bucket = F.floor(F.unix_timestamp(F.col("ts")) / 600).cast("bigint")
+    agg = stream.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        round4(F.sum("value")).alias("sum_value"),
+    )
+    name = f"dq54_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dq54_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("bucket")
+
+
 def hof_vector_stats_q(spark, sf_dir):
     """Higher-order array functions over embeddings (DQ45): norm via
     zip_with+aggregate fold, sign counts via filter, max-abs via
@@ -1021,6 +1061,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq51_window_breadth": relational.window_breadth,
     "dq52_exact_moments": relational.exact_moments,
     "dq53_bool_bit_aggs": relational.bool_bit_aggs,
+    "dq54_stream_time_bucket": stream_time_bucket_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
+# streaming twin: the REAL streaming engine must match the batch oracle exactly
+ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
