@@ -497,9 +497,17 @@ def stream_time_bucket_q(spark, sf_dir):
     bounded stream; the nanos→micros ts conversion mirrors
     catalog.load_table for the raw streaming schema.
     """
-    import tempfile
-    import uuid as _uuid
+    stream = _event_stream(spark, sf_dir)
+    bucket = F.floor(F.unix_timestamp(F.col("ts")) / 600).cast("bigint")
+    agg = stream.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        round4(F.sum("value")).alias("sum_value"),
+    )
+    return _run_stream(agg, "complete").orderBy("bucket")
 
+
+def _event_stream(spark, sf_dir):
+    """Raw events as a bounded file stream with the load_table ts fix."""
     load_table(spark, sf_dir, "events")  # self-defends session confs
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -509,22 +517,48 @@ def stream_time_bucket_q(spark, sf_dir):
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    bucket = F.floor(F.unix_timestamp(F.col("ts")) / 600).cast("bigint")
-    agg = stream.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        round4(F.sum("value")).alias("sum_value"),
-    )
-    name = f"dq54_{_uuid.uuid4().hex[:8]}"
+    return stream
+
+
+def _run_stream(df, mode: str):
+    import tempfile
+    import uuid as _uuid
+
+    name = f"dqs_{_uuid.uuid4().hex[:8]}"
     q = (
-        agg.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dq54_ck_"))
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dqs_ck_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("bucket")
+    return df.sparkSession.table(name)
+
+
+def stream_dedup_q(spark, sf_dir):
+    """DQ55: streaming dropDuplicates ≙ batch DISTINCT, through the real
+    streaming engine (stateful dedup operator), oracle-verified.  Only the
+    key columns are emitted, so WHICH physical row survived (arrival-order
+    dependent) cannot leak into the result."""
+    stream = _event_stream(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+    return _run_stream(deduped, "append").orderBy("user_id", "event_type")
+
+
+def stream_static_join_q(spark, sf_dir):
+    """DQ56: stream-static broadcast join + aggregation through the
+    streaming engine — the continuous-enrichment shape (stream joined to a
+    dimension) — against a plain join+group oracle."""
+    stream = _event_stream(spark, sf_dir)
+    cust = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    joined = stream.join(cust, stream["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy(F.col("c_nationkey").cast("bigint").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        round4(F.sum("value")).alias("sum_value"),
+    )
+    return _run_stream(agg, "complete").orderBy("nation")
 
 
 def hof_vector_stats_q(spark, sf_dir):
@@ -1062,8 +1096,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq52_exact_moments": relational.exact_moments,
     "dq53_bool_bit_aggs": relational.bool_bit_aggs,
     "dq54_stream_time_bucket": stream_time_bucket_q,
+    "dq55_stream_dedup": stream_dedup_q,
+    "dq56_stream_static_join": stream_static_join_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
 # streaming twin: the REAL streaming engine must match the batch oracle exactly
 ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
+ORACLES["dq55_stream_dedup"] = """
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
+ORACLES["dq56_stream_static_join"] = """
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(count(*) AS BIGINT) AS n_events,
+           (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY nation ORDER BY nation"""
