@@ -70,12 +70,33 @@ class TransactionalTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], op: str, txn: tuple[str, int] | None = None) -> int:
-        latest = self.latest_version()
-        version = 0 if latest is None else latest + 1
+    _UNSET = object()
+
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        txn: tuple[str, int] | None = None,
+        base: int | None | object = _UNSET,
+    ) -> int:
+        """Commit ``files`` as the snapshot SUCCEEDING version ``base``.
+
+        ``base`` must be the latest version the caller READ while deriving
+        ``files`` (None for a fresh table).  The committed version is
+        always ``base + 1`` — never re-derived here: recomputing "latest"
+        at link time would let a writer holding a STALE file list commit
+        on top of a concurrent commit it never saw, silently dropping that
+        commit's files (a lost update the put-if-absent link alone cannot
+        catch, since the two writers would claim different version
+        numbers).  If ``base + 1`` was already claimed, the hard link
+        fails atomically and the writer must re-read and retry.
+        """
+        if base is TransactionalTable._UNSET:
+            base = self.latest_version()
+        version = 0 if base is None else base + 1
         # stats carry forward for retained files; newly staged files bring
         # their own footer stats from _pending_stats
-        prev_stats = self._stats(latest) if latest is not None else {}
+        prev_stats = self._stats(base) if base is not None else {}
         known = {**prev_stats, **self._pending_stats}
         stats = {f: known[f] for f in files if f in known}
         manifest = {
@@ -102,7 +123,10 @@ class TransactionalTable:
             raise CommitConflict(f"version {version} already committed")
         finally:
             os.unlink(tmp)
-        self._pending_stats = {}
+        # drop only the stats we just committed — a concurrent thread may
+        # have staged files for its own upcoming commit
+        for f in files:
+            self._pending_stats.pop(f, None)
         return version
 
     def _stats(self, version: int) -> dict:
@@ -165,14 +189,15 @@ class TransactionalTable:
         new_files = self._stage(df)
         latest = self.latest_version()
         prev = self._read_manifest(latest)["files"] if latest is not None else []
-        return self._commit(prev + new_files, "append", txn=txn)
+        return self._commit(prev + new_files, "append", txn=txn, base=latest)
 
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """ACID overwrite: new snapshot references only the new files.
 
         Old files stay on disk for time travel until :func:`vacuum`.
         """
-        return self._commit(self._stage(df), "overwrite", txn=txn)
+        base = self.latest_version()
+        return self._commit(self._stage(df), "overwrite", txn=txn, base=base)
 
     def added_files(self, since_version: int | None, version: int | None = None) -> list[str]:
         """Data files present in ``version`` but not in ``since_version``
@@ -248,7 +273,7 @@ class TransactionalTable:
         )
         keep = [f for f in files if f not in set(affected)]
         new_files = self._stage(survivors) if survivors.limit(1).count() else []
-        return self._commit(keep + new_files, "delete")
+        return self._commit(keep + new_files, "delete", base=latest)
 
     def last_txn_batch(self, app: str) -> int:
         """Highest batch id committed by ``app``, or -1 (idempotence probe
@@ -274,7 +299,7 @@ class TransactionalTable:
 
         latest = self.latest_version()
         if latest is None:
-            return self._commit(self._stage(source), "merge", txn=txn)
+            return self._commit(self._stage(source), "merge", txn=txn, base=latest)
         files = self._read_manifest(latest)["files"]
         keys = source.select(key).distinct()
         tagged = spark.read.parquet(*files).withColumn("_file", F.input_file_name())
@@ -286,7 +311,7 @@ class TransactionalTable:
             if survivors.limit(1).count():
                 new_files += self._stage(survivors)
         new_files += self._stage(source)
-        return self._commit(keep + new_files, "merge", txn=txn)
+        return self._commit(keep + new_files, "merge", txn=txn, base=latest)
 
     # -- read paths ----------------------------------------------------------
 
