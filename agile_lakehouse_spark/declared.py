@@ -561,6 +561,25 @@ def stream_static_join_q(spark, sf_dir):
     return _run_stream(agg, "complete").orderBy("nation")
 
 
+def stream_interval_join_q(spark, sf_dir):
+    """DQ57: stream-stream interval self-join through the streaming engine
+    (watermarked both sides, time-bounded both directions — the condition
+    that lets Spark evict join state), oracle-verified against the plain
+    range join.  Clicks pair with same-user views from the preceding 15
+    minutes."""
+    from agile_lakehouse_spark.streaming import windows as sw
+
+    stream = _event_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    joined = sw.interval_join(clicks, views).select(
+        F.col("l.event_id").alias("event_id"), F.col("r.view_id").alias("view_id")
+    )
+    return _run_stream(joined, "append").orderBy("event_id", "view_id")
+
+
 def hof_vector_stats_q(spark, sf_dir):
     """Higher-order array functions over embeddings (DQ45): norm via
     zip_with+aggregate fold, sign counts via filter, max-abs via
@@ -1098,6 +1117,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq54_stream_time_bucket": stream_time_bucket_q,
     "dq55_stream_dedup": stream_dedup_q,
     "dq56_stream_static_join": stream_static_join_q,
+    "dq57_stream_interval_join": stream_interval_join_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1105,6 +1125,13 @@ ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2,
 ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
 ORACLES["dq55_stream_dedup"] = """
     SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
+ORACLES["dq57_stream_interval_join"] = """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS event_id, v.view_id AS view_id
+    FROM clicks c JOIN views v ON v.user_id = c.user_id
+      AND epoch_ms(v.ts) >= epoch_ms(c.ts) - 900000 AND epoch_ms(v.ts) <= epoch_ms(c.ts)
+    ORDER BY event_id, view_id"""
 ORACLES["dq56_stream_static_join"] = """
     SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(count(*) AS BIGINT) AS n_events,
            (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
