@@ -580,6 +580,18 @@ def stream_interval_join_q(spark, sf_dir):
     return _run_stream(joined, "append").orderBy("event_id", "view_id")
 
 
+def ann_recall_q(spark, sf_dir):
+    """DQ61: recall@10 of the IVF approximate path vs exact brute-force —
+    the approximation-quality measurement a production ANN deployment
+    monitors, computed IN the engine (a join of the two top-k sets)."""
+    exact = ann_topk(spark, sf_dir).select("vec_id")
+    approx = ann_ivf(spark, sf_dir).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        round4(F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
 def hof_vector_stats_q(spark, sf_dir):
     """Higher-order array functions over embeddings (DQ45): norm via
     zip_with+aggregate fold, sign counts via filter, max-abs via
@@ -1118,6 +1130,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq55_stream_dedup": stream_dedup_q,
     "dq56_stream_static_join": stream_static_join_q,
     "dq57_stream_interval_join": stream_interval_join_q,
+    "dq58_tpch_q3": relational.tpch_q3_shipping_priority,
+    "dq59_tpch_q18": relational.tpch_q18_large_orders,
+    "dq60_percent_rank": relational.percent_rank_dist,
+    "dq61_ann_recall": ann_recall_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1125,6 +1141,40 @@ ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2,
 ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
 ORACLES["dq55_stream_dedup"] = """
     SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
+ORACLES["dq58_tpch_q3"] = """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+           (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o_orderkey, o_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+ORACLES["dq59_tpch_q18"] = """
+    WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    SELECT c_custkey, o_orderkey,
+           (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS o_price,
+           (floor((total_qty) * 10000.0 + 0.5) / 10000.0) AS total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey"""
+ORACLES["dq60_percent_rank"] = """
+    SELECT o_orderstatus, o_orderkey,
+           (floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0) AS pct_rank,
+           (floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0) AS cume
+    FROM orders WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_orderkey"""
+ORACLES["dq61_ann_recall"] = f"""
+    WITH exact_k AS (SELECT vec_id FROM ({ORACLE_LLM["dq22_ann_topk"]})),
+    approx_k AS (SELECT vec_id FROM ({ORACLE_LLM["dq22b_ann_ivf"]}))
+    SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+           (floor((count(*) / 10.0) * 10000.0 + 0.5) / 10000.0) AS recall_at_10
+    FROM exact_k JOIN approx_k USING (vec_id)"""
 ORACLES["dq57_stream_interval_join"] = """
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
     views AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')

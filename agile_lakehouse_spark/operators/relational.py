@@ -908,3 +908,80 @@ def bool_bit_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue (DQ58).
+
+    Classic join-agg-topk: two fact joins shuffle on their keys, the
+    aggregation is map-side combinable, and the final top-10 is
+    TakeOrderedAndProject — no global sort.  Revenue in exact decimal
+    (dq49 discipline), cast once at the end.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+            round4(F.col("revenue")).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with any order above a quantity
+    threshold (DQ59).
+
+    The IN-subquery over a grouped HAVING decorrelates into an aggregate +
+    semi-join; quantity sums are exact decimal so the threshold predicate
+    is shuffle-order-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey", F.col("qty").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            round4(F.col("o_totalprice")).alias("o_price"),
+            round4(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def percent_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over order prices per status (DQ60) —
+    the remaining analytic-window pair after dq51; both are pure rank
+    arithmetic (deterministic under total ordering)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderkey",
+            round4(F.percent_rank().over(w)).alias("pct_rank"),
+            round4(F.cume_dist().over(w)).alias("cume"),
+        )
+        .orderBy("o_orderstatus", "o_orderkey")
+    )

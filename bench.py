@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dq33_asof_join",
     "dq34_spatial_join",
     "dq35_percentile",
+    "dq58_tpch_q3",
     "dq37_tfidf",
     "dq39_interval_join",
     "dq41_range_frame",
