@@ -281,3 +281,21 @@ def test_levenshtein_refine_only_shrinks_blocks(spark, sf_dir):
     for p in pairs:
         assert meta[p.id_a] == meta[p.id_b]
         assert p.dist <= 64
+
+
+def test_salted_join_balances_hot_key(spark):
+    """The point of salting: the hot key's rows spread over ~salt distinct
+    (key, salt) shuffle groups instead of one."""
+    from pyspark.sql import functions as F
+
+    big = spark.createDataFrame(
+        [(0, i) for i in range(8000)] + [(k, 0) for k in range(1, 50)], "k long, v long"
+    )
+    salt = 8
+    salted = big.withColumn("_salt", (F.rand(42) * salt).cast("int"))
+    groups = (
+        salted.filter("k = 0").groupBy("_salt").count().collect()
+    )
+    assert len(groups) == salt, "hot key must occupy every salt bucket"
+    counts = [r["count"] for r in groups]
+    assert max(counts) < 8000 * 2 / salt, f"bucket sizes too skewed: {counts}"
