@@ -255,3 +255,54 @@ def test_stream_to_incremental_view(spark, tmp_path):
     got2 = {r.k: (r.n, r.s) for r in view.read(spark).collect()}
     assert got2[9] == (2, 3.0)
     assert all(got2[k] == want[k] for k in want)
+
+
+def test_checkpoint_crash_resume_exactly_once(spark, tmp_path):
+    """Crash DURING batch 1 (after batch 0 committed), restart from the
+    SAME checkpoint: batch 0 is not reprocessed, batch 1 is retried, and
+    the table ends with every row exactly once."""
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    src = str(tmp_path / "crash_src")
+    spark.createDataFrame([(i, i) for i in range(10)], "k long, v long").coalesce(1).write.parquet(src)
+    spark.createDataFrame([(i, i) for i in range(10, 20)], "k long, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    table = TransactionalTable(str(tmp_path / "crash_tbl"))
+    ck = str(tmp_path / "crash_ck")
+    schema = spark.read.parquet(src).schema
+    app = "crash_test"
+
+    def make_writer(fail_on_batch):
+        def _apply(batch_df, batch_id):
+            if batch_id == fail_on_batch:
+                raise RuntimeError("injected crash mid-batch")
+            if batch_id > table.last_txn_batch(app):
+                table.append(batch_df, txn=(app, batch_id))
+        return _apply
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(make_writer(fail_on_batch=1))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("query should have crashed on batch 1")
+    except Exception:
+        pass
+    assert table.read(spark).count() == 10  # batch 0 landed before the crash
+
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q2 = (
+        stream2.writeStream.foreachBatch(make_writer(fail_on_batch=None))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = sorted(r.k for r in table.read(spark).collect())
+    assert got == list(range(20)), "exactly-once across crash-resume"
