@@ -580,6 +580,18 @@ def stream_interval_join_q(spark, sf_dir):
     return _run_stream(joined, "append").orderBy("event_id", "view_id")
 
 
+KNN_JOIN_PROBES = [(0, 120.0, 240.0), (1, 300.0, 500.0), (2, 510.0, 480.0),
+                   (3, 700.0, 150.0), (4, 260.0, 760.0)]
+KNN_JOIN_K = 5
+
+
+def knn_join_q(spark, sf_dir):
+    """DQ62: exact kNN JOIN — 5 probe points x 5 nearest each."""
+    probes = spark.createDataFrame(KNN_JOIN_PROBES, "qid long, x double, y double")
+    out = pointcloud.knn_join(probes, _q(spark, sf_dir), KNN_JOIN_K)
+    return out.orderBy("qid", "rk")
+
+
 def ann_recall_q(spark, sf_dir):
     """DQ61: recall@10 of the IVF approximate path vs exact brute-force —
     the approximation-quality measurement a production ANN deployment
@@ -1134,6 +1146,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq59_tpch_q18": relational.tpch_q18_large_orders,
     "dq60_percent_rank": relational.percent_rank_dist,
     "dq61_ann_recall": ann_recall_q,
+    "dq62_knn_join": knn_join_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1141,6 +1154,14 @@ ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2,
 ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
 ORACLES["dq55_stream_dedup"] = """
     SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
+ORACLES["dq62_knn_join"] = f"""{POINTS_CTE},
+    probes(qid, qx, qy) AS (VALUES {", ".join(f"({q}, {px!r}, {py!r})" for q, px, py in KNN_JOIN_PROBES)})
+    SELECT qid, pid, rk FROM (
+        SELECT p.qid AS qid, pt.pid AS pid,
+               CAST(row_number() OVER (PARTITION BY p.qid
+                   ORDER BY power(pt.x - p.qx, 2) + power(pt.y - p.qy, 2) ASC, pt.pid ASC) AS BIGINT) AS rk
+        FROM probes p CROSS JOIN points pt)
+    WHERE rk <= {KNN_JOIN_K} ORDER BY qid, rk"""
 ORACLES["dq58_tpch_q3"] = """
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
            (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

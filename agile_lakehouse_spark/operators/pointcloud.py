@@ -278,3 +278,45 @@ def quadtree_cells(
     out = out.withColumn("qx", F.floor((F.col(x) - origin[0]) / cell_size).cast("bigint"))
     out = out.withColumn("qy", F.floor((F.col(y) - origin[1]) / cell_size).cast("bigint"))
     return out
+
+
+def knn_join(
+    probes: DataFrame,
+    points: DataFrame,
+    k: int,
+    x: str = "x",
+    y: str = "y",
+    probe_id: str = "qid",
+    id_col: str = "pid",
+) -> DataFrame:
+    """EXACT kNN JOIN: for every probe point, its ``k`` nearest points
+    (squared euclidean, ties by ``id_col``) — the batch many-query form of
+    :func:`knn` (DQ62).
+
+    Declared form is brute-force: broadcast the probe set, score all
+    (probe, point) pairs, rank per probe with one window — exact, and for
+    probe sets that fit a broadcast (the common "query batch" case) the
+    only shuffle is the per-probe rank.  At 100 TB with LARGE probe sets,
+    block both sides by grid cell (join own + 8 neighbour cells, ring-
+    expand under-filled probes) so candidates scale with density, not
+    |points| — same banding discipline as `rect_join_counts` and
+    `banded_interval_join`.
+    """
+    from pyspark.sql.window import Window as W
+
+    p = probes.select(
+        F.col(probe_id), F.col(x).alias("_qx"), F.col(y).alias("_qy")
+    )
+    scored = points.select(F.col(id_col), F.col(x), F.col(y)).crossJoin(F.broadcast(p))
+    dist2 = F.pow(F.col(x) - F.col("_qx"), 2) + F.pow(F.col(y) - F.col("_qy"), 2)
+    w = W.partitionBy(probe_id).orderBy(F.asc("_d2"), F.asc(id_col))
+    return (
+        scored.withColumn("_d2", dist2)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col(probe_id),
+            F.col(id_col),
+            F.col("_rk").cast("bigint").alias("rk"),
+        )
+    )
