@@ -580,6 +580,35 @@ def stream_interval_join_q(spark, sf_dir):
     return _run_stream(joined, "append").orderBy("event_id", "view_id")
 
 
+def stream_session_window_q(spark, sf_dir):
+    """DQ63: streaming ``session_window`` (dynamic gap-merged windows in
+    the streaming engine) reshaped to session numbers and verified against
+    the SAME gaps-and-islands oracle as batch dq20b.
+
+    Boundary note: session_window merges events with gap < 300s (strict)
+    while the islands formulation keeps gap <= 300s together; the fixture
+    has no exact-300s gap (checked), so both define identical sessions —
+    an exact-boundary event would be the one divergence.
+    """
+    from pyspark.sql.window import Window as W
+
+    stream = _event_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    agg = (
+        stream.groupBy(F.session_window("ts", "300 seconds"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round4(F.sum("value")).alias("sum_value"),
+        )
+    )
+    done = _run_stream(agg, "complete")
+    w = W.partitionBy("user_id").orderBy(F.col("session_window.start"))
+    return (
+        done.withColumn("session_id", F.row_number().over(w).cast("bigint"))
+        .select("user_id", "session_id", "n_events", "sum_value")
+        .orderBy("user_id", "session_id")
+    )
+
+
 KNN_JOIN_PROBES = [(0, 120.0, 240.0), (1, 300.0, 500.0), (2, 510.0, 480.0),
                    (3, 700.0, 150.0), (4, 260.0, 760.0)]
 KNN_JOIN_K = 5
@@ -1147,6 +1176,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq60_percent_rank": relational.percent_rank_dist,
     "dq61_ann_recall": ann_recall_q,
     "dq62_knn_join": knn_join_q,
+    "dq63_stream_session_window": stream_session_window_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1154,6 +1184,7 @@ ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2,
 ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
 ORACLES["dq55_stream_dedup"] = """
     SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
+ORACLES["dq63_stream_session_window"] = ORACLE_REL["dq20b_session_islands"]
 ORACLES["dq62_knn_join"] = f"""{POINTS_CTE},
     probes(qid, qx, qy) AS (VALUES {", ".join(f"({q}, {px!r}, {py!r})" for q, px, py in KNN_JOIN_PROBES)})
     SELECT qid, pid, rk FROM (
