@@ -56,3 +56,18 @@ def test_parity(name, spark, sf_dir, duck):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert _norm(srows, scols) == _norm(drows, dcols)
+
+
+def test_driver_contract_registry_consistency():
+    """Every oracle key must have a query; every query except the declared
+    rows-only ones must have an oracle; names follow the dqNN convention."""
+    import re
+
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    rows_only = {"dq25_multimodal_features"}
+    assert set(os_) == set(qs) - rows_only
+    for name in qs:
+        assert re.fullmatch(r"dq\d{2}[a-z]?_[a-z0-9_]+", name), name
+    assert len(qs) >= 80
