@@ -214,3 +214,55 @@ def test_incremental_view_equals_full_recompute(spark, tmp_path_factory, batches
             .collect()
         }
         assert got == want, f"divergence after commit {i} (delete_after={delete_after})"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 130), min_size=1, max_size=8),
+    chunk=st.integers(5, 60),
+    stride_frac=st.floats(0.3, 1.0),
+)
+def test_chunking_full_coverage_property(spark, sizes, chunk, stride_frac):
+    """EVERY token of EVERY doc appears in >=1 chunk, for any doc length,
+    chunk size, and stride <= chunk."""
+    from agile_lakehouse_spark.operators import text as T
+
+    stride = max(1, int(chunk * stride_frac))
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect()
+    per_doc: dict[int, set[int]] = {i: set() for i in range(len(sizes))}
+    for r in out:
+        start = r.chunk_id * stride
+        per_doc[r.doc_id].update(range(start, start + r.n_tokens))
+    for i, n in enumerate(sizes):
+        # tokenizer semantics (identical in Spark and DuckDB, which is why
+        # the oracles agree): split(trim('')) == [''] — an empty doc has
+        # ONE empty token, so its single chunk covers token index 0
+        n_tok = max(n, 1)
+        assert per_doc[i] == set(range(n_tok)), f"doc {i} (n={n}, chunk={chunk}, stride={stride})"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    pts=st.lists(st.tuples(coords, coords), min_size=3, max_size=30, unique=True),
+    k=st.integers(1, 5),
+)
+def test_knn_join_matches_python_model(spark, pts, k):
+    from agile_lakehouse_spark.operators import pointcloud as pc
+
+    points = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)], "pid long, x double, y double"
+    )
+    probes = spark.createDataFrame([(0, 0.0, 0.0), (1, 500.0, -200.0)], "qid long, x double, y double")
+    got = {}
+    for r in pc.knn_join(probes, points, k).collect():
+        got.setdefault(r.qid, []).append((r.rk, r.pid))
+    for qid, (qx, qy) in [(0, (0.0, 0.0)), (1, (500.0, -200.0))]:
+        ranked = sorted(
+            ((x - qx) ** 2 + (y - qy) ** 2, i) for i, (x, y) in enumerate(pts)
+        )[: min(k, len(pts))]
+        want = [(rk + 1, pid) for rk, (_, pid) in enumerate(ranked)]
+        assert sorted(got[qid]) == want, f"probe {qid}"
