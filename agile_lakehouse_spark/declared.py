@@ -609,6 +609,68 @@ def stream_session_window_q(spark, sf_dir):
     )
 
 
+def stream_stateful_counts_q(spark, sf_dir):
+    """DQ64: CUSTOM stateful operator (``applyInPandasWithState``) through
+    the real streaming engine, hash-matched against a plain batch GROUP BY
+    oracle.
+
+    ``streaming/ingest.running_user_counts`` keeps one Arrow-batched state
+    row per user (running count); update mode emits a row per (user,
+    micro-batch), so the declared result collapses to the FINAL state with
+    max() — the count is monotone and last_ts is a max, both
+    arrival-order-independent.  This is the declared surface for custom
+    Python state logic (transformWithStateInPandas is unavailable in this
+    container — broken protobuf; probed in tests/test_streaming.py).
+    """
+    from agile_lakehouse_spark.streaming.ingest import running_user_counts
+
+    stream = _event_stream(spark, sf_dir)
+    updates = _run_stream(running_user_counts(stream), "update")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("bigint").alias("n_events"),
+            F.unix_millis(F.max("last_ts")).alias("last_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def pc_zorder_cells(spark, sf_dir):
+    """DQ70: Morton/Z-order cell keys, oracle-checked bit-for-bit.
+
+    The same ``plans/layout.zorder_key`` column expression that drives
+    ``write_grid_layout``'s ``repartitionByRange`` file clustering, grouped
+    per key with the (cell_x, cell_y) pair recovered alongside — the oracle
+    recomputes the interleave with explicit shift/mask SQL, proving the
+    space-filling curve the layout engine sorts by is exactly the one
+    declared (and bijective: one cell pair per zkey).
+    """
+    from agile_lakehouse_spark.plans.layout import zorder_key
+
+    g = pointcloud.grid_cells(_q(spark, sf_dir), {"x": GRID_DELTA, "y": GRID_DELTA})
+    return (
+        g.withColumn("zkey", zorder_key("cell_x", "cell_y", bits=16))
+        .groupBy("zkey")
+        .agg(
+            F.min("cell_x").alias("cell_x"),
+            F.min("cell_y").alias("cell_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+        .orderBy("zkey")
+    )
+
+
+def _zorder_duck(xcol: str, ycol: str, bits: int = 16) -> str:
+    """DuckDB expression mirroring plans/layout.zorder_key bit-for-bit."""
+    half = 1 << (bits - 1)
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} + {half}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({ycol} + {half}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
 KNN_JOIN_PROBES = [(0, 120.0, 240.0), (1, 300.0, 500.0), (2, 510.0, 480.0),
                    (3, 700.0, 150.0), (4, 260.0, 760.0)]
 KNN_JOIN_K = 5
@@ -1177,6 +1239,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq61_ann_recall": ann_recall_q,
     "dq62_knn_join": knn_join_q,
     "dq63_stream_session_window": stream_session_window_q,
+    "dq64_stream_stateful": stream_stateful_counts_q,
+    "dq65_tpch_q2": relational.tpch_q2_min_cost_supplier,
+    "dq66_tpch_q16": relational.tpch_q16_supplier_counts,
+    "dq67_tpch_q20": relational.tpch_q20_excess_suppliers,
+    "dq68_tpch_q22": relational.tpch_q22_idle_rich_customers,
+    "dq69_group_topk_sample": relational.group_topk_sample,
+    "dq70_pc_zorder_cells": pc_zorder_cells,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1239,3 +1308,66 @@ ORACLES["dq56_stream_static_join"] = """
            (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY nation ORDER BY nation"""
+# DQ64: the custom-state streaming operator must equal a plain batch GROUP BY
+ORACLES["dq64_stream_stateful"] = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, epoch_ms(max(ts)) AS last_ms
+    FROM events GROUP BY user_id ORDER BY user_id"""
+ORACLES["dq65_tpch_q2"] = """
+    WITH eligible AS (
+        SELECT l_partkey, l_suppkey, l_extendedprice, s_acctbal
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT DISTINCT p_partkey, l_suppkey AS s_suppkey,
+           (floor((l_extendedprice) * 10000.0 + 0.5) / 10000.0) AS best_price,
+           (floor((s_acctbal) * 10000.0 + 0.5) / 10000.0) AS s_acctbal
+    FROM part JOIN eligible e ON p_partkey = e.l_partkey
+    WHERE p_size <= 5
+      AND l_extendedprice = (SELECT min(e2.l_extendedprice)
+                             FROM eligible e2 WHERE e2.l_partkey = p_partkey)
+    ORDER BY p_partkey, s_suppkey"""
+ORACLES["dq66_tpch_q16"] = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY' AND p_size <= 25
+      AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+    GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+ORACLES["dq67_tpch_q20"] = """
+    SELECT s_name, (floor((s_acctbal) * 10000.0 + 0.5) / 10000.0) AS s_acctbal
+    FROM supplier WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+    ORDER BY s_name"""
+ORACLES["dq68_tpch_q22"] = """
+    WITH t AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM customer WHERE c_acctbal > 0)
+    SELECT CAST(c_nationkey AS BIGINT) AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+           (floor((CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS totacctbal
+    FROM customer, t
+    WHERE c_acctbal * t.n > t.total
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1"""
+
+from agile_lakehouse_spark.functions.portable import hex15_duck as _h15d
+
+ORACLES["dq69_group_topk_sample"] = f"""
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY {_h15d("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS BIGINT) AS rk
+        FROM documents)
+    WHERE rk <= 5 ORDER BY lang, rk"""
+ORACLES["dq70_pc_zorder_cells"] = f"""{POINTS_CTE},
+    cells AS (SELECT CAST(floor(x/{GRID_DELTA}) AS BIGINT) AS cell_x,
+                     CAST(floor(y/{GRID_DELTA}) AS BIGINT) AS cell_y FROM points)
+    SELECT ({_zorder_duck("cell_x", "cell_y")}) AS zkey,
+           min(cell_x) AS cell_x, min(cell_y) AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM cells GROUP BY 1 ORDER BY 1"""

@@ -985,3 +985,174 @@ def percent_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderkey")
     )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part via a correlated min (DQ64/dq65).
+
+    The fixture schema has no partsupp, so lineitem is the part↔supplier
+    link; semantics are Q2's exactly — for each part, keep only offers whose
+    price equals the minimum over the region-restricted supplier pool
+    (correlated scalar subquery in the oracle).  Spark-side the correlation
+    decorrelates by hand into a keyed min + self-join — the same plan
+    Catalyst produces for the subquery form, written explicitly so the
+    broadcast of the per-part min is visible.
+
+    Scale: the per-part min aggregate is map-side combinable and tiny
+    (|parts| rows) — broadcast back against the offers; the equality
+    predicate on a parquet-stored double is exact (no arithmetic on it).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    eligible = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "s_acctbal")
+    )
+    offers = part.filter(F.col("p_size") <= 5).join(
+        eligible, part["p_partkey"] == eligible["l_partkey"]
+    )
+    best = (
+        offers.groupBy("p_partkey")
+        .agg(F.min("l_extendedprice").alias("best_price"))
+        .withColumnRenamed("p_partkey", "bp_partkey")  # lineage-unambiguous self-join key
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers["p_partkey"] == F.col("bp_partkey"))
+            & (offers["l_extendedprice"] == F.col("best_price")),
+        )
+        .select(
+            offers["p_partkey"].alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            round4(F.col("best_price")).alias("best_price"),
+            round4(F.col("s_acctbal")).alias("s_acctbal"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts with an excluded-supplier
+    anti-join (dq66).
+
+    The NOT IN subquery (suppliers with negative balance standing in for
+    the complaints LIKE) is a left_anti join on the fact side; the oracle
+    uses NOT EXISTS so NULL semantics match left_anti exactly.
+
+    Scale: the excluded set is tiny → broadcast anti-join, no shuffle on
+    the fact; count(DISTINCT) expands to a two-phase partial/final agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "ECONOMY") & (F.col("p_size") <= 25))
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    )
+    return (
+        joined.groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers who shipped more than
+    a threshold of 'small%' parts in 1996 (dq67).
+
+    IN (SELECT ... IN (SELECT ...) GROUP BY ... HAVING) nests two levels;
+    both lower to semi-joins against aggregates.  Quantity sums are exact
+    decimal so the HAVING threshold is shuffle-order-stable.
+
+    Scale: the part-name filter prunes before the fact shuffle; the final
+    supplier probe is a broadcast semi-join (|qualifying suppliers| rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    wanted_parts = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(wanted_parts), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(heavy), supp["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .select("s_name", round4(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery + anti-join (dq68).
+
+    Customers with above-average (positive) balance and no order since
+    2000, aggregated per nation.  The average threshold is compared
+    cross-multiplied (``c_acctbal * n > total``) so no division happens —
+    the decimal sum and the IEEE multiply are bit-identical cross-engine,
+    where a double division could differ in the last ulp right at the
+    boundary.
+
+    Scale: the scalar aggregate is one row (broadcast); the anti-join
+    shuffles once on custkey; the recency predicate prunes the orders side
+    before the shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") * F.col("n") > F.col("total"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            round4(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+def group_topk_sample(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Deterministic per-group sample: exactly min(k, |group|) docs per
+    language, membership a pure function of doc_id (dq69).
+
+    Rank-by-portable-hash generalizes dq36's Bernoulli stratified sample to
+    EXACT per-stratum sizes — the reservoir-sample shape, derandomized.
+    Spark 3.5+ plans the rank filter as WindowGroupLimit: each map task
+    keeps only its local top-k per group BEFORE the shuffle (asserted in
+    tests/test_plans.py), so shuffle volume is O(k·groups·tasks), not
+    O(rows) — the property that makes per-group sampling viable at 100 TB.
+    """
+    from agile_lakehouse_spark.functions import portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(portable.hex15_spark("CAST(doc_id AS STRING)"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= k)
+        .orderBy("lang", "rk")
+    )

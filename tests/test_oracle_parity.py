@@ -21,6 +21,8 @@ SUBSET = [
     "dq21b_dedup_minhash", # portable hash + LSH
     "dq22_ann_topk",       # fold-order-sensitive dot products
     "dq23c_quality_score", # rational-arithmetic rounding ties
+    "dq65_tpch_q2",        # correlated-min equality on stored doubles
+    "dq70_pc_zorder_cells",# Morton bit-interleave portability
 ]
 
 

@@ -299,3 +299,20 @@ def test_salted_join_balances_hot_key(spark):
     assert len(groups) == salt, "hot key must occupy every salt bucket"
     counts = [r["count"] for r in groups]
     assert max(counts) < 8000 * 2 / salt, f"bucket sizes too skewed: {counts}"
+
+
+def test_group_topk_sample_uses_window_group_limit(spark, sf_dir):
+    """dq69's rank<=k filter must plan a partial per-group limit BELOW the
+    shuffle (WindowGroupLimit): shuffle volume O(k*groups*tasks), not O(rows) —
+    the property that makes per-group sampling viable at 100 TB."""
+    df = relational.group_topk_sample(spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_q16_excluded_suppliers_anti_join_is_broadcast(spark, sf_dir):
+    """dq66's NOT-IN set is tiny: the anti-join must be broadcast, never a
+    shuffle of the lineitem fact."""
+    plan = explain.formatted_plan(relational.tpch_q16_supplier_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
