@@ -37,10 +37,15 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
 
 
 class CommitConflict(RuntimeError):
     """Another writer committed this version first — retry on latest."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Incompatible schema change (type change / non-additive evolution)."""
 
 
 class TransactionalTable:
@@ -78,6 +83,7 @@ class TransactionalTable:
         op: str,
         txn: tuple[str, int] | None = None,
         base: int | None | object = _UNSET,
+        schema: StructType | None = None,
     ) -> int:
         """Commit ``files`` as the snapshot SUCCEEDING version ``base``.
 
@@ -106,6 +112,13 @@ class TransactionalTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        if schema is None and base is not None:
+            # ops that don't change the schema carry the base's forward
+            schema_json = self._read_manifest(base).get("schema")
+            if schema_json is not None:
+                manifest["schema"] = schema_json
+        elif schema is not None:
+            manifest["schema"] = schema.jsonValue()
         if txn is not None:
             # streaming-sink transaction marker (Delta's txn appId/version):
             # lets an idempotent writer detect an already-committed batch
@@ -184,20 +197,58 @@ class TransactionalTable:
             }
         return out
 
+    def _evolved_schema(self, base: int | None, df: DataFrame) -> StructType:
+        """Schema for a commit appending ``df`` on top of version ``base``.
+
+        Additive evolution only (the Delta/Iceberg default): new columns
+        join the schema as nullable (old files simply lack them — readers
+        see NULL); a same-name column with a DIFFERENT type is rejected,
+        because parquet files written under both types would make the
+        column unreadable under either.  Column order follows the base
+        schema, new columns appended.
+        """
+        prev: StructType | None = None
+        if base is not None:
+            schema_json = self._read_manifest(base).get("schema")
+            if schema_json is not None:
+                prev = StructType.fromJson(schema_json)
+        if prev is None:
+            return df.schema
+        by_name = {f.name: f for f in prev.fields}
+        out = list(prev.fields)
+        for f in df.schema.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                out.append(StructField(f.name, f.dataType, nullable=True))
+            elif old.dataType != f.dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} changes type {old.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}; only additive evolution is supported"
+                )
+        return StructType(out)
+
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
-        """ACID append: new snapshot = previous files + newly staged files."""
+        """ACID append: new snapshot = previous files + newly staged files.
+
+        The committed schema is the additive merge of the table's and the
+        DataFrame's (see :func:`_evolved_schema`) — appending a frame with
+        a new column widens the table; old rows read NULL for it.
+        """
         new_files = self._stage(df)
         latest = self.latest_version()
         prev = self._read_manifest(latest)["files"] if latest is not None else []
-        return self._commit(prev + new_files, "append", txn=txn, base=latest)
+        schema = self._evolved_schema(latest, df)
+        return self._commit(prev + new_files, "append", txn=txn, base=latest, schema=schema)
 
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """ACID overwrite: new snapshot references only the new files.
 
         Old files stay on disk for time travel until :func:`vacuum`.
+        The schema is replaced wholesale (overwrite = new table contents);
+        time travel still reads each old version under ITS schema.
         """
         base = self.latest_version()
-        return self._commit(self._stage(df), "overwrite", txn=txn, base=base)
+        return self._commit(self._stage(df), "overwrite", txn=txn, base=base, schema=df.schema)
 
     def added_files(self, since_version: int | None, version: int | None = None) -> list[str]:
         """Data files present in ``version`` but not in ``since_version``
@@ -227,7 +278,8 @@ class TransactionalTable:
         files = self.added_files(since_version, version)
         if not files:
             return self.read(spark, version).limit(0)
-        return spark.read.parquet(*files)
+        v = self.latest_version() if version is None else version
+        return self._read_files(spark, files, v)
 
     def appends_only_between(self, since_version: int | None, version: int | None = None) -> bool:
         """True if every commit in (since, version] kept all prior files
@@ -263,12 +315,15 @@ class TransactionalTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         latest = self.latest_version()
         files = self._read_manifest(latest)["files"]
-        tagged = spark.read.parquet(*files).withColumn("_file", F.input_file_name())
+        # version-schema reads: a post-evolution file set is heterogeneous,
+        # and a bare parquet read would take one file's footer as THE schema
+        # (dropping newer columns from rewritten survivors)
+        tagged = self._read_files(spark, files, latest).withColumn("_file", F.input_file_name())
         affected = self._affected_files(spark, files, tagged.filter(cond))
         if not affected:
             return latest  # nothing to delete — no new version needed
         survivors = (
-            spark.read.parquet(*affected)
+            self._read_files(spark, affected, latest)
             .filter(~cond)
         )
         keep = [f for f in files if f not in set(affected)]
@@ -299,31 +354,49 @@ class TransactionalTable:
 
         latest = self.latest_version()
         if latest is None:
-            return self._commit(self._stage(source), "merge", txn=txn, base=latest)
+            return self._commit(self._stage(source), "merge", txn=txn, base=latest, schema=source.schema)
+        schema = self._evolved_schema(latest, source)
         files = self._read_manifest(latest)["files"]
         keys = source.select(key).distinct()
-        tagged = spark.read.parquet(*files).withColumn("_file", F.input_file_name())
+        tagged = self._read_files(spark, files, latest).withColumn("_file", F.input_file_name())
         affected = self._affected_files(spark, files, tagged.join(F.broadcast(keys), key, "left_semi"))
         keep = [f for f in files if f not in set(affected)]
         new_files = []
         if affected:
-            survivors = spark.read.parquet(*affected).join(F.broadcast(keys), key, "left_anti")
+            survivors = self._read_files(spark, affected, latest).join(F.broadcast(keys), key, "left_anti")
             if survivors.limit(1).count():
                 new_files += self._stage(survivors)
         new_files += self._stage(source)
-        return self._commit(keep + new_files, "merge", txn=txn, base=latest)
+        return self._commit(keep + new_files, "merge", txn=txn, base=latest, schema=schema)
 
     # -- read paths ----------------------------------------------------------
 
+    def _read_files(self, spark: SparkSession, files: list[str], version: int) -> DataFrame:
+        """Read ``files`` under the schema committed at ``version``.
+
+        The explicit schema is what makes additive evolution work: files
+        written before a column existed simply lack it in their footer and
+        the reader fills NULL — no mergeSchema footer-sweep job (which at
+        100 TB reads every footer just to plan the scan)."""
+        schema_json = self._read_manifest(version).get("schema")
+        reader = spark.read
+        if schema_json is not None:
+            reader = reader.schema(StructType.fromJson(schema_json))
+        return reader.parquet(*files)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Consistent snapshot read; ``version`` enables time travel."""
+        """Consistent snapshot read; ``version`` enables time travel.
+
+        Each version is read under the schema COMMITTED AT that version —
+        time travel to before a column was added shows the old shape.
+        """
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version in {self.path}")
         files = self._read_manifest(v)["files"]
         if not files:
             raise FileNotFoundError("empty snapshot")
-        return spark.read.parquet(*files)
+        return self._read_files(spark, files, v)
 
     def prune_files(self, ranges: dict[str, tuple[float, float]], version: int | None = None) -> list[str]:
         """Manifest-stats file skipping: the files a scan with the given
@@ -369,10 +442,11 @@ class TransactionalTable:
 
         if not ranges:
             return self.read(spark, version)
+        v = self.latest_version() if version is None else version
         files = self.prune_files(ranges, version)
         if not files:
             return self.read(spark, version).limit(0)
-        df = spark.read.parquet(*files)
+        df = self._read_files(spark, files, v)
         pred = F.lit(True)
         for col, (lo, hi) in ranges.items():
             pred = pred & (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))

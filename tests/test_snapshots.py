@@ -275,3 +275,61 @@ def test_commit_with_retry_under_contention(spark, tmp_path):
     assert not errs, errs
     assert t.read(spark).count() == 1 + 8 * 10
     assert t.latest_version() == 8  # exactly one version per successful append
+
+
+def _df_lang(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+    )
+
+
+def test_schema_evolution_additive(spark, table):
+    """Appending a frame with a new column widens the table: old rows read
+    NULL for it, and time travel still shows each version's own shape."""
+    table.append(_df(spark, 0, 5))
+    table.append(_df_lang(spark, 5, 8))
+    latest = table.read(spark)
+    assert set(latest.columns) == {"k", "v", "lang"}
+    assert latest.count() == 8
+    assert latest.filter(F.col("lang").isNull()).count() == 5
+    assert latest.filter(F.col("lang") == "en").count() == 3
+    assert set(table.read(spark, version=0).columns) == {"k", "v"}
+
+
+def test_schema_evolution_rejects_type_change(spark, table):
+    from agile_lakehouse_spark.plans.snapshots import SchemaEvolutionError
+
+    table.append(_df(spark, 0, 5))
+    retyped = spark.range(5, 6).select(
+        F.col("id").cast("string").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    with pytest.raises(SchemaEvolutionError):
+        table.append(retyped)
+    assert table.read(spark).count() == 5  # failed append committed nothing
+
+
+def test_delete_rewrite_preserves_evolved_column(spark, table):
+    """Copy-on-write DELETE over a mixed-schema file set must rewrite
+    survivors under the VERSION schema — a bare parquet read could adopt an
+    old file's footer as the schema and silently drop the new column."""
+    table.append(_df(spark, 0, 5))
+    table.append(_df_lang(spark, 5, 8))
+    table.delete_where(spark, "k = 6")
+    latest = table.read(spark)
+    assert latest.count() == 7
+    kept = {r.k for r in latest.filter(F.col("lang") == "en").collect()}
+    assert kept == {5, 7}, "survivors of the rewritten file must keep their lang values"
+
+
+def test_merge_upsert_with_evolution(spark, table):
+    """MERGE whose source carries a new column evolves the schema; matched
+    rows take the source values, unmatched old rows read NULL."""
+    table.append(_df(spark, 0, 5))
+    src = spark.range(3, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v"), F.lit("de").alias("lang")
+    )
+    table.merge(spark, src, key="k")
+    latest = table.read(spark)
+    assert latest.count() == 7
+    assert latest.filter((F.col("k") == 4) & (F.col("v") == 400) & (F.col("lang") == "de")).count() == 1
+    assert latest.filter(F.col("lang").isNull()).count() == 3  # k=0,1,2 untouched
