@@ -86,6 +86,64 @@ def default_centroids(df: DataFrame, m: int = 8, vec_col: str = "embedding", id_
     )
 
 
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the IVF centroid trainer.
+
+    Spherical variant matching :func:`ivf_assign`'s query-time metric:
+    assignment is max-cosine (min-id ties), update is the per-cell
+    coordinate mean.  Each round is ONE distributed pass — broadcast the k
+    centroids, assign, ``posexplode`` + groupBy(cell, pos) mean — and only
+    k×dim aggregated doubles return to the driver, which rebuilds the next
+    round's centroid literals (the same driver-coordinated-round shape as
+    the connected-components loop; no growing lineage, no checkpoint).
+
+    Init is deterministic and partition-invariant: the k vectors with the
+    lowest portable md5 hash of their id — a seedless random draw that any
+    engine can reproduce.  Cells that lose all members keep their previous
+    centroid.  At 100 TB: train on a hash-sampled subset (dq36's portable
+    Bernoulli filter), then one full ``ivf_assign`` pass writes the layout.
+    """
+    from agile_lakehouse_spark.functions.portable import hex15_spark
+
+    spark = df.sparkSession
+    init = (
+        df.select(id_col, vec_col)
+        .orderBy(F.expr(hex15_spark(f"CAST({id_col} AS STRING)")).asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    cents: dict[int, list[float]] = {
+        cid: [float(v) for v in row[vec_col]] for cid, row in enumerate(init)
+    }
+    vecs = df.select(id_col, vec_col)
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            sorted(cents.items()), schema="centroid_id INT, centroid_vec ARRAY<DOUBLE>"
+        )
+        assigned = ivf_assign(vecs, cdf, vec_col, id_col)
+        means = (
+            assigned.join(vecs, id_col)
+            .selectExpr("cell", f"posexplode({vec_col}) AS (pos, val)")
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cid, coords in by_cell.items():
+            cents[cid] = [coords[p] for p in range(len(coords))]
+    return spark.createDataFrame(
+        sorted(cents.items()), schema="centroid_id INT, centroid_vec ARRAY<DOUBLE>"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     qvec: list[float],
@@ -94,13 +152,17 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` cells nearest the query.
 
     Query-to-centroid ranking happens on the tiny centroid table; the big
     table is filtered to those cells before the exact kernel runs.
+    ``centroids`` defaults to the fixed :func:`default_centroids` (oracle
+    parity needs exactness); pass :func:`kmeans_train` output for the
+    trained variant.
     """
-    cents = default_centroids(df, m, vec_col, id_col)
+    cents = default_centroids(df, m, vec_col, id_col) if centroids is None else centroids
     q = _query_array(qvec)
     probe_cells = (
         cents.select("centroid_id", vector.cosine(F.col("centroid_vec"), q).alias("qcos"))

@@ -241,3 +241,62 @@ def test_seq_packing_bins_are_monotone_and_tight(spark):
     # 30 tokens/doc, capacity 100 -> docs 0-3 start under 100 (bins 0), etc.
     # bin of doc i = floor(30*i / 100)
     assert bins == [(30 * i) // 100 for i in range(20)]
+
+
+def test_kmeans_train_matches_reference(spark, sf_dir):
+    """Lloyd rounds must equal an independent numpy replication exactly
+    (same portable-hash init, max-cosine/min-id assignment, coordinate-mean
+    update) within float tolerance — catches wrong tie-breaks, transposed
+    pos/cell grouping, or a drifted init order."""
+    import hashlib
+    import math
+
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters = 4, 3
+    got = {
+        r["centroid_id"]: list(r["centroid_vec"])
+        for r in similarity.kmeans_train(emb, k=k, iters=iters).collect()
+    }
+
+    rows = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in emb.select("vec_id", "embedding").collect()]
+
+    def h(vid):
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+    init = sorted(rows, key=lambda t: (h(t[0]), t[0]))[:k]
+    cents = {cid: vec[:] for cid, (_, vec) in enumerate(init)}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    for _ in range(iters):
+        members = {}
+        for vid, vec in rows:
+            best = max(sorted(cents), key=lambda c: (cos(vec, cents[c]), -c))
+            members.setdefault(best, []).append(vec)
+        for cid, vs in members.items():
+            dim = len(vs[0])
+            cents[cid] = [sum(v[p] for v in vs) / len(vs) for p in range(dim)]
+
+    assert set(got) == set(cents)
+    for cid in cents:
+        for a, b in zip(got[cid], cents[cid]):
+            assert abs(a - b) < 1e-6, f"centroid {cid} diverged: {a} vs {b}"
+
+
+def test_ivf_with_trained_centroids_probes_subset(spark, sf_dir):
+    """ivf_topk over kmeans_train centroids returns k rows whose ids are a
+    subset of the corpus and whose scores never exceed the exact top-1."""
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [1.0] * 8 + [0.0] * 56
+    cents = similarity.kmeans_train(emb, k=4, iters=2)
+    approx = similarity.ivf_topk(emb, q, k=5, nprobe=2, centroids=cents).collect()
+    exact_best = similarity.cosine_topk(emb, q, k=1).collect()[0]["cos"]
+    assert len(approx) == 5
+    assert all(r["cos"] <= exact_best + 1e-9 for r in approx)
