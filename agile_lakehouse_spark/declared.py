@@ -1246,6 +1246,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq68_tpch_q22": relational.tpch_q22_idle_rich_customers,
     "dq69_group_topk_sample": relational.group_topk_sample,
     "dq70_pc_zorder_cells": pc_zorder_cells,
+    "dq71_weighted_sample": relational.weighted_sample,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1371,3 +1372,11 @@ ORACLES["dq70_pc_zorder_cells"] = f"""{POINTS_CTE},
            min(cell_x) AS cell_x, min(cell_y) AS cell_y,
            CAST(count(*) AS BIGINT) AS n_points
     FROM cells GROUP BY 1 ORDER BY 1"""
+
+ORACLES["dq71_weighted_sample"] = f"""
+    WITH m AS (SELECT CAST(max(n_chars) AS BIGINT) AS maxc FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE ({_h15d("CAST(doc_id AS VARCHAR)")} % 100000) * maxc < n_chars * 20000) AS BIGINT) AS n_sampled,
+           (floor((avg(n_chars) FILTER (WHERE ({_h15d("CAST(doc_id AS VARCHAR)")} % 100000) * maxc < n_chars * 20000)) * 10000.0 + 0.5) / 10000.0) AS avg_sampled_chars
+    FROM documents, m
+    GROUP BY lang ORDER BY lang"""

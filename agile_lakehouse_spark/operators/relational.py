@@ -1156,3 +1156,36 @@ def group_topk_sample(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
         .filter(F.col("rk") <= k)
         .orderBy("lang", "rk")
     )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling (dq71): a document's keep
+    probability scales with its length, membership a pure function of
+    doc_id.
+
+    Keep iff ``(h(doc_id) % 100000) * max_chars < n_chars * 20000`` — i.e.
+    p(doc) = 0.2 * n_chars/max_chars, decided entirely in INTEGER
+    arithmetic (cross-multiplied, like dq68's average threshold) so no
+    float rounding can flip a boundary row between engines.  This is the
+    importance-sampling primitive of training-data pipelines (upweight
+    long/high-quality docs) in the same derandomized family as dq36/dq69.
+
+    Scale: one broadcast of the 1-row max, one map-side-combinable pass;
+    membership survives repartitioning, engine swaps, and cluster resizes.
+    """
+    from agile_lakehouse_spark.functions import portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    maxc = docs.agg(F.max("n_chars").cast("bigint").alias("maxc"))
+    h = F.expr(portable.hex15_spark("CAST(doc_id AS STRING)")) % 100000
+    keep = (h * F.col("maxc")) < (F.col("n_chars").cast("bigint") * 20000)
+    return (
+        docs.crossJoin(F.broadcast(maxc))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            round4(F.avg(F.when(keep, F.col("n_chars")))).alias("avg_sampled_chars"),
+        )
+        .orderBy("lang")
+    )
