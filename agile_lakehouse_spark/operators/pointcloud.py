@@ -304,11 +304,20 @@ def knn_join(
     """
     from pyspark.sql.window import Window as W
 
+    from agile_lakehouse_spark.operators.dedup import spread
+
     p = probes.select(
         F.col(probe_id), F.col(x).alias("_qx"), F.col(y).alias("_qy")
     )
-    scored = points.select(F.col(id_col), F.col(x), F.col(y)).crossJoin(F.broadcast(p))
-    dist2 = F.pow(F.col(x) - F.col("_qx"), 2) + F.pow(F.col(y) - F.col("_qy"), 2)
+    # spread BEFORE the |probes|x amplification: a few-file scan would pin
+    # the scoring + partial top-k on a few cores (3.3s -> 0.9s at sf0.1)
+    narrow = spread(points.select(F.col(id_col), F.col(x), F.col(y)))
+    scored = narrow.crossJoin(F.broadcast(p))
+    # (a-b)*(a-b), not pow(a-b, 2): same correctly-rounded product, but a
+    # plain multiply in codegen instead of a Math.pow call per pair
+    dx = F.col(x) - F.col("_qx")
+    dy = F.col(y) - F.col("_qy")
+    dist2 = dx * dx + dy * dy
     w = W.partitionBy(probe_id).orderBy(F.asc("_d2"), F.asc(id_col))
     return (
         scored.withColumn("_d2", dist2)

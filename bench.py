@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "dq39_interval_join",
     "dq41_range_frame",
     "dq42_histogram",
+    "dq62_knn_join",
+    "dq65_tpch_q2",
+    "dq69_group_topk_sample",
+    "dq71_weighted_sample",
 ]
 
 
