@@ -636,6 +636,62 @@ def stream_stateful_counts_q(spark, sf_dir):
     )
 
 
+def stream_sliding_window_q(spark, sf_dir):
+    """DQ72: streaming SLIDING windows (width 10 min, slide 5 min) through
+    the real engine — every event lands in exactly width/slide = 2
+    overlapping windows, the state shape tumbling windows (dq54) never
+    exercises.
+
+    The oracle replays the window-assignment rule arithmetically: starts
+    ``300*floor(t/300) - j*300`` for j in {0,1}, i.e. the epoch-aligned
+    slide multiples within (t - width, t] — exactly the starts Spark's
+    ``window(ts, width, slide)`` generates.
+    """
+    stream = _event_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "10 minutes", "5 minutes")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        round4(F.sum("value")).alias("sum_value"),
+    )
+    done = _run_stream(agg, "complete")
+    return (
+        done.select(
+            F.unix_timestamp(F.col("window.start")).alias("w_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start")
+    )
+
+
+def stream_watermark_append_q(spark, sf_dir):
+    """DQ73: watermark EVICTION under the oracle gate — append-mode
+    windowed aggregation emits a window only once the watermark
+    (max event time − 10 min) passes its end; the trailing windows stay in
+    state forever and never appear.
+
+    Deterministic because availableNow runs a final no-data micro-batch
+    (``noDataMicroBatches`` default-on) that advances the watermark to
+    max−delay and flushes every closed window.  The oracle replays exactly
+    that rule: keep buckets with ``(bucket+1)*600000 <= max_ms − 600000``.
+    Boundary note: the fixture's max ts sits 432 s from the nearest bucket
+    boundary (checked), so the <= vs < edge cannot flip the result.
+    """
+    stream = _event_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(F.window("ts", "10 minutes")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        round4(F.sum("value")).alias("sum_value"),
+    )
+    done = _run_stream(agg, "append")
+    return (
+        done.select(
+            F.expr("unix_timestamp(window.start) div 600").alias("bucket"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket")
+    )
+
+
 def pc_zorder_cells(spark, sf_dir):
     """DQ70: Morton/Z-order cell keys, oracle-checked bit-for-bit.
 
@@ -1247,6 +1303,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq69_group_topk_sample": relational.group_topk_sample,
     "dq70_pc_zorder_cells": pc_zorder_cells,
     "dq71_weighted_sample": relational.weighted_sample,
+    "dq72_stream_sliding_window": stream_sliding_window_q,
+    "dq73_stream_watermark_append": stream_watermark_append_q,
 }
 
 ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
@@ -1380,3 +1438,17 @@ ORACLES["dq71_weighted_sample"] = f"""
            (floor((avg(n_chars) FILTER (WHERE ({_h15d("CAST(doc_id AS VARCHAR)")} % 100000) * maxc < n_chars * 20000)) * 10000.0 + 0.5) / 10000.0) AS avg_sampled_chars
     FROM documents, m
     GROUP BY lang ORDER BY lang"""
+ORACLES["dq72_stream_sliding_window"] = """
+    SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+           (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+    FROM (
+        SELECT (CAST(floor(epoch_ms(ts) / 1000.0 / 300.0) AS BIGINT) - j.j) * 300 AS w_start, value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS j(j))
+    GROUP BY w_start ORDER BY w_start"""
+ORACLES["dq73_stream_watermark_append"] = """
+    WITH m AS (SELECT epoch_ms(max(ts)) - 600000 AS wm FROM events),
+    b AS (SELECT CAST(floor(epoch_ms(ts) / 1000.0 / 600.0) AS BIGINT) AS bucket, value FROM events)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+           (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
+    FROM b, m WHERE (bucket + 1) * 600000 <= wm
+    GROUP BY bucket ORDER BY bucket"""
