@@ -1442,12 +1442,12 @@ ORACLES["dq72_stream_sliding_window"] = """
     SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
            (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
     FROM (
-        SELECT (CAST(floor(epoch_ms(ts) / 1000.0 / 300.0) AS BIGINT) - j.j) * 300 AS w_start, value
+        SELECT (((epoch_ms(ts) // 1000) // 300) - j.j) * 300 AS w_start, value
         FROM events CROSS JOIN (VALUES (0), (1)) AS j(j))
     GROUP BY w_start ORDER BY w_start"""
 ORACLES["dq73_stream_watermark_append"] = """
     WITH m AS (SELECT epoch_ms(max(ts)) - 600000 AS wm FROM events),
-    b AS (SELECT CAST(floor(epoch_ms(ts) / 1000.0 / 600.0) AS BIGINT) AS bucket, value FROM events)
+    b AS (SELECT (epoch_ms(ts) // 1000) // 600 AS bucket, value FROM events)
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
            (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
     FROM b, m WHERE (bucket + 1) * 600000 <= wm

@@ -988,7 +988,7 @@ def percent_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: min-cost supplier per part via a correlated min (DQ64/dq65).
+    """TPC-H Q2 shape: min-cost supplier per part via a correlated min (dq65).
 
     The fixture schema has no partsupp, so lineitem is the part↔supplier
     link; semantics are Q2's exactly — for each part, keep only offers whose
@@ -1143,7 +1143,7 @@ def group_topk_sample(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame
     EXACT per-stratum sizes — the reservoir-sample shape, derandomized.
     Spark 3.5+ plans the rank filter as WindowGroupLimit: each map task
     keeps only its local top-k per group BEFORE the shuffle (asserted in
-    tests/test_plans.py), so shuffle volume is O(k·groups·tasks), not
+    tests/test_relational_plans.py), so shuffle volume is O(k·groups·tasks), not
     O(rows) — the property that makes per-group sampling viable at 100 TB.
     """
     from agile_lakehouse_spark.functions import portable

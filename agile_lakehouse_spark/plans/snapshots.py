@@ -197,7 +197,7 @@ class TransactionalTable:
             }
         return out
 
-    def _evolved_schema(self, base: int | None, df: DataFrame) -> StructType:
+    def _evolved_schema(self, base: int | None, df: DataFrame) -> StructType | None:
         """Schema for a commit appending ``df`` on top of version ``base``.
 
         Additive evolution only (the Delta/Iceberg default): new columns
@@ -207,13 +207,16 @@ class TransactionalTable:
         column unreadable under either.  Column order follows the base
         schema, new columns appended.
         """
-        prev: StructType | None = None
-        if base is not None:
-            schema_json = self._read_manifest(base).get("schema")
-            if schema_json is not None:
-                prev = StructType.fromJson(schema_json)
-        if prev is None:
+        if base is None:
             return df.schema
+        schema_json = self._read_manifest(base).get("schema")
+        if schema_json is None:
+            # legacy table (committed before schemas were recorded): the full
+            # column set is unknown, so committing df.schema could HIDE old
+            # files' extra columns behind an explicit narrower read schema —
+            # keep the schemaless read path instead
+            return None
+        prev = StructType.fromJson(schema_json)
         by_name = {f.name: f for f in prev.fields}
         out = list(prev.fields)
         for f in df.schema.fields:
