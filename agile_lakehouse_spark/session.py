@@ -49,6 +49,9 @@ def get_session(
         # parquet TIMESTAMP(NANOS) is not a Spark type: read as long,
         # sources/catalog.py converts to microsecond timestamps exactly
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps read as LTZ (UTC session), never NTZ —
+        # event-time streaming ops (withWatermark) reject TIMESTAMP_NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.columnIndex.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")

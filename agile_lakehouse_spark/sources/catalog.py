@@ -62,6 +62,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # makes TIMESTAMP(NANOS) parquet readable at all.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps (isAdjustedToUTC=false) must read as LTZ
+    # TIMESTAMP, not TIMESTAMP_NTZ: withWatermark/event-time ops reject NTZ,
+    # and with the session pinned to UTC the wall-clock arithmetic is
+    # identical either way (oracle-verified).  Spark 4 infers NTZ by default.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
