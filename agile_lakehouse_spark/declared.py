@@ -1213,6 +1213,245 @@ ORACLE_R2B = {
 # ---------------------------------------------------------------------------
 # registry
 
+# ---------------------------------------------------------------------------
+# round-2c: TPC-H completion, events analytics, graph + corpus-quality ops
+
+
+def triangle_count_q(spark, sf_dir):
+    """DQ86: exact triangle count on the user co-activity graph.
+
+    Edges = user pairs active in the same minute bucket (canonical u < v
+    orientation, deduped); counting via operators/graph.triangle_count.
+    Minute buckets keep the graph SPARSE at every scale factor (the
+    supplier co-shipment graph is ~90% complete — triangle counting on a
+    near-clique is intrinsically n³ and tells you nothing); the oracle
+    replays the same wedge-close join as recursion-free SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("bigint").alias("m"),
+        )
+        .distinct()
+    )
+    l, r = b.alias("l"), b.alias("r")
+    edges = (
+        l.join(
+            r,
+            (F.col("l.m") == F.col("r.m")) & (F.col("l.user_id") < F.col("r.user_id")),
+        )
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+    return graph.triangle_count(edges)
+
+
+def repetition_q(spark, sf_dir):
+    """DQ87: Gopher-style per-doc repetition signals (text.repetition_stats)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def rare_bigram_q(spark, sf_dir):
+    """DQ88: corpus-rare-bigram fraction per doc (text.rare_bigram_ratio)."""
+    return text.rare_bigram_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def regex_stats_q(spark, sf_dir):
+    """DQ89: JVM-regex pattern counts per doc (text.regex_pattern_stats)."""
+    return text.regex_pattern_stats(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAMS_DUCK = (
+    "list_transform(generate_series(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+ORACLE_R2C = {
+    "dq74_tpch_q4": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "dq75_tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "dq76_tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey < 3
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey AND c_nationkey < 3
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""",
+    "dq77_tpch_q10": """
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_nationkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "dq78_tpch_q12": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "dq79_tpch_q13": """
+        WITH per AS (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+            GROUP BY c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "dq80_tpch_q14": """
+        WITH j AS (
+            SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                   p_type
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                             ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(rev) AS DOUBLE) AS total_revenue,
+               (floor((100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                             ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+                   / CAST(sum(rev) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS promo_pct
+        FROM j""",
+    "dq81_tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               (floor((CAST(total_rev AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey""",
+    "dq82_tpch_q19": """
+        SELECT (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "dq83_tpch_q21": """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        ms AS (
+            SELECT l_orderkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+        sl AS (
+            SELECT l_orderkey FROM late
+            GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1)
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM late
+        JOIN supplier ON s_suppkey = late.l_suppkey
+        WHERE late.l_orderkey IN (SELECT l_orderkey FROM ms)
+          AND late.l_orderkey IN (SELECT l_orderkey FROM sl)
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey LIMIT 25""",
+    "dq84_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id AS user_id, min(e.ts) AS t_click
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        p AS (SELECT e.user_id AS user_id, min(e.ts) AS t_buy
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased""",
+    "dq85_retention": """
+        WITH wks AS (SELECT user_id,
+                            CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT) AS w
+                     FROM events),
+        f AS (SELECT user_id, min(w) AS cohort_week FROM wks GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, w AS active_week FROM wks)
+        SELECT f.cohort_week AS cohort_week,
+               a.active_week - f.cohort_week AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset""",
+    "dq86_triangles": """
+        WITH b AS (
+            SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS m
+            FROM events),
+        e AS (
+            SELECT DISTINCT l.user_id AS u, r.user_id AS v
+            FROM b l JOIN b r ON l.m = r.m AND l.user_id < r.user_id)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    "dq87_repetition": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+                        {_BIGRAMS_DUCK} AS bgs
+                 FROM t),
+        cnt AS (SELECT doc_id, bg, count(*) AS c
+                FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY doc_id, bg),
+        mx AS (SELECT doc_id, max(c) AS max_bg FROM cnt GROUP BY doc_id)
+        SELECT base.doc_id AS doc_id, n_tokens, n_distinct_tokens,
+               CAST(coalesce(max_bg, 0) AS BIGINT) AS max_bigram_count,
+               (floor((coalesce(max_bg, 0) / CAST(greatest(n_tokens - 1, 1) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS top_bigram_frac
+        FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id
+        ORDER BY doc_id""",
+    "dq88_rare_bigrams": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        pairs AS (SELECT DISTINCT doc_id, bg
+                  FROM (SELECT doc_id, unnest({_BIGRAMS_DUCK}) AS bg FROM t)),
+        dfreq AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY bg)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_bigrams,
+               (floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS unique_frac
+        FROM pairs JOIN dfreq USING (bg)
+        GROUP BY doc_id ORDER BY doc_id""",
+    "dq89_regex_stats": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\bs\w*')) AS BIGINT) AS n_s_words,
+               CAST(len(regexp_extract_all(text, '\w*e\b')) AS BIGINT) AS n_e_words,
+               CAST(len(regexp_extract_all(text, '\btable\b')) AS BIGINT) AS n_table
+        FROM documents ORDER BY doc_id""",
+}
+
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq01_pc_scan_count": pc_scan_count,
     "dq02_pc_range": pc_range,
@@ -1305,9 +1544,32 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq71_weighted_sample": relational.weighted_sample,
     "dq72_stream_sliding_window": stream_sliding_window_q,
     "dq73_stream_watermark_append": stream_watermark_append_q,
+    "dq74_tpch_q4": relational.tpch_q4_priority_count,
+    "dq75_tpch_q6": relational.tpch_q6_forecast_revenue,
+    "dq76_tpch_q7": relational.tpch_q7_volume_shipping,
+    "dq77_tpch_q10": relational.tpch_q10_returned_items,
+    "dq78_tpch_q12": relational.tpch_q12_shipmode_priority,
+    "dq79_tpch_q13": relational.tpch_q13_customer_distribution,
+    "dq80_tpch_q14": relational.tpch_q14_promo_revenue,
+    "dq81_tpch_q15": relational.tpch_q15_top_supplier,
+    "dq82_tpch_q19": relational.tpch_q19_disjunctive_revenue,
+    "dq83_tpch_q21": relational.tpch_q21_waiting_suppliers,
+    "dq84_funnel": relational.funnel_conversion,
+    "dq85_retention": relational.retention_cohorts,
+    "dq86_triangles": triangle_count_q,
+    "dq87_repetition": repetition_q,
+    "dq88_rare_bigrams": rare_bigram_q,
+    "dq89_regex_stats": regex_stats_q,
 }
 
-ORACLES: dict[str, str] = {**ORACLE_PC, **ORACLE_REL, **ORACLE_LLM, **ORACLE_R2, **ORACLE_R2B}
+ORACLES: dict[str, str] = {
+    **ORACLE_PC,
+    **ORACLE_REL,
+    **ORACLE_LLM,
+    **ORACLE_R2,
+    **ORACLE_R2B,
+    **ORACLE_R2C,
+}
 # streaming twin: the REAL streaming engine must match the batch oracle exactly
 ORACLES["dq54_stream_time_bucket"] = ORACLE_REL["dq20_time_bucket"]
 ORACLES["dq55_stream_dedup"] = """

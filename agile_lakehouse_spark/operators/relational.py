@@ -1189,3 +1189,397 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2c: TPC-H shape completion (dq74-dq83)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts gated by an EXISTS (dq74).
+
+    Orders in one quarter that have at least one "late" lineitem (shipped
+    more than 60 days after the order date — the fixture's stand-in for
+    Q4's commitdate < receiptdate).  The correlated EXISTS decorrelates to
+    a left-semi join with a compound condition; counts are exact integers.
+
+    Scale: the quarter predicate prunes orders before the shuffle and the
+    semi-join emits each order at most once, so no post-join dedup pass.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-pass predicate aggregation (dq75).
+
+    The simplest scan shape in the suite — every predicate reaches the
+    Parquet reader (PushedFilters), the aggregate is one map-side-combined
+    decimal sum, and the answer is a single row.  Discount bounds compare
+    against the stored doubles directly (no arithmetic on them), so the
+    row set is bit-identical cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume (dq76).
+
+    Revenue by (supplier nation, customer nation, ship year) for a small
+    set of nations, reached through two independent dimension paths
+    (lineitem→supplier→nation and lineitem→orders→customer→nation).
+    Decimal revenue; year() under the UTC session.
+
+    Scale: both nation paths are broadcast joins (dimension tables);
+    only lineitem⋈orders shuffles, on the order key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 3)
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 3)
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(price * (one - disc)).cast("double").alias("volume"))
+        .select("supp_nation", "cust_nation", "l_year", round4(F.col("volume")).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue (dq77).
+
+    Join-agg-topk over a quarter of orders and 'R' lineitems; revenue in
+    exact decimal so the ranking key is shuffle-order-stable, tie-broken
+    by custkey for full determinism.  Plans as TakeOrderedAndProject.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            round4(F.col("revenue")).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts after a fact-fact join (dq78).
+
+    For lineitems shipped in 1996, counts of high- vs low-priority orders
+    per linestatus (the fixture carries no shipmode; linestatus is the
+    grouping stand-in).  The CASE-sum conditional-aggregation shape is
+    exactly Q12's; all outputs are exact integers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution (dq79).
+
+    LEFT OUTER join with an extra join-side predicate (priority filter
+    folded into the join condition, NOT the where clause — the Q13 trap:
+    a post-join filter would silently drop zero-order customers), then a
+    second aggregation over the counts.  All integers, fully exact.
+
+    Scale: two shuffles (custkey, then count value); the second input is
+    one row per customer, negligible.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (cust["c_custkey"] == orders["o_custkey"]) & (
+        orders["o_orderpriority"] != "3-MEDIUM"
+    )
+    per_cust = (
+        cust.join(orders, cond, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month (dq80).
+
+    Conditional decimal sums over a broadcast part join; the percentage is
+    a single IEEE division of two exact decimal sums (correctly rounded,
+    hence cross-engine stable), then round4.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = price * (one - disc)
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(promo, rev).otherwise(F.lit(0).cast("decimal(21,4)"))).alias("p"),
+            F.sum(rev).alias("t"),
+        )
+        .select(
+            F.col("p").cast("double").alias("promo_revenue"),
+            F.col("t").cast("double").alias("total_revenue"),
+            round4(F.lit(100.0) * F.col("p").cast("double") / F.col("t").cast("double")).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+    (dq81).
+
+    The revenue view aggregates once; the scalar max is a one-row
+    broadcast and the equality filter compares exact decimals, so the
+    "ties kept" semantics of Q15 is reproduced without any float
+    comparison hazards.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(price * (one - disc)).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            round4(F.col("total_rev").cast("double")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions predicate join (dq82).
+
+    Three brand/size/quantity bands OR-ed together across a broadcast part
+    join — the disjunction cannot be pushed as a single range but Catalyst
+    still extracts the common ``p_partkey = l_partkey`` equi-condition, so
+    this plans as a hash join with the disjunction as a post-join filter
+    (never a nested-loop join).  Decimal revenue + integer count.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(band)
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(round4(F.col("revenue")).alias("revenue"), "n_lines")
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole late shipper (dq83).
+
+    For finished ('F') orders: keep late lineitems (shipped >60 days after
+    order) whose order involves MORE than one supplier but where NO OTHER
+    supplier was late.  The EXISTS / NOT-EXISTS pair decorrelates into two
+    per-order aggregates — distinct suppliers and distinct LATE suppliers —
+    joined back in; "no other late supplier" ≡ n_late_supp = 1 given the
+    row itself is late.  Counts are exact integers.
+
+    Scale: three shuffles on l_orderkey (late rows, the two per-order
+    aggregates), then a broadcast of the 100-row supplier dim; no
+    correlated re-execution anywhere.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = (
+        li.join(orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select(F.col("l_orderkey").alias("ms_orderkey"))
+    )
+    n_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_late_supp"))
+        .filter(F.col("n_late_supp") == 1)
+        .select(F.col("l_orderkey").alias("sl_orderkey"))
+    )
+    return (
+        late.join(n_supp, late["l_orderkey"] == F.col("ms_orderkey"), "left_semi")
+        .join(n_late, late["l_orderkey"] == F.col("sl_orderkey"), "left_semi")
+        .join(F.broadcast(supp), late["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2c: events product analytics (dq84-dq85)
+# ---------------------------------------------------------------------------
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase, strictly in sequence
+    per user (dq84).
+
+    Stage N counts only users whose earliest stage-N event is strictly
+    after their earliest stage-(N-1) event — the standard product-funnel
+    semantics (not mere co-occurrence).  Three keyed min-aggregations and
+    two broadcast-sized joins; all outputs exact integers.
+
+    Scale: each stage is a map-side-combinable min per user; the join keys
+    are user_id throughout so one partitioning serves all stages.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked")))
+        .crossJoin(buys.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased")))
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (dq85): users grouped by first-activity
+    week, counted in each subsequent activity week.
+
+    Weeks are epoch-aligned integer buckets (``floor(epoch_ms / 7d)``) —
+    NOT date_trunc('week'), whose week-start convention is an engine
+    property; integer bucket arithmetic is identical everywhere.  Counts
+    are exact distinct integers.
+
+    Scale: first-touch is one min-agg per user; the cohort matrix is a
+    distinct + group-by over (user, week) pairs — both shuffle on user_id
+    first, so AQE can reuse the exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(7 * 86400)).cast("bigint")
+    first = ev.select("user_id", wk.alias("w")).groupBy("user_id").agg(
+        F.min("w").alias("cohort_week")
+    )
+    active = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -251,3 +251,118 @@ def pack_sequences(
             F.floor((F.col("cum") - F.col("n_tokens")) / capacity).cast("bigint").alias("bin"),
         )
     )
+
+
+def _bigrams(toks) -> Column:
+    """Adjacent-token bigram array (empty when fewer than 2 tokens).
+
+    Guarded with CASE: Spark's ``sequence(1, 0)`` yields a DESCENDING
+    [1, 0] rather than an empty list, so short docs must short-circuit.
+    """
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (DQ87): token count,
+    distinct-token count, the most-repeated bigram's count, and the
+    top-bigram fraction of all bigram slots.
+
+    Repetition filters are a core LLM training-data gate (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021 §A1.1 use duplicate
+    line/n-gram fractions); this is the n-gram variant over the fixture's
+    whitespace tokens.  The max-count runs as explode → two map-side
+    combinable aggregations; the single ratio is one IEEE division of
+    exact integers, then round4.
+    """
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    toks = _tokens(text_col)
+    base = spread(df).select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        _bigrams(toks).alias("bgs"),
+    )
+    mx = (
+        base.select(id_col, F.explode("bgs").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_bigram_count"))
+    )
+    return (
+        base.drop("bgs")
+        .join(mx, id_col, "left_outer")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            F.coalesce(F.col("max_bigram_count"), F.lit(0)).cast("bigint").alias("max_bigram_count"),
+            round4(
+                F.coalesce(F.col("max_bigram_count"), F.lit(0))
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double")
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def rare_bigram_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-rare-bigram fraction per document (DQ88): of a doc's
+    DISTINCT bigrams, the share that appear in no other document —
+    a cheap language-model-flavored novelty/quality signal (rare-n-gram
+    mass ≈ unmodelable content; high values flag gibberish, low values
+    boilerplate).
+
+    Two hash aggregations: distinct (doc, bigram) pairs, then bigram
+    document-frequency; the per-doc rollup joins df back on the bigram —
+    shuffle keys are the bigram both times, so AQE reuses the exchange.
+    All counts exact; one division, round4.
+    """
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    toks = _tokens(text_col)
+    pairs = (
+        spread(df)
+        .select(F.col(id_col), F.explode(_bigrams(toks)).alias("bg"))
+        .distinct()
+    )
+    dfreq = pairs.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (
+        pairs.join(dfreq, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique_bigrams"),
+        )
+        .select(
+            id_col,
+            "n_distinct_bigrams",
+            "n_unique_bigrams",
+            round4(F.col("n_unique_bigrams") / F.col("n_distinct_bigrams").cast("double")).alias(
+                "unique_frac"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def regex_pattern_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document regex hit counts (DQ89) — the PII-scan / content-tag
+    shape of corpus curation, over patterns the fixture text can actually
+    hit.  ``regexp_count`` is JVM-side (codegen, no UDF); patterns stick
+    to ASCII classes + word boundaries, where Java regex and DuckDB's RE2
+    agree exactly.
+    """
+    return df.select(
+        F.col(id_col),
+        F.expr(f"regexp_count({text_col}, '\\\\bs\\\\w*')").cast("bigint").alias("n_s_words"),
+        F.expr(f"regexp_count({text_col}, '\\\\w*e\\\\b')").cast("bigint").alias("n_e_words"),
+        F.expr(f"regexp_count({text_col}, '\\\\btable\\\\b')").cast("bigint").alias("n_table"),
+    ).orderBy(id_col)

@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "dq65_tpch_q2",
     "dq69_group_topk_sample",
     "dq71_weighted_sample",
+    "dq77_tpch_q10",
+    "dq79_tpch_q13",
+    "dq83_tpch_q21",
+    "dq84_funnel",
+    "dq86_triangles",
+    "dq88_rare_bigrams",
 ]
 
 
