@@ -1262,6 +1262,26 @@ def regex_stats_q(spark, sf_dir):
     return text.regex_pattern_stats(load_table(spark, sf_dir, "documents"))
 
 
+def stream_dedup_watermark_q(spark, sf_dir):
+    """DQ92: streaming ``dropDuplicatesWithinWatermark`` — the
+    bounded-state dedup operator (state evicted once the watermark passes
+    a key's event time).  With the watermark delay wider than the fixture
+    span no key ever re-qualifies, so the batch DISTINCT oracle is exact;
+    only key columns are emitted so arrival order cannot leak.  NINTH
+    streaming-engine path under the oracle gate.
+    """
+    from agile_lakehouse_spark.streaming import windows as sw
+
+    stream = _event_stream(spark, sf_dir)
+    deduped = sw.dedup_within_watermark(
+        stream.withWatermark("ts", "40 days"), ["user_id", "event_type"]
+    )
+    out = deduped.select("user_id", "event_type")
+    # no post-sink distinct: if the stateful operator ever re-emitted a
+    # key, the oracle hash-mismatch should catch it, not mask it
+    return _run_stream(out, "append").orderBy("user_id", "event_type")
+
+
 _BIGRAMS_DUCK = (
     "list_transform(generate_series(1, len(toks) - 1),"
     " i -> toks[i] || ' ' || toks[i + 1])"
@@ -1449,6 +1469,69 @@ ORACLE_R2C = {
                CAST(len(regexp_extract_all(text, '\w*e\b')) AS BIGINT) AS n_e_words,
                CAST(len(regexp_extract_all(text, '\btable\b')) AS BIGINT) AS n_table
         FROM documents ORDER BY doc_id""",
+    "dq90_interpolate": """
+        WITH per AS (SELECT user_id, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS h,
+                            max(value) AS mx
+                     FROM events WHERE user_id < 10 GROUP BY user_id, h),
+        spans AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM per GROUP BY user_id),
+        spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS h FROM spans),
+        j AS (SELECT s.user_id AS user_id, s.h AS h, p.mx AS mx
+              FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.h = s.h),
+        w AS (SELECT user_id, h, mx,
+                     last_value(mx IGNORE NULLS) OVER wb AS prev_v,
+                     last_value(CASE WHEN mx IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS prev_h,
+                     first_value(mx IGNORE NULLS) OVER wf AS next_v,
+                     first_value(CASE WHEN mx IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS next_h
+              FROM j
+              WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (PARTITION BY user_id ORDER BY h
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, h, (mx IS NOT NULL) AS observed,
+               (floor((CASE WHEN mx IS NOT NULL THEN mx
+                            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                            THEN prev_v + (next_v - prev_v) * ((h - prev_h) / (next_h - prev_h))
+                            ELSE coalesce(prev_v, next_v) END) * 10000.0 + 0.5) / 10000.0)
+                   AS value_interp
+        FROM w ORDER BY user_id, h""",
+    "dq91_profile": """
+        WITH s AS (
+            SELECT CAST(count(o_orderkey) AS BIGINT) AS nn_ok, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+                   CAST(min(o_orderkey) AS DOUBLE) AS mn_ok, CAST(max(o_orderkey) AS DOUBLE) AS mx_ok,
+                   CAST(count(o_custkey) AS BIGINT) AS nn_ck, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+                   CAST(min(o_custkey) AS DOUBLE) AS mn_ck, CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+                   CAST(count(o_totalprice) AS BIGINT) AS nn_tp, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+                   CAST(min(o_totalprice) AS DOUBLE) AS mn_tp, CAST(max(o_totalprice) AS DOUBLE) AS mx_tp,
+                   CAST(count(o_orderdate) AS BIGINT) AS nn_od, CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_od,
+                   CAST(min(epoch(o_orderdate)) AS DOUBLE) AS mn_od, CAST(max(epoch(o_orderdate)) AS DOUBLE) AS mx_od,
+                   CAST(count(o_orderstatus) AS BIGINT) AS nn_os, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_os,
+                   min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+                   CAST(count(o_orderpriority) AS BIGINT) AS nn_op, CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+                   min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+            FROM orders)
+        SELECT 'o_orderkey' AS col_name, nn_ok AS n_nonnull, nd_ok AS n_distinct,
+               (floor(mn_ok * 10000.0 + 0.5) / 10000.0) AS min_num,
+               (floor(mx_ok * 10000.0 + 0.5) / 10000.0) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+        UNION ALL
+        SELECT 'o_custkey', nn_ck, nd_ck, (floor(mn_ck * 10000.0 + 0.5) / 10000.0),
+               (floor(mx_ck * 10000.0 + 0.5) / 10000.0), NULL, NULL FROM s
+        UNION ALL
+        SELECT 'o_totalprice', nn_tp, nd_tp, (floor(mn_tp * 10000.0 + 0.5) / 10000.0),
+               (floor(mx_tp * 10000.0 + 0.5) / 10000.0), NULL, NULL FROM s
+        UNION ALL
+        SELECT 'o_orderdate', nn_od, nd_od, (floor(mn_od * 10000.0 + 0.5) / 10000.0),
+               (floor(mx_od * 10000.0 + 0.5) / 10000.0), NULL, NULL FROM s
+        UNION ALL
+        SELECT 'o_orderstatus', nn_os, nd_os, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               mn_os, mx_os FROM s
+        UNION ALL
+        SELECT 'o_orderpriority', nn_op, nd_op, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               mn_op, mx_op FROM s
+        ORDER BY col_name""",
+    "dq92_stream_dedup_watermark": """
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""",
 }
 
 
@@ -1560,6 +1643,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq87_repetition": repetition_q,
     "dq88_rare_bigrams": rare_bigram_q,
     "dq89_regex_stats": regex_stats_q,
+    "dq90_interpolate": relational.linear_interpolate_hours,
+    "dq91_profile": relational.profile_orders,
+    "dq92_stream_dedup_watermark": stream_dedup_watermark_q,
 }
 
 ORACLES: dict[str, str] = {

@@ -1583,3 +1583,136 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def linear_interpolate_hours(spark: SparkSession, sf_dir: str, max_user: int = 10) -> DataFrame:
+    """Linear interpolation over a dense hourly spine (dq90) — the
+    time-series counterpart of dq38's forward fill.
+
+    Missing hours get ``prev + (next - prev) * (h - prev_h)/(next_h -
+    prev_h)`` between the nearest observed hourly values; leading/trailing
+    gaps clamp to the single available neighbor.  Every term is a plain
+    IEEE double op evaluated in the same order by both engines (the
+    division is bigint/bigint → double in each), so the oracle matches
+    bit-for-bit before the final round4.
+
+    Scale: same shape as gap_fill — the spine expands per user inside its
+    own task, and the four neighbor lookups ride ONE window partitioning
+    (two frame directions over the same sort), so a single Exchange+Sort
+    serves the whole interpolation.
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < max_user)
+    hour = (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(3600000)).cast("bigint")
+    per_hour = events.groupBy("user_id", hour.alias("h")).agg(F.max("value").alias("mx"))
+    spine = (
+        per_hour.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    joined = spine.join(per_hour, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("mx").isNotNull(), F.col("h"))
+    prev_v = F.last("mx", ignorenulls=True).over(back)
+    prev_h = F.last(obs_h, ignorenulls=True).over(back)
+    next_v = F.first("mx", ignorenulls=True).over(fwd)
+    next_h = F.first(obs_h, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("mx").isNotNull(), F.col("mx"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * ((F.col("h") - prev_h) / (next_h - prev_h)),
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        (F.col("mx").isNotNull()).alias("observed"),
+        round4(interp).alias("value_interp"),
+    ).orderBy("user_id", "h")
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over ``orders`` (dq91): one row per column with
+    non-null count, distinct count, and min/max — numeric columns in
+    ``min_num``/``max_num`` (round4 doubles; timestamps as epoch seconds),
+    string columns in ``min_str``/``max_str`` (lexicographic).
+
+    The per-load data-profiling pass every warehouse runs before trusting
+    a dataset.  ALL aggregates compute in ONE scan (a single multi-agg
+    job); the per-column rows are six projections of that one-row result
+    unioned together — no re-scan per column, no string formatting of
+    numerics (cross-engine float printing is not stable; numbers stay
+    numbers).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    od_s = F.unix_timestamp("o_orderdate")
+    stats = orders.agg(
+        F.count("o_orderkey").cast("bigint").alias("nn_ok"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nd_ok"),
+        F.min("o_orderkey").cast("double").alias("mn_ok"),
+        F.max("o_orderkey").cast("double").alias("mx_ok"),
+        F.count("o_custkey").cast("bigint").alias("nn_ck"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count("o_totalprice").cast("bigint").alias("nn_tp"),
+        F.countDistinct("o_totalprice").cast("bigint").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("mn_tp"),
+        F.max("o_totalprice").cast("double").alias("mx_tp"),
+        F.count("o_orderdate").cast("bigint").alias("nn_od"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_od"),
+        F.min(od_s).cast("double").alias("mn_od"),
+        F.max(od_s).cast("double").alias("mx_od"),
+        F.count("o_orderstatus").cast("bigint").alias("nn_os"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_os"),
+        F.min("o_orderstatus").alias("mn_os"),
+        F.max("o_orderstatus").alias("mx_os"),
+        F.count("o_orderpriority").cast("bigint").alias("nn_op"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_op"),
+        F.min("o_orderpriority").alias("mn_op"),
+        F.max("o_orderpriority").alias("mx_op"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    def _num(name, nn, nd, mn, mx):
+        return stats.select(
+            F.lit(name).alias("col_name"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            round4(F.col(mn)).alias("min_num"),
+            round4(F.col(mx)).alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+
+    def _str(name, nn, nd, mn, mx):
+        return stats.select(
+            F.lit(name).alias("col_name"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(mn).alias("min_str"),
+            F.col(mx).alias("max_str"),
+        )
+
+    return (
+        _num("o_orderkey", "nn_ok", "nd_ok", "mn_ok", "mx_ok")
+        .unionAll(_num("o_custkey", "nn_ck", "nd_ck", "mn_ck", "mx_ck"))
+        .unionAll(_num("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"))
+        .unionAll(_num("o_orderdate", "nn_od", "nd_od", "mn_od", "mx_od"))
+        .unionAll(_str("o_orderstatus", "nn_os", "nd_os", "mn_os", "mx_os"))
+        .unionAll(_str("o_orderpriority", "nn_op", "nd_op", "mn_op", "mx_op"))
+        .orderBy("col_name")
+    )

@@ -66,3 +66,34 @@ def test_asof_join_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 minus one edge: edges on {0,1,2,3} with (2,3) missing ->
+    # triangles {0,1,2} and {0,1,3} only
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)], "u bigint, v bigint"
+    )
+    row = graph.triangle_count(edges).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (5, 2)
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # pseudo-random sparse graph, checked against an O(n^3) reference
+    import itertools
+
+    n = 25
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    adj = set(pairs)
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    edges = spark.createDataFrame(pairs, "u bigint, v bigint")
+    row = graph.triangle_count(edges).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (len(pairs), expect)

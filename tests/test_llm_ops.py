@@ -300,3 +300,42 @@ def test_ivf_with_trained_centroids_probes_subset(spark, sf_dir):
     exact_best = similarity.cosine_topk(emb, q, k=1).collect()[0]["cos"]
     assert len(approx) == 5
     assert all(r["cos"] <= exact_best + 1e-9 for r in approx)
+
+
+def test_repetition_stats_short_docs(spark):
+    # 0- and 1-token docs must survive the sequence(1,0) descending-range
+    # trap with zero bigrams, not a crash or phantom bigram
+    from agile_lakehouse_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "a a a a"), (4, "x y")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in t.repetition_stats(docs).collect()}
+    assert got[1].max_bigram_count == 0 and got[2].max_bigram_count == 0
+    assert got[3].max_bigram_count == 3  # "a a" three times
+    assert got[3].top_bigram_frac == 1.0
+    assert got[4].max_bigram_count == 1
+
+
+def test_rare_bigram_ratio_semantics(spark):
+    from agile_lakehouse_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q z"), (3, "m n")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in t.rare_bigram_ratio(docs).collect()}
+    # "p q" appears in docs 1+2 (df=2); "q r"/"q z"/"m n" are unique
+    assert (got[1].n_distinct_bigrams, got[1].n_unique_bigrams) == (2, 1)
+    assert (got[2].n_distinct_bigrams, got[2].n_unique_bigrams) == (2, 1)
+    assert (got[3].n_distinct_bigrams, got[3].n_unique_bigrams) == (1, 1)
+
+
+def test_funnel_strict_ordering(spark, sf_dir):
+    # each later stage must be a subset of the one before, and no stage
+    # can exceed the distinct users of its event type (co-occurrence bound)
+    from agile_lakehouse_spark.operators import relational
+
+    row = relational.funnel_conversion(spark, sf_dir).collect()[0]
+    assert row.n_viewed >= row.n_clicked >= row.n_purchased >= 0
+    assert row.n_viewed > 0
