@@ -1532,6 +1532,73 @@ ORACLE_R2C = {
     "dq92_stream_dedup_watermark": """
         SELECT DISTINCT user_id, event_type FROM events
         ORDER BY user_id, event_type""",
+    "dq93_tpch_q8": """
+        WITH market AS (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'),
+        vols AS (
+            SELECT year(o_orderdate) AS o_year, n_name AS supp_nation,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_custkey IN (SELECT c_custkey FROM market))
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               (floor((CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                                     ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS nation_volume,
+               (floor((CAST(sum(vol) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS total_volume,
+               (floor((CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                                     ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+                       / CAST(sum(vol) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS mkt_share
+        FROM vols GROUP BY o_year ORDER BY o_year""",
+    "dq94_tpch_q9": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               (floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC""",
+    "dq95_tpch_q11": """
+        WITH held AS (
+            SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(l_quantity AS DECIMAL(18,2))) AS part_value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_nationkey = 7
+            GROUP BY l_partkey)
+        SELECT l_partkey,
+               (floor((CAST(part_value AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS part_value
+        FROM held
+        WHERE part_value * 2000 > (SELECT sum(part_value) FROM held)
+        ORDER BY part_value DESC, l_partkey""",
+    "dq96_keyset_pagination": """
+        SELECT l_orderkey, l_linenumber,
+               (floor((l_extendedprice) * 10000.0 + 0.5) / 10000.0) AS price
+        FROM lineitem
+        WHERE (l_orderkey, l_linenumber) > (500, 3)
+        ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    "dq97_map_functions": """
+        WITH per AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+                     FROM events WHERE user_id < 40 GROUP BY user_id, event_type),
+        m AS (SELECT user_id,
+                     map_from_entries(list_sort(list((event_type, n)))) AS counts
+              FROM per GROUP BY user_id)
+        SELECT user_id,
+               CAST(len(map_keys(counts)) AS BIGINT) AS n_types,
+               CAST(coalesce(counts['click'][1], 0) AS BIGINT) AS n_click,
+               CAST(coalesce(counts['purchase'][1], 0) AS BIGINT) AS n_purchase
+        FROM m ORDER BY user_id""",
 }
 
 
@@ -1646,6 +1713,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq90_interpolate": relational.linear_interpolate_hours,
     "dq91_profile": relational.profile_orders,
     "dq92_stream_dedup_watermark": stream_dedup_watermark_q,
+    "dq93_tpch_q8": relational.tpch_q8_market_share,
+    "dq94_tpch_q9": relational.tpch_q9_product_profit,
+    "dq95_tpch_q11": relational.tpch_q11_important_stock,
+    "dq96_keyset_pagination": relational.keyset_pagination,
+    "dq97_map_functions": relational.map_function_stats,
 }
 
 ORACLES: dict[str, str] = {

@@ -1716,3 +1716,166 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_str("o_orderpriority", "nn_op", "nd_op", "mn_op", "mx_op"))
         .orderBy("col_name")
     )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a supplier nation's market share inside one region,
+    by year (dq93) — completes the join-DAG family: customer→nation→region
+    restricts the MARKET, supplier→nation tags the SELLER, and the share
+    is a conditional sum over the total per year.
+
+    Share = one IEEE division of two exact decimal sums; both paths to
+    nation are broadcast dimensions; only lineitem⋈orders shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    market = (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    seller = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supp["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = price * (one - disc)
+    target = F.col("supp_nation") == "NATION_7"
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(market), orders["o_custkey"] == market["c_custkey"], "left_semi")
+        .join(F.broadcast(seller), li["l_suppkey"] == seller["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.when(target, vol).otherwise(F.lit(0).cast("decimal(21,4)")))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            round4(F.col("nation_volume")).alias("nation_volume"),
+            round4(F.col("total_volume")).alias("total_volume"),
+            round4(F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for a part-name
+    pattern (dq94).
+
+    The fixture has no partsupp, so cost = 10% of p_retailprice × quantity
+    (the same two-fact-one-dim profit arithmetic, partsupp's role played
+    by part).  Profit stays decimal end-to-end — revenue(21,4) minus
+    cost(25,5) — so group sums are shuffle-order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    cost_rate = F.col("p_retailprice").cast("decimal(18,2)") * F.lit(0.1).cast("decimal(3,2)")
+    profit = price * (one - disc) - cost_rate * qty
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .select("nation", "o_year", round4(F.col("sum_profit")).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose held value exceeds a global fraction
+    (dq95).
+
+    Inventory value per part (from one nation's suppliers) vs a scalar
+    global-total subquery; the fraction test is CROSS-MULTIPLIED in exact
+    decimals (``value * 2000 > total``, i.e. value > 0.05% of total) so no
+    float division sits on the decision boundary — dq68's discipline.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    value = (F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_quantity").cast("decimal(18,2)"))
+    held = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("part_value"))
+    )
+    total = held.agg(F.sum("part_value").alias("total_value"))
+    return (
+        held.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 2000 > F.col("total_value"))
+        .select("l_partkey", round4(F.col("part_value").cast("double")).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination via row-value comparison (dq96).
+
+    Page N of a composite-ordered scan fetched as ``(k1, k2) > (cursor)``
+    + LIMIT — struct comparison maps to DuckDB's row-value comparator.
+    At scale this is THE pagination pattern: the predicate pushes into the
+    scan and reads one page, where OFFSET must sort-and-skip every
+    preceding row on every request.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cursor = F.struct(F.lit(500).cast("bigint"), F.lit(3).cast("int"))
+    return (
+        li.filter(F.struct(F.col("l_orderkey"), F.col("l_linenumber")) > cursor)
+        .select("l_orderkey", "l_linenumber", round4(F.col("l_extendedprice")).alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+def map_function_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type construction + lookup (dq97): per-user event-type count
+    MAP assembled with ``map_from_entries`` over a ``collect_list`` of
+    (type, n) structs, then probed by key.
+
+    Maps never reach the output (hash comparison of map ordering is
+    engine-specific); they are built, transformed (``map_keys``), and
+    extracted from — the full map-function surface under a scalar-output
+    oracle.  One aggregation per (user, type), one per user.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "n")))
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("counts"))
+        .select(
+            "user_id",
+            F.size(F.map_keys(F.col("counts"))).cast("bigint").alias("n_types"),
+            F.coalesce(F.element_at(F.col("counts"), "click"), F.lit(0)).cast("bigint").alias("n_click"),
+            F.coalesce(F.element_at(F.col("counts"), "purchase"), F.lit(0)).cast("bigint").alias("n_purchase"),
+        )
+        .orderBy("user_id")
+    )
