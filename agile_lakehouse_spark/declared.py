@@ -1588,6 +1588,28 @@ ORACLE_R2C = {
         FROM lineitem
         WHERE (l_orderkey, l_linenumber) > (500, 3)
         ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    "dq98_latest_state": """
+        WITH r AS (
+            SELECT user_id, event_type, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        SELECT user_id, event_type, event_id,
+               (floor((value) * 10000.0 + 0.5) / 10000.0) AS last_value
+        FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
+    "dq99_union_by_name": """
+        WITH old AS (SELECT o_orderkey, o_orderstatus AS status,
+                            CAST(NULL AS DOUBLE) AS price
+                     FROM orders WHERE o_orderkey % 2 = 0),
+        new AS (SELECT o_orderkey, o_orderstatus AS status,
+                       (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS price
+                FROM orders WHERE o_orderkey % 2 = 1),
+        u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+        SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(price) AS BIGINT) AS n_with_price,
+               (floor((CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0) AS sum_price
+        FROM u GROUP BY status ORDER BY status""",
     "dq97_map_functions": """
         WITH per AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
                      FROM events WHERE user_id < 40 GROUP BY user_id, event_type),
@@ -1718,6 +1740,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq95_tpch_q11": relational.tpch_q11_important_stock,
     "dq96_keyset_pagination": relational.keyset_pagination,
     "dq97_map_functions": relational.map_function_stats,
+    "dq98_latest_state": relational.latest_state_per_key,
+    "dq99_union_by_name": relational.union_by_name_evolution,
 }
 
 ORACLES: dict[str, str] = {

@@ -169,3 +169,51 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "payload": payloads})
 
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),  # integer sum-of-squares (exact)
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 128, hop_bytes: int = 64) -> DataFrame:
+    """Audio frame analysis (1 row in -> N overlapping frames out) — the
+    STFT windowing shape: frame width ``frame_bytes`` advancing by
+    ``hop_bytes`` (50% overlap at the defaults), one output row per frame
+    with its exact integer energy (sum of squared samples).
+
+    STUB codec: payload bytes stand in for 8-bit PCM samples (a real
+    pipeline decodes via librosa/soundfile in :func:`decode_stub` first);
+    energy stays an INTEGER so results are bit-stable regardless of
+    partitioning or batch boundaries.  Frames never cross payload rows,
+    so the stage parallelizes per media row with no shuffle.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, energies = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                # one frame per hop start inside the payload — tail windows
+                # shrink rather than drop, so every byte lands in a frame
+                n_frames = (len(b) + hop_bytes - 1) // hop_bytes
+                for k in range(n_frames):
+                    chunk = b[k * hop_bytes : k * hop_bytes + frame_bytes]
+                    if not chunk:
+                        break
+                    ids.append(mid)
+                    idxs.append(k)
+                    ns.append(len(chunk))
+                    # center 8-bit samples at zero before squaring
+                    energies.append(sum((s - 128) * (s - 128) for s in chunk))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_samples": ns, "energy": energies}
+            )
+
+    return media.mapInPandas(_frames, schema=AUDIO_FRAME_SCHEMA)

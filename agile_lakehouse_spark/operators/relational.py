@@ -1879,3 +1879,61 @@ def map_function_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: keep each user's LATEST event per type (dq98) —
+    the "current state from a changelog" pattern every CDC/upsert pipeline
+    runs (Debezium streams, Kafka compaction, MERGE staging).
+
+    row_number over (key ORDER BY ts DESC, event_id DESC) = 1; the
+    event_id tie-break makes "latest" total even for equal timestamps.
+    Spark 3.5+ plans the rn=1 filter as WindowGroupLimit — per-task top-1
+    per key BEFORE the shuffle, O(keys·tasks) shuffle volume (same
+    property dq69 asserts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            round4(F.col("value")).alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (dq99): two projections with different
+    column sets and orders combined with ``unionByName(allowMissing
+    Columns=True)`` — positional UNION would silently misalign columns;
+    by-name union with NULL fill is how evolving table versions append.
+
+    The batch analogue of plans/snapshots.py's version-schema reads,
+    declared so the resolution semantics sit under the oracle gate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        round4(F.col("o_totalprice")).alias("price"),
+    )
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("price").cast("bigint").alias("n_with_price"),
+            round4(F.sum(F.col("price").cast("decimal(18,4)")).cast("double")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )

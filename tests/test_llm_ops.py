@@ -339,3 +339,24 @@ def test_funnel_strict_ordering(spark, sf_dir):
     row = relational.funnel_conversion(spark, sf_dir).collect()[0]
     assert row.n_viewed >= row.n_clicked >= row.n_purchased >= 0
     assert row.n_viewed > 0
+
+
+def test_audio_frame_energy(spark):
+    # overlapping windows: 300 bytes, frame 128 hop 64 -> frames at
+    # offsets 0,64,128,192,256 (last two truncated); energies exact ints
+    payload = bytes(range(256)) + bytes(44)
+    df = spark.createDataFrame([(1, payload)], "media_id bigint, payload binary")
+    media = multimodal.as_media_table(df, "media_id", F.col("payload"), modality="audio")
+    rows = sorted(
+        multimodal.audio_frame_energy(media, frame_bytes=128, hop_bytes=64).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.n_samples for r in rows] == [128, 128, 128, 108, 44]
+
+    def ref_energy(b):
+        return sum((s - 128) * (s - 128) for s in b)
+
+    for r in rows:
+        chunk = payload[r.frame_idx * 64 : r.frame_idx * 64 + 128]
+        assert r.energy == ref_energy(chunk)

@@ -266,3 +266,63 @@ def test_knn_join_matches_python_model(spark, pts, k):
         )[: min(k, len(pts))]
         want = [(rk + 1, pid) for rk, (_, pid) in enumerate(ranked)]
         assert sorted(got[qid]) == want, f"probe {qid}"
+
+
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_linear_interpolation_matches_python_model(spark, obs):
+    """Interpolated values on a dense spine match the straight-line model
+    between nearest observed neighbors, with endpoint clamping."""
+    import bisect
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from agile_lakehouse_spark.functions.portable import round4
+
+    per_hour = spark.createDataFrame(
+        [(0, h, float(v)) for h, v in obs.items()], "user_id bigint, h bigint, mx double"
+    )
+    spine = (
+        per_hour.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("h"))
+    )
+    joined = spine.join(per_hour, ["user_id", "h"], "left")
+    back = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    fwd = W.partitionBy("user_id").orderBy("h").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_h = F.when(F.col("mx").isNotNull(), F.col("h"))
+    prev_v = F.last("mx", ignorenulls=True).over(back)
+    prev_h = F.last(obs_h, ignorenulls=True).over(back)
+    next_v = F.first("mx", ignorenulls=True).over(fwd)
+    next_h = F.first(obs_h, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("mx").isNotNull(), F.col("mx"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * ((F.col("h") - prev_h) / (next_h - prev_h)),
+        )
+        .otherwise(F.coalesce(prev_v, next_v))
+    )
+    got = {
+        r.h: r.v
+        for r in joined.select("h", round4(interp).alias("v")).collect()
+    }
+
+    hs = sorted(obs)
+    for h in range(min(hs), max(hs) + 1):
+        if h in obs:
+            expect = obs[h]
+        else:
+            i = bisect.bisect_left(hs, h)
+            lo_h, hi_h = hs[i - 1], hs[i]
+            lo_v, hi_v = obs[lo_h], obs[hi_h]
+            expect = lo_v + (hi_v - lo_v) * ((h - lo_h) / (hi_h - lo_h))
+        assert math.isclose(got[h], expect, rel_tol=1e-6, abs_tol=2e-4), (h, got[h], expect)
