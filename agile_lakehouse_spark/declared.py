@@ -1588,6 +1588,12 @@ ORACLE_R2C = {
         FROM lineitem
         WHERE (l_orderkey, l_linenumber) > (500, 3)
         ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    "dq100_listagg": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               string_agg(DISTINCT c_name, '|' ORDER BY c_name) AS customer_names
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "dq98_latest_state": """
         WITH r AS (
             SELECT user_id, event_type, event_id, value,
@@ -1742,6 +1748,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq97_map_functions": relational.map_function_stats,
     "dq98_latest_state": relational.latest_state_per_key,
     "dq99_union_by_name": relational.union_by_name_evolution,
+    "dq100_listagg": relational.listagg_per_group,
 }
 
 ORACLES: dict[str, str] = {

@@ -1937,3 +1937,29 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG / string_agg (dq100): per order-priority, the
+    lexicographically-sorted '|'-joined set of customer names with open
+    orders over a price threshold.
+
+    collect_list order is partition-arbitrary — NEVER emit it raw; sorting
+    the collected set (sort_array ≙ ORDER BY inside string_agg) is what
+    makes distributed string aggregation deterministic.  The set is
+    bounded (DISTINCT names above a tight threshold) so the row stays
+    metadata-sized — the listagg discipline at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 400000)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.array_join(F.sort_array(F.collect_set("c_name")), "|").alias("customer_names"),
+        )
+        .orderBy("o_orderpriority")
+    )

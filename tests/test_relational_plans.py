@@ -316,3 +316,25 @@ def test_q16_excluded_suppliers_anti_join_is_broadcast(spark, sf_dir):
     plan = explain.formatted_plan(relational.tpch_q16_supplier_counts(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_latest_state_uses_window_group_limit(spark, sf_dir):
+    """dq98's rn=1 filter must plan WindowGroupLimit: per-task top-1 per
+    key before the shuffle — the CDC-compaction property at scale."""
+    plan = explain.formatted_plan(relational.latest_state_per_key(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q19_disjunction_is_hash_join(spark, sf_dir):
+    """dq82's OR-of-conjunctions must still extract the partkey equi-key:
+    a BroadcastNestedLoopJoin here is |lineitem|x|part| work."""
+    plan = explain.formatted_plan(relational.tpch_q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyset_pagination_is_top_k(spark, sf_dir):
+    """dq96 must plan as a filtered TakeOrderedAndProject — one page of
+    work, no global sort."""
+    df = relational.keyset_pagination(spark, sf_dir)
+    assert explain.is_top_k(df)

@@ -51,3 +51,15 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     got = back.agg(F.sum("s_acctbal")).collect()[0][0]
     want = df.agg(F.sum("s_acctbal")).collect()[0][0]
     assert abs(got - want) < 1e-6
+
+
+def test_avro_datasource_availability(spark, tmp_path):
+    """Capability pin: the Avro connector (external spark-avro module) is
+    NOT deployed in this environment — interchange coverage is Parquet,
+    ORC, Arrow IPC, CSV/JSONL, PLY, LAS.  If this test ever fails, Avro
+    became available: add round-trip coverage alongside ORC's.
+    """
+    import pytest
+
+    with pytest.raises(Exception, match="avro"):
+        spark.range(3).write.format("avro").mode("overwrite").save(str(tmp_path / "a"))
