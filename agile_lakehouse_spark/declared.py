@@ -1588,6 +1588,13 @@ ORACLE_R2C = {
         FROM lineitem
         WHERE (l_orderkey, l_linenumber) > (500, 3)
         ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    "dq101_first_last_touch": """
+        SELECT user_id,
+               arg_min(event_type, event_id) AS first_touch,
+               arg_max(event_type, event_id) AS last_touch,
+               CAST(count(*) AS BIGINT) AS n_events,
+               (floor((max(value)) * 10000.0 + 0.5) / 10000.0) AS peak_value
+        FROM events GROUP BY user_id ORDER BY user_id""",
     "dq100_listagg": """
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
                string_agg(DISTINCT c_name, '|' ORDER BY c_name) AS customer_names
@@ -1749,6 +1756,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq98_latest_state": relational.latest_state_per_key,
     "dq99_union_by_name": relational.union_by_name_evolution,
     "dq100_listagg": relational.listagg_per_group,
+    "dq101_first_last_touch": relational.first_last_touch,
 }
 
 ORACLES: dict[str, str] = {

@@ -1963,3 +1963,28 @@ def listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by attribution (dq101): each user's first- and
+    last-touch event types plus their peak value — the marketing
+    attribution shape, via argmin/argmax aggregates instead of two window
+    passes.
+
+    Keyed on the UNIQUE event_id (arrival order proxy): min_by/max_by on
+    a non-unique key is nondeterministic under partitioning — the classic
+    silent-flakiness source; a unique total key is the discipline.  One
+    map-side-combinable aggregation, no window, no shuffle beyond the
+    group-by.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "event_id").alias("first_touch"),
+            F.max_by("event_type", "event_id").alias("last_touch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            round4(F.max("value")).alias("peak_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "dq84_funnel",
     "dq86_triangles",
     "dq88_rare_bigrams",
+    "dq93_tpch_q8",
+    "dq94_tpch_q9",
+    "dq98_latest_state",
 ]
 
 
