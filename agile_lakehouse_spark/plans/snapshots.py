@@ -163,7 +163,7 @@ class TransactionalTable:
         ]
         self._pending_stats.update(self._collect_stats(paths))
         if self.bloom_columns:
-            for p, blooms in self._build_blooms(paths).items():
+            for p, blooms in self._build_blooms(df.sparkSession, stage_dir).items():
                 self._pending_stats.setdefault(p, {})["bloom"] = blooms
         return paths
 
@@ -175,17 +175,25 @@ class TransactionalTable:
 
     @classmethod
     def _bloom_positions(cls, value) -> list[int]:
-        """k bit positions for a key, from one md5 (portable + stable)."""
+        """k bit positions for a key, from one md5 of the key's CANONICAL
+        string — ``str(value)``, which for integers and strings is exactly
+        what Spark's ``CAST(col AS STRING)`` produces, so positions
+        computed JVM-side at build time and Python-side at probe time
+        agree bit-for-bit.  (Float keys have engine-specific printing and
+        are excluded from bloom columns for that reason.)
+        """
         import hashlib
 
-        digest = hashlib.md5(repr(value).encode()).digest()
+        digest = hashlib.md5(str(value).encode()).digest()
         out = []
         for i in range(cls._BLOOM_HASHES):
             chunk = int.from_bytes(digest[2 * i : 2 * i + 4], "big")
             out.append(chunk % cls._BLOOM_BITS)
         return out
 
-    def _build_blooms(self, paths: list[str]) -> dict[str, dict[str, str]]:
+    _BLOOM_TYPES = ("int", "bigint", "smallint", "tinyint", "string")
+
+    def _build_blooms(self, spark: SparkSession, stage_dir: str) -> dict[str, dict[str, str]]:
         """Per-file bloom filters over ``bloom_columns``, hex-encoded for
         the JSON manifest.
 
@@ -194,30 +202,51 @@ class TransactionalTable:
         by range — every file spans most of the key domain — but a bloom
         answers "definitely not in this file" in O(k) bit tests from the
         commit log alone (the Delta/Iceberg bloom-index mechanism; the
-        reference has no point-lookup path at all).  Built here from the
-        staged files' column pages (driver-side at fixture scale; at real
-        scale the same fold runs as an executor-side aggregation on the
-        DataFrame being staged).
-        """
-        import pyarrow.parquet as pq
+        reference has no point-lookup path at all).
 
+        Built as a DISTRIBUTED aggregation over the staged files: each row
+        contributes k bit positions (md5 split into 32-bit chunks, all
+        JVM-side expressions), positions fold into 64-bit words with
+        ``bit_or`` keyed by ``input_file_name()`` — so the build cost is
+        one column-pruned scan of the new files regardless of their size,
+        and only |files| x 1024 words ever reach the driver.
+        """
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(stage_dir)
+        dtypes = dict(df.dtypes)
+        want = [c for c in self.bloom_columns if dtypes.get(c) in self._BLOOM_TYPES]
+        if not want:
+            return {}
         out: dict[str, dict[str, str]] = {}
-        for p in paths:
-            cols_present = pq.read_schema(p).names
-            want = [c for c in self.bloom_columns if c in cols_present]
-            if not want:
-                continue
-            tbl = pq.read_table(p, columns=want)
-            blooms: dict[str, str] = {}
-            for c in want:
-                bits = 0
-                for v in tbl.column(c).to_pylist():
-                    if v is None:
-                        continue
-                    for pos in self._bloom_positions(v):
-                        bits |= 1 << pos
-                blooms[c] = f"{bits:x}"
-            out[p] = blooms
+        for c in want:
+            md5hex = F.md5(F.col(c).cast("string"))
+            positions = F.array(
+                *[
+                    # digest[2i : 2i+4] big-endian == hex chars [4i+1, 4i+8]
+                    (F.conv(F.substring(md5hex, 1 + 4 * i, 8), 16, 10).cast("bigint") % self._BLOOM_BITS)
+                    for i in range(self._BLOOM_HASHES)
+                ]
+            )
+            words = (
+                df.filter(F.col(c).isNotNull())
+                .select(F.input_file_name().alias("__f"), F.explode(positions).alias("__pos"))
+                .groupBy("__f", (F.col("__pos") / 64).cast("bigint").alias("__w"))
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
+                    ).alias("__m")
+                )
+                .collect()
+            )
+            per_file: dict[str, int] = {}
+            for r in words:
+                path = r["__f"].removeprefix("file://")
+                # Java's long is signed: bit 63 comes back negative — mask
+                per_file.setdefault(path, 0)
+                per_file[path] |= (r["__m"] & ((1 << 64) - 1)) << (64 * r["__w"])
+            for path, bits in per_file.items():
+                out.setdefault(path, {})[c] = f"{bits:x}"
         return out
 
     def prune_files_by_key(self, col: str, value, version: int | None = None) -> list[str]:
