@@ -115,6 +115,7 @@ def seeded_workload(spark, sf_dir: str, timings: dict[str, float]) -> None:
     run_all("w_s_circle", lambda cx, cy: pc.circle_query(pts, cx, cy, 25.0))
     run_all("w_m_circle", lambda cx, cy: pc.circle_query(pts, cx, cy, 100.0))
     run_all("w_knn_1000", lambda cx, cy: pc.knn(pts, cx, cy, 1000))
+    run_all("w_knn_5000", lambda cx, cy: pc.knn(pts, cx, cy, 5000))
     t0 = time.time()
     for p in (0.05, 0.25, 0.35):
         execute_fully(pc.sample(pts, p=p))

@@ -71,5 +71,5 @@ def test_driver_contract_registry_consistency():
     rows_only = {"dq25_multimodal_features"}
     assert set(os_) == set(qs) - rows_only
     for name in qs:
-        assert re.fullmatch(r"dq\d{2}[a-z]?_[a-z0-9_]+", name), name
+        assert re.fullmatch(r"dq\d{2,3}[a-z]?_[a-z0-9_]+", name), name
     assert len(qs) >= 80
