@@ -53,6 +53,32 @@ def zorder_key(cx: Column | str, cy: Column | str, bits: int = 16) -> Column:
     return z
 
 
+def zorder_key3(
+    cx: Column | str, cy: Column | str, cz: Column | str, bits: int = 16
+) -> Column:
+    """3-D Morton interleave for full XYZ clustering (reference dims are
+    XYZ(I) — ``pc-format/src/dims.rs:6-22``): bit i of each axis lands at
+    position 3i+axis, so files own spatially contiguous CUBES.
+
+    Use over :func:`zorder_key` when queries predicate all three axes
+    (e.g. airborne LiDAR slabs); 2-D keys leave z scattered and a z-range
+    predicate prunes nothing.  16 bits/axis = 48-bit key, still a bigint.
+    """
+    cx = F.col(cx) if isinstance(cx, str) else cx
+    cy = F.col(cy) if isinstance(cy, str) else cy
+    cz = F.col(cz) if isinstance(cz, str) else cz
+    half = F.lit(1 << (bits - 1))
+    x = (cx + half).cast("bigint")
+    y = (cy + half).cast("bigint")
+    w = (cz + half).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 3 * b)
+        z = z + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 3 * b + 1)
+        z = z + F.shiftleft(F.shiftright(w, b).bitwiseAND(F.lit(1)), 3 * b + 2)
+    return z
+
+
 def derive_grid_size(count: int, area: float, splits: int = 1, batch_size: int = DEFAULT_BATCH_SIZE) -> float:
     """Grid spacing so one cell holds ≈ one row group of points.
 

@@ -97,3 +97,53 @@ def test_layout_pruning_benefit(points, spark, tmp_path):
     assert hit.count() == pc.range_query(points, box).count()
     # spatial locality: the query's rows live in a minority of files
     assert hit_files < total_files * 0.5, (hit_files, total_files)
+
+
+def test_zorder3_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.plans.layout import zorder_key3
+
+    def model(x, y, z, bits=16):
+        x, y, z = x + (1 << 15), y + (1 << 15), z + (1 << 15)
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (3 * b)
+            out |= ((y >> b) & 1) << (3 * b + 1)
+            out |= ((z >> b) & 1) << (3 * b + 2)
+        return out
+
+    cells = [(-3, 5, 0), (0, 0, 0), (7, -2, 9), (1000, 999, -1000), (-32768, 32767, 1)]
+    df = spark.createDataFrame(cells, "cx bigint, cy bigint, cz bigint")
+    got = df.select(zorder_key3("cx", "cy", "cz").alias("k")).collect()
+    assert [r.k for r in got] == [model(*c) for c in cells]
+
+
+def test_zorder3_locality_beats_2d_for_z_slabs(spark):
+    """A z-slab predicate over 3-D-clustered cells must touch a much
+    smaller contiguous key span than under the 2-D key (where z is
+    scattered across the whole range) — the property that makes the
+    3-D variant worth its narrower per-axis budget."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.plans.layout import zorder_key, zorder_key3
+
+    n = 16
+    cells = [(x, y, z) for x in range(n) for y in range(n) for z in range(n)]
+    df = spark.createDataFrame(cells, "cx bigint, cy bigint, cz bigint")
+    keyed = df.select(
+        "cz",
+        zorder_key3("cx", "cy", "cz").alias("k3"),
+        zorder_key("cx", "cy").alias("k2"),
+    )
+    slab = keyed.filter(F.col("cz") == 3)
+    full = keyed.agg(
+        (F.max("k3") - F.min("k3")).alias("r3"), (F.max("k2") - F.min("k2")).alias("r2")
+    ).collect()[0]
+    got = slab.agg(
+        (F.max("k3") - F.min("k3")).alias("r3"), (F.max("k2") - F.min("k2")).alias("r2")
+    ).collect()[0]
+    # 2-D key: the slab spans essentially the whole key range (z ignored);
+    # 3-D key: the slab's span is a strict subset
+    assert got.r2 == full.r2
+    assert got.r3 < full.r3
