@@ -727,6 +727,40 @@ def _zorder_duck(xcol: str, ycol: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def pc_zorder3_cells(spark, sf_dir):
+    """DQ102: 3-D Morton keys (x, y, z cells), oracle-checked bit-for-bit
+    — the full-XYZ clustering variant of dq70 (`plans/layout.zorder_key3`);
+    files under this key own contiguous CUBES, so z-range predicates prune
+    too (test_zorder3_locality_beats_2d_for_z_slabs)."""
+    from agile_lakehouse_spark.plans.layout import zorder_key3
+
+    g = pointcloud.grid_cells(
+        _q(spark, sf_dir), {"x": GRID_DELTA, "y": GRID_DELTA, "z": GRID_DELTA}
+    )
+    return (
+        g.withColumn("zkey", zorder_key3("cell_x", "cell_y", "cell_z", bits=16))
+        .groupBy("zkey")
+        .agg(
+            F.min("cell_x").alias("cell_x"),
+            F.min("cell_y").alias("cell_y"),
+            F.min("cell_z").alias("cell_z"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+        .orderBy("zkey")
+    )
+
+
+def _zorder3_duck(xcol: str, ycol: str, zcol: str, bits: int = 16) -> str:
+    """DuckDB expression mirroring plans/layout.zorder_key3 bit-for-bit."""
+    half = 1 << (bits - 1)
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} + {half}) >> {b}) & 1) * {1 << (3 * b)}")
+        terms.append(f"((({ycol} + {half}) >> {b}) & 1) * {1 << (3 * b + 1)}")
+        terms.append(f"((({zcol} + {half}) >> {b}) & 1) * {1 << (3 * b + 2)}")
+    return " + ".join(terms)
+
+
 KNN_JOIN_PROBES = [(0, 120.0, 240.0), (1, 300.0, 500.0), (2, 510.0, 480.0),
                    (3, 700.0, 150.0), (4, 260.0, 760.0)]
 KNN_JOIN_K = 5
@@ -1726,6 +1760,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq68_tpch_q22": relational.tpch_q22_idle_rich_customers,
     "dq69_group_topk_sample": relational.group_topk_sample,
     "dq70_pc_zorder_cells": pc_zorder_cells,
+    "dq102_pc_zorder3_cells": pc_zorder3_cells,
     "dq71_weighted_sample": relational.weighted_sample,
     "dq72_stream_sliding_window": stream_sliding_window_q,
     "dq73_stream_watermark_append": stream_watermark_append_q,
@@ -1887,6 +1922,15 @@ ORACLES["dq70_pc_zorder_cells"] = f"""{POINTS_CTE},
                      CAST(floor(y/{GRID_DELTA}) AS BIGINT) AS cell_y FROM points)
     SELECT ({_zorder_duck("cell_x", "cell_y")}) AS zkey,
            min(cell_x) AS cell_x, min(cell_y) AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM cells GROUP BY 1 ORDER BY 1"""
+
+ORACLES["dq102_pc_zorder3_cells"] = f"""{POINTS_CTE},
+    cells AS (SELECT CAST(floor(x/{GRID_DELTA}) AS BIGINT) AS cell_x,
+                     CAST(floor(y/{GRID_DELTA}) AS BIGINT) AS cell_y,
+                     CAST(floor(z/{GRID_DELTA}) AS BIGINT) AS cell_z FROM points)
+    SELECT ({_zorder3_duck("cell_x", "cell_y", "cell_z")}) AS zkey,
+           min(cell_x) AS cell_x, min(cell_y) AS cell_y, min(cell_z) AS cell_z,
            CAST(count(*) AS BIGINT) AS n_points
     FROM cells GROUP BY 1 ORDER BY 1"""
 
