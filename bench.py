@@ -146,6 +146,28 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float]) -> None:
         t0 = time.time()
         layout.write_quadtree_layout(pts, f"{tmp}/qt", depth=2, side=1024.0)
         timings["layout_quadtree"] = round(time.time() - t0, 3)
+
+        # the reference benches its workload AGAINST the partitioned layout
+        # (examples/partition.rs) — time the same queries over the grid
+        # files, where min/max pruning actually engages (vs the w_* entries,
+        # which scan the lineitem projection)
+        from pyspark.sql import functions as F
+
+        from agile_lakehouse_spark.operators import pointcloud as pc
+
+        g = spark.read.parquet(f"{tmp}/grid1")
+        t0 = time.time()
+        for k in range(5):
+            cx, cy = 120.0 + 150 * k, 100.0 + 140 * k
+            execute_fully(
+                pc.range_query(g, {"x": (cx, cx + 70.0), "y": (cy, cy + 70.0)}, importance_col="i")
+            )
+        timings["w_s_rect_on_layout"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for k in range(5):
+            cx, cy = 150.0 + 150 * k, 120.0 + 140 * k
+            execute_fully(pc.knn(g, cx, cy, 1000))
+        timings["w_knn_1000_on_layout"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
