@@ -129,3 +129,86 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
         "left_semi",
     ).groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     return n_edges.crossJoin(tri)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds regardless of component DIAMETER, where
+    min-label propagation (:func:`connected_components`) needs O(diameter)
+    rounds and dies on long chains at web scale.
+
+    - large-star(u): every neighbor v > u re-attaches to m = min(N(u)∪{u})
+    - small-star(u): every neighbor v ≤ u re-attaches to m
+
+    Both steps preserve connectivity and strictly shrink star height;
+    at fixpoint every node's edge points at its component minimum — the
+    same deterministic canonical representative the propagation variant
+    emits (output-identical, property-tested against union-find).
+
+    Each round is two keyed aggregations + joins (one shuffle each) over
+    the CURRENT edge set, which only shrinks; the convergence check is an
+    exceptAll on the canonically-oriented edges.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    nodes = (
+        e.select(F.col("u").alias(id_col))
+        .union(e.select(F.col("v").alias(id_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = (
+        e.select(F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        sym = cur.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
+            cur.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least(F.col("mn"), F.col("a")).alias("m"))
+        )
+        # large-star: strictly-larger neighbors attach to the minimum
+        ls = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star on (hi -> lo) orientation: all lows + the hub attach
+        # to the minimum low
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(mins2, "hi")
+            .select(
+                F.greatest(F.col("lo"), F.col("m")).alias("hi"),
+                F.least(F.col("lo"), F.col("m")).alias("lo"),
+            )
+            .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
+        )
+        new = ss.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+        unchanged = (
+            new.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(new).limit(1).count() == 0
+        )
+        cur = new
+        if unchanged:
+            break
+    lbl = cur.groupBy(F.col("hi").alias(id_col)).agg(F.min("lo").alias("component"))
+    return nodes.join(lbl, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )

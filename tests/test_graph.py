@@ -97,3 +97,24 @@ def test_triangle_count_matches_bruteforce(spark):
     edges = spark.createDataFrame(pairs, "u bigint, v bigint")
     row = graph.triangle_count(edges).collect()[0]
     assert (row.n_edges, row.n_triangles) == (len(pairs), expect)
+
+
+def test_star_cc_matches_propagation(spark):
+    # chain + cycle + isolated-pair: same canonical labels as propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 6), (10, 11), (11, 12), (12, 10)],
+        "src bigint, dst bigint",
+    )
+    star = {r.id: r.component for r in graph.connected_components_star(edges, id_col="id").collect()}
+    prop = {r.node: r.component for r in graph.connected_components(edges, "src", "dst", "node").collect()}
+    assert star == prop
+
+
+def test_star_cc_long_chain(spark):
+    # the case the algorithm exists for: diameter >> rounds
+    n = 60
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src bigint, dst bigint")
+    comp = graph.connected_components_star(edges, id_col="node")
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r.component for r in rows} == {0}

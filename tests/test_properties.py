@@ -326,3 +326,37 @@ def test_linear_interpolation_matches_python_model(spark, obs):
             lo_v, hi_v = obs[lo_h], obs[hi_h]
             expect = lo_v + (hi_v - lo_v) * ((h - lo_h) / (hi_h - lo_h))
         assert math.isclose(got[h], expect, rel_tol=1e-6, abs_tol=2e-4), (h, got[h], expect)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_star_components_match_union_find(spark, edges):
+    from agile_lakehouse_spark.operators.graph import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in connected_components_star(df).collect()}
+    assert got == want
