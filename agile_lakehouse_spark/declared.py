@@ -773,6 +773,17 @@ def knn_join_q(spark, sf_dir):
     return out.orderBy("qid", "rk")
 
 
+def knn_join_grid_q(spark, sf_dir):
+    """DQ103: the SAME kNN join through the grid/ring-expansion engine
+    (`pointcloud.knn_join_grid`) against the SAME oracle as dq62 — the
+    large-probe-set scale path is itself under the gate, not just
+    equivalence-tested in pytest.  Candidates scale with local density×k,
+    never |probes|×|points|."""
+    probes = spark.createDataFrame(KNN_JOIN_PROBES, "qid long, x double, y double")
+    out = pointcloud.knn_join_grid(probes, _q(spark, sf_dir), KNN_JOIN_K, delta=60.0)
+    return out.orderBy("qid", "rk")
+
+
 def ann_recall_q(spark, sf_dir):
     """DQ61: recall@10 of the IVF approximate path vs exact brute-force —
     the approximation-quality measurement a production ANN deployment
@@ -1761,6 +1772,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq69_group_topk_sample": relational.group_topk_sample,
     "dq70_pc_zorder_cells": pc_zorder_cells,
     "dq102_pc_zorder3_cells": pc_zorder3_cells,
+    "dq103_knn_join_grid": knn_join_grid_q,
     "dq71_weighted_sample": relational.weighted_sample,
     "dq72_stream_sliding_window": stream_sliding_window_q,
     "dq73_stream_watermark_append": stream_watermark_append_q,
@@ -1933,6 +1945,8 @@ ORACLES["dq102_pc_zorder3_cells"] = f"""{POINTS_CTE},
            min(cell_x) AS cell_x, min(cell_y) AS cell_y, min(cell_z) AS cell_z,
            CAST(count(*) AS BIGINT) AS n_points
     FROM cells GROUP BY 1 ORDER BY 1"""
+
+ORACLES["dq103_knn_join_grid"] = ORACLES["dq62_knn_join"]
 
 ORACLES["dq71_weighted_sample"] = f"""
     WITH m AS (SELECT CAST(max(n_chars) AS BIGINT) AS maxc FROM documents)

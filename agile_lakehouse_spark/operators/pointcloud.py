@@ -329,3 +329,131 @@ def knn_join(
             F.col("_rk").cast("bigint").alias("rk"),
         )
     )
+
+
+def knn_join_grid(
+    probes: DataFrame,
+    points: DataFrame,
+    k: int,
+    delta: float,
+    x: str = "x",
+    y: str = "y",
+    probe_id: str = "qid",
+    id_col: str = "pid",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """EXACT kNN join by grid blocking + ring expansion — the LARGE-probe-
+    set engine :func:`knn_join`'s docstring points at.
+
+    Round R joins each still-active probe against only the points in the
+    Chebyshev ring R of grid cells around it (8R cells — an EQUI-join on
+    the cell key, the rect_join_counts/banded_interval_join discipline),
+    keeps a running per-probe top-k, and retires the probe once its k-th
+    distance is ≤ R·δ — every unexplored cell lies beyond Chebyshev R, so
+    no closer point can exist (exactness, not a heuristic; equivalence-
+    tested against the brute-force join).  Candidate volume scales with
+    LOCAL DENSITY × k, never |probes|×|points|; state is ≤ k rows per
+    probe between rounds.
+
+    ``delta`` tunes rounds-vs-candidates: δ ≈ expected k-NN radius retires
+    most probes in 1-2 rounds (the same derive_grid_size arithmetic that
+    sizes layouts applies).  Driver-coordinated rounds, the dq31/dq43
+    loop shape.
+    """
+    from pyspark.sql.window import Window as W
+
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    pts = spread(points.select(F.col(id_col), F.col(x), F.col(y))).withColumn(
+        "_cx", F.floor(F.col(x) / F.lit(delta)).cast("bigint")
+    ).withColumn("_cy", F.floor(F.col(y) / F.lit(delta)).cast("bigint")).persist()
+
+    active = probes.select(
+        F.col(probe_id),
+        F.col(x).alias("_qx"),
+        F.col(y).alias("_qy"),
+        F.floor(F.col(x) / F.lit(delta)).cast("bigint").alias("_pcx"),
+        F.floor(F.col(y) / F.lit(delta)).cast("bigint").alias("_pcy"),
+    ).localCheckpoint()
+    kept = None  # per-probe running top-k candidates
+    done = []
+
+    w = W.partitionBy(probe_id).orderBy(F.asc("_d2"), F.asc(id_col))
+    for r in range(max_rounds):
+        # ring R cell offsets (Chebyshev distance == r), as a literal array
+        ring = [
+            (dx_, dy_)
+            for dx_ in range(-r, r + 1)
+            for dy_ in range(-r, r + 1)
+            if max(abs(dx_), abs(dy_)) == r
+        ]
+        offs = F.array(*[F.struct(F.lit(a).alias("ox"), F.lit(b).alias("oy")) for a, b in ring])
+        probe_cells = active.select(
+            probe_id, "_qx", "_qy", "_pcx", "_pcy", F.explode(offs).alias("_o")
+        ).select(
+            probe_id,
+            "_qx",
+            "_qy",
+            "_pcx",
+            "_pcy",
+            (F.col("_pcx") + F.col("_o.ox")).alias("_cx"),
+            (F.col("_pcy") + F.col("_o.oy")).alias("_cy"),
+        )
+        dx_ = F.col(x) - F.col("_qx")
+        dy_ = F.col(y) - F.col("_qy")
+        new_cand = probe_cells.join(pts, ["_cx", "_cy"]).select(
+            probe_id,
+            "_qx",
+            "_qy",
+            "_pcx",
+            "_pcy",
+            F.col(id_col),
+            (dx_ * dx_ + dy_ * dy_).alias("_d2"),
+        )
+        pool = new_cand if kept is None else kept.drop("_rk").unionByName(new_cand)
+        kept = (
+            pool.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .localCheckpoint()
+        )
+        # retire probes whose k-th hit is provably closer than anything
+        # beyond ring R: unexplored cells are at Chebyshev >= R+1, hence
+        # at least R*delta away from any point inside the probe's cell
+        stats = kept.groupBy(probe_id).agg(
+            F.count(F.lit(1)).alias("_n"), F.max("_d2").alias("_kth")
+        )
+        bound = (r * delta) * (r * delta)
+        finished = stats.filter((F.col("_n") >= k) & (F.col("_kth") <= F.lit(bound)))
+        done.append(kept.join(finished.select(probe_id), probe_id, "left_semi"))
+        active = active.join(finished.select(probe_id), probe_id, "left_anti").localCheckpoint()
+        kept = kept.join(finished.select(probe_id), probe_id, "left_anti").localCheckpoint()
+        if active.limit(1).count() == 0:
+            break
+    else:
+        # unfinished probes after max_rounds: exact brute-force fallback
+        if kept is not None:
+            rest = knn_join(
+                active.select(probe_id, F.col("_qx").alias(x), F.col("_qy").alias(y)),
+                points,
+                k,
+                x=x,
+                y=y,
+                probe_id=probe_id,
+                id_col=id_col,
+            )
+            pts.unpersist()
+            base = _knn_grid_collect(done, probe_id, id_col)
+            return base.unionByName(rest)
+    pts.unpersist()
+    return _knn_grid_collect(done, probe_id, id_col)
+
+
+def _knn_grid_collect(done: list[DataFrame], probe_id: str, id_col: str) -> DataFrame:
+    out = [
+        d.select(probe_id, id_col, F.col("_rk").cast("bigint").alias("rk"))
+        for d in done
+    ]
+    base = out[0]
+    for o in out[1:]:
+        base = base.unionByName(o)
+    return base

@@ -143,3 +143,35 @@ def test_rect_join_is_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_knn_join_grid_matches_bruteforce(spark, sf_dir):
+    """Ring-expansion grid kNN must agree with the brute-force join on
+    every (probe, rank) pair — exactness, not a heuristic."""
+    from agile_lakehouse_spark.operators.pointcloud import knn_join, knn_join_grid
+    from agile_lakehouse_spark.sources.catalog import points_view
+
+    pts = points_view(spark, sf_dir).select("pid", "x", "y")
+    probes = spark.createDataFrame(
+        [(0, 120.0, 240.0), (1, 300.0, 500.0), (2, 510.0, 480.0), (3, 950.0, 60.0)],
+        "qid long, x double, y double",
+    )
+    exact = {(r.qid, r.rk): r.pid for r in knn_join(probes, pts, 7).collect()}
+    grid = {(r.qid, r.rk): r.pid for r in knn_join_grid(probes, pts, 7, delta=60.0).collect()}
+    assert grid == exact
+
+
+def test_knn_join_grid_tiny_delta_falls_back(spark, sf_dir):
+    """A pathologically small delta forces the max_rounds fallback path;
+    results must still be exact."""
+    from agile_lakehouse_spark.operators.pointcloud import knn_join, knn_join_grid
+    from agile_lakehouse_spark.sources.catalog import points_view
+
+    pts = points_view(spark, sf_dir).select("pid", "x", "y")
+    probes = spark.createDataFrame([(0, 400.0, 400.0)], "qid long, x double, y double")
+    exact = {(r.qid, r.rk): r.pid for r in knn_join(probes, pts, 5).collect()}
+    grid = {
+        (r.qid, r.rk): r.pid
+        for r in knn_join_grid(probes, pts, 5, delta=0.5, max_rounds=3).collect()
+    }
+    assert grid == exact
