@@ -1773,6 +1773,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq70_pc_zorder_cells": pc_zorder_cells,
     "dq102_pc_zorder3_cells": pc_zorder3_cells,
     "dq103_knn_join_grid": knn_join_grid_q,
+    "dq104_events_since_marker": relational.events_since_last_purchase,
+    "dq105_percent_of_group": relational.percent_of_group,
     "dq71_weighted_sample": relational.weighted_sample,
     "dq72_stream_sliding_window": stream_sliding_window_q,
     "dq73_stream_watermark_append": stream_watermark_append_q,
@@ -1947,6 +1949,26 @@ ORACLES["dq102_pc_zorder3_cells"] = f"""{POINTS_CTE},
     FROM cells GROUP BY 1 ORDER BY 1"""
 
 ORACLES["dq103_knn_join_grid"] = ORACLES["dq62_knn_join"]
+
+ORACLES["dq104_events_since_marker"] = """
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+        FROM events WHERE user_id < 20)
+    SELECT event_id, user_id, epoch,
+           CAST(row_number() OVER (PARTITION BY user_id, epoch ORDER BY ts, event_id) - 1
+                AS BIGINT) AS n_since
+    FROM e ORDER BY event_id"""
+
+ORACLES["dq105_percent_of_group"] = """
+    SELECT o_orderkey, o_custkey,
+           (floor((o_totalprice) * 10000.0 + 0.5) / 10000.0) AS price,
+           (floor((100.0 * o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0)
+               AS pct_of_customer
+    FROM orders WHERE o_custkey < 50 ORDER BY o_orderkey"""
 
 ORACLES["dq71_weighted_sample"] = f"""
     WITH m AS (SELECT CAST(max(n_chars) AS BIGINT) AS maxc FROM documents)

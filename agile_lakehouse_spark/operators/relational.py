@@ -1988,3 +1988,59 @@ def first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_since_last_purchase(spark: SparkSession, sf_dir: str, max_user: int = 20) -> DataFrame:
+    """Running-reset window (dq104): for every event, how many events the
+    user has produced since their most recent 'purchase' (the
+    sessionize-by-marker-event pattern — spend-since-reset, errors-since-
+    deploy, and retries-since-success are all this shape).
+
+    Two frames over ONE window sort: a running count of markers partitions
+    the stream into reset epochs; a second count within (user, epoch)
+    ranks events since the marker.  All integers, total tie-break by
+    event_id.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < max_user)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    we = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("epoch", epoch)
+        .withColumn("n_since", (F.row_number().over(we) - 1).cast("bigint"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("epoch").cast("bigint").alias("epoch"),
+            # a purchase itself starts epoch N with n_since=0
+            "n_since",
+        )
+        .orderBy("event_id")
+    )
+
+
+def percent_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total window (dq105): each order's share of its
+    customer's total spend — the BI ratio-to-report pattern.
+
+    The denominator is an exact decimal sum OVER the partition (one
+    Exchange, no self-join with a grouped aggregate — the naive form
+    scans twice); the share is a single IEEE division of that exact sum,
+    then round4.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            round4(F.col("o_totalprice")).alias("price"),
+            round4(
+                F.lit(100.0) * F.col("o_totalprice") / total.cast("double")
+            ).alias("pct_of_customer"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -393,3 +393,27 @@ def test_bloom_point_lookup_pruning(spark, tmp_path):
     miss = sum(len(t.prune_files_by_key("k", k)) for k in range(10_000, 10_050))
     assert miss <= 5, f"bloom false-positive rate too high: {miss} file hits"
     assert t.lookup(spark, "k", 10_123).count() == 0
+
+
+def test_bloom_rebuilt_through_optimize(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "bopt"), bloom_columns=("k",))
+    for part in range(3):
+        t.append(
+            spark.range(part * 400, (part + 1) * 400).select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 7) % 100 / 1.0).alias("x"),
+                ((F.col("id") * 13) % 100 / 1.0).alias("y"),
+            )
+        )
+    t.optimize(spark, zorder_by=("x", "y"), target_files=4)
+    files = t._read_manifest(t.latest_version())["files"]
+    # the rewrite staged NEW files; every one must carry a fresh bloom,
+    # and point lookups stay exact + pruned after the layout change
+    assert all(
+        "bloom" in (t._stats(t.latest_version()).get(f) or {}) for f in files
+    )
+    got = t.lookup(spark, "k", 777).collect()
+    assert [r.k for r in got] == [777]
+    assert t.lookup(spark, "k", 99_999).count() == 0
