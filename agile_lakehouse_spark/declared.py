@@ -506,6 +506,33 @@ def stream_time_bucket_q(spark, sf_dir):
     return _run_stream(agg, "complete").orderBy("bucket")
 
 
+def stream_update_mode_q(spark, sf_dir):
+    """DQ106: tumbling counts in UPDATE output mode — the third output
+    semantics after complete (dq54) and append (dq73), and the TENTH
+    streaming path under the oracle gate.
+
+    Update mode emits a bucket's row EVERY micro-batch its count changes,
+    so the memory sink holds a history of partial states; per-bucket
+    counts are MONOTONIC under availableNow (no retraction), so the final
+    state is exactly the max per bucket — collapsed with a plain batch
+    aggregation, hash-matched against the same oracle family as
+    dq20/dq54.  A correctness property rides along for free: if update
+    mode ever emitted a non-monotonic partial, max() would diverge from
+    the batch twin and fail the gate.
+    """
+    stream = _event_stream(spark, sf_dir)
+    bucket = F.floor(F.unix_timestamp(F.col("ts")) / 600).cast("bigint")
+    agg = stream.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    partials = _run_stream(agg, "update")
+    return (
+        partials.groupBy("bucket")
+        .agg(F.max("n_events").cast("bigint").alias("n_events"))
+        .orderBy("bucket")
+    )
+
+
 def _event_stream(spark, sf_dir):
     """Raw events as a bounded file stream with the load_table ts fix."""
     load_table(spark, sf_dir, "events")  # self-defends session confs
@@ -1774,6 +1801,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq102_pc_zorder3_cells": pc_zorder3_cells,
     "dq103_knn_join_grid": knn_join_grid_q,
     "dq104_events_since_marker": relational.events_since_last_purchase,
+    "dq106_stream_update_mode": stream_update_mode_q,
     "dq105_percent_of_group": relational.percent_of_group,
     "dq71_weighted_sample": relational.weighted_sample,
     "dq72_stream_sliding_window": stream_sliding_window_q,
@@ -1949,6 +1977,11 @@ ORACLES["dq102_pc_zorder3_cells"] = f"""{POINTS_CTE},
     FROM cells GROUP BY 1 ORDER BY 1"""
 
 ORACLES["dq103_knn_join_grid"] = ORACLES["dq62_knn_join"]
+
+ORACLES["dq106_stream_update_mode"] = """
+    SELECT CAST(floor(epoch_ms(ts) / 600000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY bucket ORDER BY bucket"""
 
 ORACLES["dq104_events_since_marker"] = """
     WITH e AS (
