@@ -1354,6 +1354,16 @@ def stream_dedup_watermark_q(spark, sf_dir):
     return _run_stream(out, "append").orderBy("user_id", "event_type")
 
 
+def normalize_text_q(spark, sf_dir):
+    """DQ107: canonicalization before exact dedup (text.normalize_text)."""
+    return text.normalize_text(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def upsample_q(spark, sf_dir):
+    """DQ108: weighted upsampling by replication (text.upsample_short_docs)."""
+    return text.upsample_short_docs(load_table(spark, sf_dir, "documents"))
+
+
 _BIGRAMS_DUCK = (
     "list_transform(generate_series(1, len(toks) - 1),"
     " i -> toks[i] || ' ' || toks[i + 1])"
@@ -1802,6 +1812,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq103_knn_join_grid": knn_join_grid_q,
     "dq104_events_since_marker": relational.events_since_last_purchase,
     "dq106_stream_update_mode": stream_update_mode_q,
+    "dq107_normalize_text": normalize_text_q,
+    "dq108_upsample": upsample_q,
     "dq105_percent_of_group": relational.percent_of_group,
     "dq71_weighted_sample": relational.weighted_sample,
     "dq72_stream_sliding_window": stream_sliding_window_q,
@@ -1982,6 +1994,21 @@ ORACLES["dq106_stream_update_mode"] = """
     SELECT CAST(floor(epoch_ms(ts) / 600000) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY bucket ORDER BY bucket"""
+
+ORACLES["dq107_normalize_text"] = f"""
+    SELECT doc_id,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars,
+           CAST({_h15d("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))")} AS BIGINT) AS norm_fp
+    FROM documents ORDER BY doc_id"""
+
+ORACLES["dq108_upsample"] = f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 least(3, CAST(ceil(200.0 / greatest(n_tokens, 1)) AS BIGINT)) AS n_copies
+          FROM t)
+    SELECT doc_id, n_tokens, n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+    FROM c ORDER BY doc_id, copy_idx"""
 
 ORACLES["dq104_events_since_marker"] = """
     WITH e AS (

@@ -369,3 +369,62 @@ def regex_pattern_stats(df: DataFrame, text_col: str = "text", id_col: str = "do
         F.expr(f"regexp_count({text_col}, '\\\\w*e\\\\b')").cast("bigint").alias("n_e_words"),
         F.expr(f"regexp_count({text_col}, '\\\\btable\\\\b')").cast("bigint").alias("n_table"),
     ).orderBy(id_col)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalization before exact dedup (DQ107): lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim — then a
+    portable fingerprint of the normalized form.
+
+    Exact dedup on RAW text misses trivial variants (case, punctuation,
+    spacing); normalize-then-hash is the standard first pass of a corpus
+    pipeline (before MinHash handles real paraphrases).  All JVM regex —
+    ASCII classes only, where Java and RE2 agree.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(norm).cast("bigint").alias("n_norm_chars"),
+        F.expr(portable.hex15_spark("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' +', ' '))")).cast("bigint").alias("norm_fp"),
+    )
+
+
+def upsample_short_docs(
+    df: DataFrame,
+    target_tokens: int = 200,
+    max_copies: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted upsampling by replication (DQ108): short documents emit
+    ``min(max_copies, ceil(target/n_tokens))`` copies — the
+    data-balancing row amplification step of training-set assembly
+    (long docs already dominate the token budget; replication rebalances
+    EXAMPLE counts without touching content).
+
+    ``explode(sequence(...))`` amplifies rows in place, distributed — no
+    driver loop, no shuffle; copy_idx makes each replica addressable for
+    downstream shuffling/sharding.
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("bigint")
+    copies = F.least(
+        F.lit(max_copies).cast("bigint"),
+        F.ceil(F.lit(target_tokens) / F.greatest(n, F.lit(1))).cast("bigint"),
+    )
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"), copies.alias("n_copies"))
+        .select(
+            id_col,
+            "n_tokens",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias("copy_idx"),
+        )
+        .orderBy(id_col, "copy_idx")
+    )
