@@ -258,16 +258,29 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     """Per-doc SimHash over whitespace tokens -> (id, simhash BIGINT).
 
     Bit k of the hash = sign of Σ_tokens (±1 by bit k of the token hash).
-    One explode + one aggregation (all bit-sums in a single pass).
+
+    Occurrences collapse to DISTINCT (doc, token) pairs first and the
+    bit-sums weight by the count — Σ_occurrences ±1 ≡ Σ_distinct ±count,
+    but the md5+fold evaluates once per distinct pair instead of once per
+    occurrence (natural-language vocabularies repeat heavily; ~20× fewer
+    hash evals on the fixture).  The count aggregation map-side combines
+    before the shuffle, so shuffle volume also drops from occurrences to
+    distinct pairs.
     """
     toks = (
         spread(df)
         .select(F.col(id_col), F.explode(F.expr(portable.tokens_spark(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("m", F.md5("tok"))
         .withColumn("h", F.expr(portable.hexfold_spark("m")))
     )
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), kk).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{kk}")
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), kk).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s{kk}")
         for kk in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
