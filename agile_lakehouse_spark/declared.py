@@ -1813,6 +1813,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq104_events_since_marker": relational.events_since_last_purchase,
     "dq106_stream_update_mode": stream_update_mode_q,
     "dq107_normalize_text": normalize_text_q,
+    "dq109_date_breadth": relational.date_function_breadth,
+    "dq110_string_breadth": relational.string_function_breadth,
+    "dq111_math_breadth": relational.math_function_breadth,
     "dq108_upsample": upsample_q,
     "dq105_percent_of_group": relational.percent_of_group,
     "dq71_weighted_sample": relational.weighted_sample,
@@ -2009,6 +2012,41 @@ ORACLES["dq108_upsample"] = f"""
     SELECT doc_id, n_tokens, n_copies,
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
     FROM c ORDER BY doc_id, copy_idx"""
+
+ORACLES["dq109_date_breadth"] = """
+    SELECT o_orderkey,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"""
+
+ORACLES["dq110_string_breadth"] = """
+    SELECT c_custkey,
+           lpad(c_name, 20, '.') AS padded,
+           reverse(c_name) AS rev,
+           repeat(substring(c_name, 1, 3), 2) AS rep,
+           split_part(c_name, '#', 1) AS name_part,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           substring(c_name, 1, 4) AS l4,
+           right(c_name, 4) AS r4,
+           translate(c_name, '#', '-') AS dashed
+    FROM customer WHERE c_custkey < 200 ORDER BY c_custkey"""
+
+ORACLES["dq111_math_breadth"] = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+           abs(l_quantity - 25) AS abs_dev,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS sign_dev,
+           CAST(l_partkey % 7 AS BIGINT) AS mod7,
+           greatest(l_quantity, 10.0) AS at_least_10,
+           least(l_quantity, 40.0) AS at_most_40,
+           CAST(ceil(l_quantity / 8) AS BIGINT) AS ceil8,
+           CAST(floor(l_quantity / 8) AS BIGINT) AS floor8,
+           (floor((sqrt(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sqrt_price,
+           l_quantity * l_quantity AS q_squared
+    FROM lineitem WHERE l_orderkey < 500 ORDER BY l_orderkey, line"""
 
 ORACLES["dq104_events_since_marker"] = """
     WITH e AS (

@@ -2044,3 +2044,65 @@ def percent_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def date_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar breadth (dq109), complementing dq17: datediff,
+    add_months, last_day, quarter, dayofweek, weekofyear arithmetic —
+    all integer/date-exact (no timezone-dependent wall-clock math; the
+    session is pinned UTC and the fixture timestamps are naive)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast("bigint").alias("days_to_y2k"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_quarter"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+    ).orderBy("o_orderkey")
+
+
+def string_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar breadth (dq110), complementing dq18: pad, reverse,
+    repeat, split_part, strpos, left/right, translate — the porting
+    surface a reference user hits first.  ASCII-only inputs so collation
+    and unicode-width differences cannot leak in."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    n = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.lpad(n, 20, ".").alias("padded"),
+        F.reverse(n).alias("rev"),
+        F.repeat(F.substring(n, 1, 3), 2).alias("rep"),
+        F.split(n, "#").getItem(0).alias("name_part"),
+        F.instr(n, "#").cast("bigint").alias("hash_pos"),
+        F.substring(n, 1, 4).alias("l4"),
+        n.substr(F.length(n) - 3, F.lit(4)).alias("r4"),
+        F.translate(n, "#", "-").alias("dashed"),
+    ).orderBy("c_custkey")
+
+
+def math_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar breadth (dq111): abs/sign/mod/pmod, greatest/least,
+    ceil/floor, sqrt, integer power — every function here is IEEE-exact
+    or integer (sqrt is correctly rounded per IEEE-754; ln/exp/trig are
+    LIBM-DEPENDENT and deliberately excluded from the oracle-matched
+    surface — engines may differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        F.abs(q - 25).alias("abs_dev"),
+        F.signum(q - 25).cast("bigint").alias("sign_dev"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("mod7"),
+        F.greatest(q, F.lit(10.0)).alias("at_least_10"),
+        F.least(q, F.lit(40.0)).alias("at_most_40"),
+        F.ceil(q / 8).cast("bigint").alias("ceil8"),
+        F.floor(q / 8).cast("bigint").alias("floor8"),
+        round4(F.sqrt(p)).alias("sqrt_price"),
+        (q * q).alias("q_squared"),
+    ).orderBy("l_orderkey", "line")
