@@ -1814,6 +1814,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq106_stream_update_mode": stream_update_mode_q,
     "dq107_normalize_text": normalize_text_q,
     "dq109_date_breadth": relational.date_function_breadth,
+    "dq112_null_breadth": relational.null_function_breadth,
+    "dq113_bitwise_breadth": relational.bitwise_function_breadth,
+    "dq114_array_breadth": relational.array_function_breadth,
     "dq110_string_breadth": relational.string_function_breadth,
     "dq111_math_breadth": relational.math_function_breadth,
     "dq108_upsample": upsample_q,
@@ -2012,6 +2015,42 @@ ORACLES["dq108_upsample"] = f"""
     SELECT doc_id, n_tokens, n_copies,
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
     FROM c ORDER BY doc_id, copy_idx"""
+
+ORACLES["dq112_null_breadth"] = """
+    WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+                      CAST(nullif(l_linenumber % 3, 0) AS BIGINT) AS v, l_linenumber
+               FROM lineitem WHERE l_orderkey < 300)
+    SELECT l_orderkey, line, v,
+           CAST(coalesce(v, l_linenumber, -1) AS BIGINT) AS coalesced,
+           CASE WHEN v IS NOT NULL THEN 'set' ELSE 'unset' END AS nvl2_style,
+           CAST(greatest(v, 1) AS BIGINT) AS greatest_skips_null,
+           (v IS NOT DISTINCT FROM 1) AS null_safe_eq_1,
+           (v IS NULL) AS is_null
+    FROM t ORDER BY l_orderkey, line"""
+
+ORACLES["dq113_bitwise_breadth"] = """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line,
+           CAST(l_partkey & 255 AS BIGINT) AS and255,
+           CAST(l_partkey | 4096 AS BIGINT) AS or4096,
+           CAST(xor(l_partkey, l_suppkey) AS BIGINT) AS xor_supp,
+           CAST(~l_partkey AS BIGINT) AS inverted,
+           CAST(l_partkey << 3 AS BIGINT) AS shl3,
+           CAST(l_partkey >> 2 AS BIGINT) AS shr2
+    FROM lineitem WHERE l_orderkey < 300 ORDER BY l_orderkey, line"""
+
+ORACLES["dq114_array_breadth"] = """
+    WITH per AS (SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+                 FROM events WHERE user_id < 30 GROUP BY user_id),
+    f AS (SELECT ['view', 'click', 'order'] AS fixed)
+    SELECT user_id, types,
+           list_sort(list_distinct(list_concat(types, fixed))) AS union_fixed,
+           list_sort(list_intersect(types, fixed)) AS intersect_fixed,
+           list_sort(list_filter(types, t -> NOT list_contains(fixed, t))) AS except_fixed,
+           list_contains(types, 'purchase') AS has_purchase,
+           CAST(coalesce(list_position(types, 'click'), 0) AS BIGINT) AS click_pos,
+           list_slice(types, 1, 2) AS first_two,
+           CAST(len(list_concat(types, fixed)) AS BIGINT) AS flat_size
+    FROM per CROSS JOIN f ORDER BY user_id"""
 
 ORACLES["dq109_date_breadth"] = """
     SELECT o_orderkey,

@@ -2106,3 +2106,66 @@ def math_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.sqrt(p)).alias("sqrt_price"),
         (q * q).alias("q_squared"),
     ).orderBy("l_orderkey", "line")
+
+
+def null_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar breadth (dq112), extending dq48's aggregate
+    semantics to the scalar surface: nullif/coalesce chains, nvl2-style
+    branching, null propagation through greatest/least (BOTH engines skip
+    NULLs there — pinned, because several databases return NULL instead),
+    and null-safe equality as a projected value."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    v = F.nullif(F.col("l_linenumber") % 3, F.lit(0))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        v.cast("bigint").alias("v"),
+        F.coalesce(v, F.col("l_linenumber"), F.lit(-1)).cast("bigint").alias("coalesced"),
+        F.when(v.isNotNull(), F.lit("set")).otherwise(F.lit("unset")).alias("nvl2_style"),
+        F.greatest(v, F.lit(1)).cast("bigint").alias("greatest_skips_null"),
+        (v.eqNullSafe(F.lit(1))).alias("null_safe_eq_1"),
+        v.isNull().alias("is_null"),
+    ).orderBy("l_orderkey", "line")
+
+
+def bitwise_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bitwise breadth (dq113), the expression-level complement of
+    dq53's bit aggregates: and/or/xor/not, shifts — all exact int64
+    (the layout engine's Morton keys live on these; dq70/dq102 prove the
+    composition, this pins the primitives)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    k = F.col("l_partkey").cast("bigint")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line"),
+        k.bitwiseAND(F.lit(255)).alias("and255"),
+        k.bitwiseOR(F.lit(4096)).alias("or4096"),
+        k.bitwiseXOR(F.col("l_suppkey")).alias("xor_supp"),
+        F.expr("~CAST(l_partkey AS BIGINT)").alias("inverted"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+    ).orderBy("l_orderkey", "line")
+
+
+def array_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth (dq114), beyond dq45's higher-order fns:
+    set algebra (union/intersect/except), membership, position, slicing,
+    flatten — every array OUTPUT is sorted first, because Spark's set
+    operations preserve first-seen order while DuckDB's preserve theirs:
+    unordered-set results must never be compared as ordered lists."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    fixed = F.array(F.lit("view"), F.lit("click"), F.lit("order"))
+    return per_user.select(
+        "user_id",
+        F.col("types"),
+        F.sort_array(F.array_union(F.col("types"), fixed)).alias("union_fixed"),
+        F.sort_array(F.array_intersect(F.col("types"), fixed)).alias("intersect_fixed"),
+        F.sort_array(F.array_except(F.col("types"), fixed)).alias("except_fixed"),
+        F.array_contains(F.col("types"), "purchase").alias("has_purchase"),
+        F.array_position(F.col("types"), "click").cast("bigint").alias("click_pos"),
+        F.slice(F.col("types"), 1, 2).alias("first_two"),
+        F.size(F.flatten(F.array(F.col("types"), fixed))).cast("bigint").alias("flat_size"),
+    ).orderBy("user_id")
