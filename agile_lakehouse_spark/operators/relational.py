@@ -1213,7 +1213,10 @@ def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     late = (li["l_orderkey"] == orders["o_orderkey"]) & (
-        li["l_shipdate"] > F.date_add(orders["o_orderdate"], 60)
+        # timestamp-preserving: date_add would truncate o_orderdate to a
+        # DATE, silently diverging from the oracle's + INTERVAL 60 DAY on
+        # intraday timestamps
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
     )
     return (
         orders.join(li, late, "left_semi")
@@ -1487,7 +1490,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     late = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        # timestamp-preserving (see tpch_q4): no DATE truncation
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
     n_supp = (

@@ -391,7 +391,11 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return df.select(
         F.col(id_col),
         F.length(norm).cast("bigint").alias("n_norm_chars"),
-        F.expr(portable.hex15_spark("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' +', ' '))")).cast("bigint").alias("norm_fp"),
+        F.expr(
+            portable.hex15_spark(
+                f"trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' '), ' +', ' '))"
+            )
+        ).cast("bigint").alias("norm_fp"),
     )
 
 

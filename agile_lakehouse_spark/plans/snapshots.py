@@ -174,17 +174,39 @@ class TransactionalTable:
     _BLOOM_HASHES = 7
 
     @classmethod
-    def _bloom_positions(cls, value) -> list[int]:
-        """k bit positions for a key, from one md5 of the key's CANONICAL
-        string — ``str(value)``, which for integers and strings is exactly
-        what Spark's ``CAST(col AS STRING)`` produces, so positions
-        computed JVM-side at build time and Python-side at probe time
-        agree bit-for-bit.  (Float keys have engine-specific printing and
-        are excluded from bloom columns for that reason.)
+    def _canonical_key(cls, value) -> str:
+        """The key's CANONICAL string — what Spark's ``CAST(col AS
+        STRING)`` produces at bloom build time, so positions computed
+        JVM-side and Python-side agree bit-for-bit.
+
+        Python ``str()`` alone is NOT that canonical form for every type
+        a caller might pass: ``str(True)`` is ``'True'`` (Spark prints
+        ``'true'``) and ``str(777.0)`` is ``'777.0'`` (against a bigint
+        column Spark prints ``'777'``).  Either mismatch would make the
+        probe hash a string the build never saw and *wrongly prune* files
+        containing the key — a false negative, violating the Inexact
+        contract.  So: bools map to Spark's lowercase form, exact-integral
+        floats coerce to int, and any other float raises (float keys have
+        engine-specific printing and are excluded from bloom columns).
         """
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, float):
+            if value.is_integer():
+                return str(int(value))
+            raise TypeError(
+                "float bloom probe keys are unsupported (engine-specific "
+                f"string form): {value!r}; pass an int or string"
+            )
+        return str(value)
+
+    @classmethod
+    def _bloom_positions(cls, value) -> list[int]:
+        """k bit positions for a key, from one md5 of
+        :meth:`_canonical_key`."""
         import hashlib
 
-        digest = hashlib.md5(str(value).encode()).digest()
+        digest = hashlib.md5(cls._canonical_key(value).encode()).digest()
         out = []
         for i in range(cls._BLOOM_HASHES):
             chunk = int.from_bytes(digest[2 * i : 2 * i + 4], "big")

@@ -118,3 +118,51 @@ def test_star_cc_long_chain(spark):
     rows = comp.collect()
     assert len(rows) == n + 1
     assert {r.component for r in rows} == {0}
+
+
+def test_triangle_count_degree_ordered_matches(spark):
+    # same pseudo-random graph as the brute-force test: the degree-ordered
+    # engine must be output-identical to id-orientation
+    import itertools
+
+    n = 25
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    edges = spark.createDataFrame(pairs, "u bigint, v bigint")
+    base = graph.triangle_count(edges).collect()[0]
+    ordered = graph.triangle_count(edges, degree_ordered=True).collect()[0]
+    assert (base.n_edges, base.n_triangles) == (ordered.n_edges, ordered.n_triangles)
+
+
+def test_triangle_count_degree_ordered_skewed_hub(spark):
+    # the case the orientation exists for: one hub connected to everything
+    # (star + a clique among 6 spokes).  id-orientation fans out deg(hub)^2
+    # wedges at the hub; degree-ordering bounds out-degree.
+    import itertools
+
+    hub = 0
+    spokes = list(range(1, 41))
+    edges = [(hub, s) for s in spokes] + list(itertools.combinations(spokes[:6], 2))
+    # expected: triangles = hub x (clique edge) + clique-internal = 15 + C(6,3)=20 -> 35
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    row = graph.triangle_count(df, degree_ordered=True).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (len(edges), 15 + 20)
+
+
+def test_cc_unconverged_warns(spark):
+    import warnings
+
+    n = 12  # diameter > max_iterations -> cannot reach fixpoint
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src bigint, dst bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        graph.connected_components(edges, "src", "dst", "node", max_iterations=2).collect()
+    assert any("fixpoint not reached" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        graph.connected_components_star(edges, id_col="node", max_iterations=1).collect()
+    assert any("fixpoint not reached" in str(x.message) for x in w)

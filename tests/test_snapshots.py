@@ -417,3 +417,40 @@ def test_bloom_rebuilt_through_optimize(spark, tmp_path):
     got = t.lookup(spark, "k", 777).collect()
     assert [r.k for r in got] == [777]
     assert t.lookup(spark, "k", 99_999).count() == 0
+
+
+def test_bloom_probe_key_canonicalization(spark, tmp_path):
+    """A type-mismatched but semantically valid probe (777.0 against a
+    bigint column, bool against a bigint 0/1 column) must NOT false-
+    negative: the probe string must match Spark's CAST(col AS STRING)."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "bcanon"), bloom_columns=("k",))
+    t.append(spark.range(1000).select(F.col("id").alias("k")))
+
+    # exact-integral float probes coerce to the int canonical form
+    assert [r.k for r in t.lookup(spark, "k", 777.0).collect()] == [777]
+    assert t._canonical_key(777.0) == t._canonical_key(777) == "777"
+    # bools hash Spark's 'true'/'false', not Python's 'True'/'False'
+    assert t._canonical_key(True) == "true"
+    assert t._canonical_key(False) == "false"
+    # non-integral floats have engine-specific printing: refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        t.prune_files_by_key("k", 777.5)
+
+
+def test_bloom_probe_bool_column(spark, tmp_path):
+    """End-to-end bool probe against a boolean column: build-side CAST
+    produces 'true'/'false'; the probe must find both values."""
+    from pyspark.sql import functions as F
+
+    t = TransactionalTable(str(tmp_path / "bbool"), bloom_columns=("flag",))
+    t.append(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag")
+        )
+    )
+    assert t.lookup(spark, "flag", True).count() == 50
+    assert t.lookup(spark, "flag", False).count() == 50
