@@ -2,15 +2,16 @@
 
 Spark has no LAS reader; the idiomatic shape is a one-time ELT job, not a
 live scan (SURVEY.md §2.1): plan per-chunk read units from the LAZ chunk
-table, decode chunks in parallel tasks (``laspy`` vectorizes straight to
-numpy — no row loop), emit Arrow batches, land Parquet.  After ingest every
-query runs on Parquet with built-in pruning, which subsumes the reference's
-custom LasExec + file/chunk skip masks.
+table, decode chunks in parallel tasks (vectorized numpy — no row loop),
+emit Arrow batches, land Parquet.  After ingest every query runs on
+Parquet with built-in pruning, which subsumes the reference's custom
+LasExec + file/chunk skip masks.
 
-``laspy`` is not installed in this container, so the decode is gated; the
-chunk-planning arithmetic and the distributed plumbing (parallelize chunk
-plans -> per-task decode -> createDataFrame) are real and unit-tested via a
-deterministic fake decoder.
+Uncompressed ``.las`` (point formats 0-3) decodes NATIVELY via
+``sources/las_native.py`` — fixed-width records, one ``numpy.frombuffer``
+per chunk, no third-party dependency.  Compressed ``.laz`` stays gated on
+``laspy`` (not in this container): same chunk plumbing, different byte
+decode.
 """
 
 from __future__ import annotations
@@ -75,6 +76,33 @@ def decode_chunk_laspy(plan: ChunkPlan, raw: bool = False) -> list[tuple]:
         return list(zip(map(float, xs), map(float, ys), map(float, zs), map(int, pts.intensity), map(int, pts.classification)))
 
 
+def decode_chunk_native(plan: ChunkPlan, raw: bool = False) -> list[tuple]:
+    """Decode one uncompressed-LAS chunk with the dependency-free parser
+    (``las_native.decode_points``) -> (x, y, z, intensity, classification)
+    rows.  Runs inside executor tasks; the frombuffer decode is fully
+    vectorized, only the final row materialization is Python."""
+    from agile_lakehouse_spark.sources import las_native
+
+    cols = las_native.decode_points(plan.path, offset=plan.offset, count=plan.count, raw=raw)
+    return list(
+        zip(
+            map(float, cols["x"]),
+            map(float, cols["y"]),
+            map(float, cols["z"]),
+            map(int, cols["intensity"]),
+            map(int, cols["classification"]),
+        )
+    )
+
+
+def plan_chunks_for_file(path: str, chunk_points: int = DEFAULT_CHUNK_POINTS) -> list[ChunkPlan]:
+    """Chunk plans for a real ``.las`` file: point count from the header
+    (metadata-only read), fixed-size chunks."""
+    from agile_lakehouse_spark.sources import las_native
+
+    return plan_chunks(path, las_native.read_header(path).n_points, chunk_points)
+
+
 def ingest_las(
     spark: SparkSession,
     plans: list[ChunkPlan],
@@ -84,10 +112,13 @@ def ingest_las(
     """Distributed ingest: one Spark task per chunk plan.
 
     ``decoder(plan) -> list[tuple]`` runs inside executors (keep it
-    import-light).  This is the only RDD use in the engine — per-partition
-    imperative decode of a foreign format, exactly the carve-out the
-    Spark-first rule allows.
+    import-light).  Defaults to the native uncompressed-LAS decoder for
+    ``.las`` plans and laspy for ``.laz``.  This is the only RDD use in
+    the engine — per-partition imperative decode of a foreign format,
+    exactly the carve-out the Spark-first rule allows.
     """
-    decoder = decoder or decode_chunk_laspy
+    if decoder is None:
+        laz = any(p.path.endswith(".laz") for p in plans)
+        decoder = decode_chunk_laspy if laz else decode_chunk_native
     rdd = spark.sparkContext.parallelize(plans, max(len(plans), 1)).flatMap(decoder)
     return spark.createDataFrame(rdd, schema=schema)

@@ -10,10 +10,9 @@ of the reference's DataFusion ``TableProvider`` + ``LasExec``
   across the cluster exactly like the reference's rayon-per-chunk loop —
   except scheduled by Spark over executors, not threads.
 - ``read(partition)`` ≙ ``LasExec::execute``: decode one chunk, yield
-  rows.  With ``laspy`` installed the decode is vectorized numpy; without
-  it (this container) a clearly-marked deterministic synthetic decoder
-  keeps the plumbing (registration, schema, partition planning, executor
-  round-trip) real and testable.
+  rows.  Uncompressed ``.las`` decodes natively (``las_native.py``,
+  vectorized frombuffer — no dependency); ``.laz`` needs laspy; a
+  ``.fakelas`` synthetic decoder remains for partition-planning tests.
 
 Filter pushdown note: the Python DataSource API (as of Spark 4.1) exposes
 projection/partitioning but not filter pushdown hooks, so file/chunk
@@ -57,32 +56,42 @@ class LasChunkPartition(InputPartition):
 
 
 def _las_point_count(path: str) -> int:
-    """Point count from the LAS public header block (bytes 107-110 for
-    legacy, 247-254 for 1.4 extended) — metadata-only, no point decode.
+    """Point count from the LAS public header block — metadata-only, no
+    point decode (``las_native.read_header`` handles legacy vs 1.4 u64).
 
     Synthetic fixture files (``.fakelas``) store the count as ASCII.
     """
     if path.endswith(".fakelas"):
         with open(path) as f:
             return int(f.read().strip())
-    with open(path, "rb") as f:  # pragma: no cover - needs real LAS data
-        hdr = f.read(375)
-        legacy = _struct.unpack_from("<I", hdr, 107)[0]
-        if legacy:
-            return legacy
-        return _struct.unpack_from("<Q", hdr, 247)[0]
+    from agile_lakehouse_spark.sources import las_native
+
+    return las_native.read_header(path).n_points
 
 
 def _decode_chunk(path: str, offset: int, count: int):
     """Yield (x, y, z, intensity, classification) rows for one chunk."""
     if path.endswith(".fakelas"):
-        # SYNTHETIC decoder (laspy absent in this container): deterministic
-        # rows derived from the global point index — NOT real LAS decode.
+        # SYNTHETIC decoder: deterministic rows from the global point
+        # index — kept for partition-planning tests, NOT real LAS decode.
         for idx in range(offset, offset + count):
             yield (float(idx) * 0.5, float(idx % 1000), float(idx % 97), idx % 65536, idx % 256)
         return
+    if path.endswith(".las"):
+        # real uncompressed LAS: dependency-free vectorized decode
+        from agile_lakehouse_spark.sources import las_native
+
+        cols = las_native.decode_points(path, offset=offset, count=count)
+        yield from zip(
+            map(float, cols["x"]),
+            map(float, cols["y"]),
+            map(float, cols["z"]),
+            map(int, cols["intensity"]),
+            map(int, cols["classification"]),
+        )
+        return
     if not HAS_LASPY:  # pragma: no cover
-        raise NotImplementedError("real .las/.laz decode needs laspy")
+        raise NotImplementedError(".laz decode needs laspy")
     import laspy  # pragma: no cover
 
     with laspy.open(path) as rd:  # pragma: no cover
