@@ -1,25 +1,22 @@
 """PLY reader/writer (reference S7/S8: ``pc-io/src/ply.rs``).
 
-ASCII PLY is implemented dependency-free and round-trip tested: header
-parse -> schema, payload -> DataFrame (reader is driver-side — PLY files
-are small scene assets, not lake data); writer streams partitions to text
-via native expressions + ``concat_ws``.  Binary PLY is gated behind
-``plyfile`` (not in this container).
+ASCII **and binary** PLY are implemented dependency-free and round-trip
+tested: header parse -> schema, payload -> DataFrame (reader is
+driver-side — PLY files are small scene assets, not lake data).  Binary
+payloads (``binary_little_endian`` / ``binary_big_endian``, reference
+``pc-io/src/ply.rs:190-360``) are fixed-width records, so they decode with
+one ``numpy.frombuffer`` — the same no-dependency pattern as
+``las_native.py``.  The ascii writer streams partitions to text via native
+expressions + ``concat_ws``; the binary writer packs a structured array.
 
 Like LAS, PLY is an ingest/export boundary: convert once, query Parquet.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
-
-try:  # pragma: no cover
-    import plyfile  # type: ignore
-
-    HAS_PLYFILE = True
-except ImportError:
-    plyfile = None
-    HAS_PLYFILE = False
 
 _PLY_TO_SPARK = {
     "float": "float",
@@ -42,15 +39,37 @@ _PLY_TO_SPARK = {
 # PLY has no 64-bit integer type; bigint maps to 'int' (values must fit in
 # i32 — better a loud overflow than double's silent precision loss > 2^53).
 _SPARK_TO_PLY = {"float": "float", "double": "double", "int": "int", "bigint": "int", "smallint": "short", "tinyint": "char"}
+_PLY_TO_NP = {
+    "char": "i1", "int8": "i1",
+    "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2",
+    "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4",
+    "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4",
+    "double": "f8", "float64": "f8",
+}
+_INT_BOUNDS = {"int": (-(2**31), 2**31 - 1), "short": (-(2**15), 2**15 - 1), "char": (-128, 127)}
 
 
 def parse_header(lines: list[str]) -> tuple[list[tuple[str, str]], int, str]:
-    """Parse an ascii PLY header -> ([(name, spark_type)], n_rows, format)."""
+    """Parse a PLY header -> ([(name, spark_type)], n_rows, format) for the
+    vertex element."""
+    elements, fmt = _parse_elements(lines)
+    for name, count, props in elements:
+        if name == "vertex":
+            return [(p, _PLY_TO_SPARK[t]) for p, t in props], count, fmt
+    return [], 0, fmt
+
+
+def _parse_elements(lines: list[str]) -> tuple[list[tuple[str, int, list[tuple[str, str]]]], str]:
+    """Full header parse: every element with its count and scalar
+    properties (PLY type names), in file order — needed to compute binary
+    payload offsets when vertex is not the first element."""
     if not lines or lines[0].strip() != "ply":
         raise ValueError("not a PLY file")
-    props: list[tuple[str, str]] = []
-    n_rows, fmt = 0, "ascii"
-    in_vertex = False
+    elements: list[tuple[str, int, list[tuple[str, str]]]] = []
+    fmt = "ascii"
     for line in lines[1:]:
         parts = line.split()
         if not parts:
@@ -58,45 +77,75 @@ def parse_header(lines: list[str]) -> tuple[list[tuple[str, str]], int, str]:
         if parts[0] == "format":
             fmt = parts[1]
         elif parts[0] == "element":
-            in_vertex = parts[1] == "vertex"
-            if in_vertex:
-                n_rows = int(parts[2])
-        elif parts[0] == "property" and in_vertex:
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property" and elements:
             if parts[1] == "list":
-                raise ValueError("list properties unsupported")
-            props.append((parts[2], _PLY_TO_SPARK[parts[1]]))
+                elements[-1][2].append(("__list__", "list"))
+            else:
+                elements[-1][2].append((parts[2], parts[1]))
         elif parts[0] == "end_header":
             break
-    return props, n_rows, fmt
+    return elements, fmt
 
 
 def read_ply(spark: SparkSession, path: str) -> DataFrame:
-    """Read an ascii PLY file into a DataFrame (driver-side parse).
+    """Read a PLY file (ascii or binary, either endianness) into a
+    DataFrame — driver-side parse, dependency-free.
 
-    Binary PLY requires ``plyfile`` (gated).  The reference slices payloads
-    at 524,288 rows (``ply.rs:44-220``); here the DataFrame partitioning
-    takes that role.
+    The reference slices payloads at 524,288 rows (``ply.rs:44-220``);
+    here the DataFrame partitioning takes that role.
     """
     with open(path, "rb") as f:
         head = f.read(65536)
-    header_text = head.split(b"end_header")[0].decode("ascii", "replace")
-    props, n_rows, fmt = parse_header(header_text.splitlines() + ["end_header"])
-    if fmt != "ascii":
-        if not HAS_PLYFILE:
-            raise NotImplementedError("binary PLY needs plyfile; ascii is supported natively")
-        data = plyfile.PlyData.read(path)["vertex"]  # pragma: no cover
-        # Preserve the header-declared dtypes (int stays int) instead of
-        # flattening everything to float.
-        is_float = {n: t in ("float", "double") for n, t in props}
+    marker = head.find(b"end_header")
+    if marker < 0:
+        raise ValueError("PLY header exceeds 64 KiB or missing end_header")
+    header_text = head[:marker].decode("ascii", "replace")
+    elements, fmt = _parse_elements(header_text.splitlines() + ["end_header"])
+    data_start = head.index(b"\n", marker) + 1
+
+    vertex = next((e for e in elements if e[0] == "vertex"), None)
+    if vertex is None:
+        raise ValueError("no vertex element")
+    _, n_rows, ply_props = vertex
+    if any(t == "list" for _, t in ply_props):
+        raise ValueError("list properties unsupported on vertex")
+    props = [(p, _PLY_TO_SPARK[t]) for p, t in ply_props]
+    schema = ", ".join(f"{n} {t}" for n, t in props)
+
+    if fmt in ("binary_little_endian", "binary_big_endian"):
+        order = "<" if fmt == "binary_little_endian" else ">"
+        # byte offset of the vertex block: preceding elements must be
+        # scalar-only (fixed width) to be skippable
+        offset = 0
+        for name, count, eprops in elements:
+            if name == "vertex":
+                break
+            if any(t == "list" for _, t in eprops):
+                raise ValueError(f"element {name!r} with list properties precedes vertex")
+            offset += count * sum(np.dtype(order + _PLY_TO_NP[t]).itemsize for _, t in eprops)
+        dt = np.dtype([(p, order + _PLY_TO_NP[t]) for p, t in ply_props])
+        with open(path, "rb") as f:
+            f.seek(data_start + offset)
+            buf = f.read(n_rows * dt.itemsize)
+        if len(buf) < n_rows * dt.itemsize:
+            raise ValueError(f"truncated PLY payload: {len(buf)} bytes for {n_rows} rows")
+        rec = np.frombuffer(buf, dtype=dt, count=n_rows)
+        floats = {"float", "double"}
         rows = [
-            tuple(float(v) if is_float[n] else int(v) for v, (n, _) in zip(r, props))
-            for r in data
+            tuple(
+                float(rec[n][i]) if t in floats else int(rec[n][i])
+                for n, t in props
+            )
+            for i in range(n_rows)
         ]
-        return spark.createDataFrame(rows, schema=", ".join(f"{n} {t}" for n, t in props))
+        return spark.createDataFrame(rows, schema=schema)
+
+    if fmt != "ascii":
+        raise ValueError(f"unknown PLY format {fmt!r}")
     with open(path, encoding="ascii") as f:
         lines = f.read().splitlines()
     body = lines[lines.index("end_header") + 1 :][:n_rows]
-    schema = ", ".join(f"{n} {t}" for n, t in props)
     casts = {"float", "double"}
     rows = []
     for line in body:
@@ -110,24 +159,49 @@ def read_ply(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema=schema)
 
 
-def write_ply(df: DataFrame, path: str) -> None:
-    """Write a DataFrame as ascii PLY (header from schema, element per row).
-
-    Distributed formatting: rows become text JVM-side (``concat_ws``), only
-    the final file concat happens on the driver (PLY is a single-file
-    format — inherently a collect point, same as the reference's writer).
-    """
-    from pyspark.sql import functions as F
-
+def _ply_header(df: DataFrame, n_rows: int, fmt: str) -> tuple[list[tuple[str, str]], str]:
     cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-    header = ["ply", "format ascii 1.0", f"element vertex {df.count()}"]
+    header = ["ply", f"format {fmt} 1.0", f"element vertex {n_rows}"]
     for name, t in cols:
         if t not in _SPARK_TO_PLY:
             raise ValueError(f"column {name!r}: no faithful PLY type for Spark {t}")
         header.append(f"property {_SPARK_TO_PLY[t]} {name}")
     header.append("end_header")
+    return cols, "\n".join(header) + "\n"
+
+
+def write_ply(df: DataFrame, path: str, binary: bool = False) -> None:
+    """Write a DataFrame as PLY — ascii (default) or binary_little_endian.
+
+    Ascii: rows become text JVM-side (``concat_ws``), only the final file
+    concat happens on the driver.  Binary: Arrow-collected columns pack
+    into one structured array (PLY is a single-file format — inherently a
+    collect point, same as the reference's writer); narrowing integer
+    casts are bounds-checked so overflow is loud, never silent.
+    """
+    from pyspark.sql import functions as F
+
+    if binary:
+        pdf = df.toPandas()
+        cols, header = _ply_header(df, len(pdf), "binary_little_endian")
+        dt = np.dtype([(n, "<" + _PLY_TO_NP[_SPARK_TO_PLY[t]]) for n, t in cols])
+        rec = np.zeros(len(pdf), dtype=dt)
+        for n, t in cols:
+            vals = pdf[n].to_numpy()
+            ply_t = _SPARK_TO_PLY[t]
+            if ply_t in _INT_BOUNDS and len(vals):
+                lo, hi = _INT_BOUNDS[ply_t]
+                if vals.min() < lo or vals.max() > hi:
+                    raise ValueError(f"column {n!r} overflows PLY {ply_t} range [{lo}, {hi}]")
+            rec[n] = vals
+        with open(path, "wb") as f:
+            f.write(header.encode("ascii"))
+            f.write(rec.tobytes())
+        return
+
+    cols, header = _ply_header(df, df.count(), "ascii")
     lines = df.select(F.concat_ws(" ", *[F.col(n).cast("string") for n, _ in cols]).alias("l"))
     with open(path, "w", encoding="ascii") as f:
-        f.write("\n".join(header) + "\n")
+        f.write(header)
         for (line,) in lines.toLocalIterator():
             f.write(line + "\n")

@@ -1,0 +1,115 @@
+"""Binary PLY read/write (closes SURVEY §2 S7/S8 fully — reference
+``pc-io/src/ply.rs:190-360``): dependency-free struct decode, round-trips
+against the ascii path on the same rows, integer types preserved."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from agile_lakehouse_spark.sources import ply
+
+
+def _df(spark):
+    rows = [
+        (1.5, -2.25, 3.125, 1000, -7, 30000),
+        (-0.5, 0.0, 99.875, 65000, 120, -30000),
+        (12.0, 7.5, -1.0, 0, -128, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "x float, y float, z double, i int, c tinyint, s smallint"
+    )
+
+
+def test_binary_round_trip_matches_ascii(spark, tmp_path):
+    df = _df(spark)
+    pa, pb = str(tmp_path / "a.ply"), str(tmp_path / "b.ply")
+    ply.write_ply(df, pa)
+    ply.write_ply(df, pb, binary=True)
+    a = sorted(map(tuple, ply.read_ply(spark, pa).collect()))
+    b = sorted(map(tuple, ply.read_ply(spark, pb).collect()))
+    assert a == b == sorted(map(tuple, df.collect()))
+    # schema fidelity: integer columns stay integers, exact dtypes
+    back = ply.read_ply(spark, pb)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "float", "float", "double", "int", "tinyint", "smallint"
+    ]
+
+
+def test_binary_bigint_bounds_checked(spark, tmp_path):
+    ok = spark.createDataFrame([(2**31 - 1,), (-5,)], "v bigint")
+    p = str(tmp_path / "ok.ply")
+    ply.write_ply(ok, p, binary=True)
+    assert sorted(r.v for r in ply.read_ply(spark, p).collect()) == [-5, 2**31 - 1]
+    bad = spark.createDataFrame([(2**31,)], "v bigint")
+    with pytest.raises(ValueError, match="overflows"):
+        ply.write_ply(bad, str(tmp_path / "bad.ply"), binary=True)
+
+
+def test_binary_big_endian_read(spark, tmp_path):
+    # hand-built big-endian file: foreign-tool interop path
+    header = (
+        "ply\nformat binary_big_endian 1.0\n"
+        "element vertex 2\n"
+        "property float x\nproperty ushort i\n"
+        "end_header\n"
+    ).encode("ascii")
+    payload = struct.pack(">fH", 1.5, 700) + struct.pack(">fH", -2.0, 65535)
+    p = tmp_path / "be.ply"
+    p.write_bytes(header + payload)
+    got = sorted((r.x, r.i) for r in ply.read_ply(spark, str(p)).collect())
+    assert got == [(-2.0, 65535), (1.5, 700)]
+
+
+def test_binary_vertex_after_scalar_element(spark, tmp_path):
+    # vertex is not the first element: offset must skip the camera block
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element camera 1\nproperty double cx\nproperty double cy\n"
+        "element vertex 2\nproperty float x\nproperty uchar c\n"
+        "end_header\n"
+    ).encode("ascii")
+    payload = struct.pack("<dd", 9.0, 8.0) + struct.pack("<fB", 4.5, 3) + struct.pack("<fB", 5.5, 200)
+    p = tmp_path / "multi.ply"
+    p.write_bytes(header + payload)
+    got = sorted((r.x, r.c) for r in ply.read_ply(spark, str(p)).collect())
+    assert got == [(4.5, 3), (5.5, 200)]
+
+
+def test_binary_truncated_payload_raises(spark, tmp_path):
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 5\nproperty float x\nend_header\n"
+    ).encode("ascii")
+    p = tmp_path / "trunc.ply"
+    p.write_bytes(header + struct.pack("<f", 1.0))
+    with pytest.raises(ValueError, match="truncated"):
+        ply.read_ply(spark, str(p))
+
+
+def test_binary_uint32_maps_to_bigint(spark, tmp_path):
+    # u4 values above i32 range must survive via bigint, not wrap
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 1\nproperty uint v\nend_header\n"
+    ).encode("ascii")
+    p = tmp_path / "u32.ply"
+    p.write_bytes(header + struct.pack("<I", 3_000_000_000))
+    back = ply.read_ply(spark, str(p))
+    assert back.schema["v"].dataType.simpleString() == "bigint"
+    assert back.collect()[0].v == 3_000_000_000
+
+
+def test_binary_larger_file(spark, tmp_path):
+    # a few thousand rows: frombuffer path, exact float32 fidelity
+    n = 5000
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(float(np.float32(v)), int(i)) for v, i in zip(rng.normal(size=n), rng.integers(0, 2**31, n))],
+        "x float, k int",
+    )
+    p = str(tmp_path / "big.ply")
+    ply.write_ply(df, p, binary=True)
+    back = ply.read_ply(spark, p)
+    assert back.count() == n
+    assert sorted(r.x for r in back.collect()) == sorted(r.x for r in df.collect())
