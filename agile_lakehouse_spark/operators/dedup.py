@@ -136,6 +136,16 @@ def minhash_signatures(
     is a `min` agg expression -> map-side partial mins, single shuffle).
     """
     perms = portable.minhash_perms(num_perms, seed)
+    # Per-pair md5 is deliberate, MEASURED against the global-dictionary
+    # variant (hash each distinct shingle once, join back): on sf0.1 the
+    # signature stage is 0.84 s per-pair vs 1.27 s dictionary-broadcast /
+    # 1.00 s with the pair stream persisted — despite a 500x
+    # pairs:vocabulary ratio.  In-line md5 is embarrassingly parallel and
+    # adds NO plan step, while the dictionary needs a distinct + join (and
+    # pays a 1M-row cache materialization to avoid re-exploding), which
+    # costs more than the hash evals it saves at any measured size.
+    # Contrast :func:`simhash`, where the pair table is post-aggregation
+    # (compact, already shuffled) and the dictionary DOES win.
     sh = (
         shingle_df(df, k, text_col, id_col)
         .withColumn("m", F.md5("shingle"))  # md5 once; the fold touches chars only
@@ -267,14 +277,28 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     before the shuffle, so shuffle volume also drops from occurrences to
     distinct pairs.
     """
-    toks = (
+    pairs = (
         spread(df)
         .select(F.col(id_col), F.explode(F.expr(portable.tokens_spark(text_col))).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("m", F.md5("tok"))
-        .withColumn("h", F.expr(portable.hexfold_spark("m")))
+        .persist()
     )
+    # Global token DICTIONARY: hash each DISTINCT token once, join back —
+    # vocabulary << distinct (doc, token) pairs on natural text, so md5
+    # evals drop another ~5-20x on top of the occurrences->pairs collapse
+    # above.  MEASURED on sf0.1: 1.84 s vs 2.44 s per-pair (the pair table
+    # here is post-aggregation — compact and already shuffled — so the
+    # persist is cheap, unlike minhash_signatures where the same trick
+    # loses).  No broadcast hint: AQE broadcasts the dictionary when small
+    # and falls back to a shuffle join on huge vocabularies — scale-safe.
+    dic = (
+        pairs.select("tok")
+        .distinct()
+        .withColumn("m", F.md5("tok"))
+        .select("tok", F.expr(portable.hexfold_spark("m")).alias("h"))
+    )
+    toks = pairs.join(dic, "tok")
     bit_sums = [
         F.sum(
             F.when(
