@@ -36,6 +36,8 @@ GRID_DELTA = 100.0
 QT_DEPTH, QT_SIDE = 2, 1024.0
 SHINGLE_K = 5
 JACCARD_T = 0.4
+NGRAM_CAP_DF = 100  # max shingle doc-frequency for the capped (scale-safe) variant
+JACCARD_CAPPED_T = 0.3
 MINHASH_T = 0.5
 SIMHASH_HAMMING = 3
 SIMHASH_BITS = 32
@@ -361,6 +363,22 @@ def dedup_exact(spark, sf_dir):
 
 def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), k=SHINGLE_K, threshold=JACCARD_T)
+
+
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The SCALE-SAFE n-gram Jaccard form (dq21e): ``max_doc_freq``
+    engaged, so boilerplate shingles (here doc-freq > 100 of 500 docs)
+    never enter the inverted-index self-join — the join's per-key fan-out
+    is bounded by the cap instead of going quadratic on common shingles.
+    Intersections shrink (capped semantics, oracle applies the identical
+    document-frequency filter); union sizes still use full shingle sets.
+    """
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=SHINGLE_K,
+        threshold=JACCARD_CAPPED_T,
+        max_doc_freq=NGRAM_CAP_DF,
+    )
 
 
 def dedup_minhash(spark, sf_dir):
@@ -961,6 +979,19 @@ ORACLE_LLM = {
                (floor((it / (sa.sz + sb.sz - it)) * 10000.0 + 0.5) / 10000.0) AS jaccard
         FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         WHERE (floor((it / (sa.sz + sb.sz - it)) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_T}
+        ORDER BY id_a, id_b""",
+    "dq21e_dedup_ngram_jaccard_capped": f"""
+        WITH {_duck_shingle_cte()},
+        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_CAP_DF}),
+        shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS it
+                  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               (floor((it / (sa.sz + sb.sz - it)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE (floor((it / (sa.sz + sb.sz - it)) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_CAPPED_T}
         ORDER BY id_a, id_b""",
     "dq22_ann_topk": f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -1750,6 +1781,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq21b_dedup_minhash": dedup_minhash,
     "dq21c_dedup_simhash": dedup_simhash,
     "dq21d_dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dq21e_dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dq22_ann_topk": ann_topk,
     "dq22b_ann_ivf": ann_ivf,
     "dq22c_embedding_near_dup": embedding_near_dup,
