@@ -14,6 +14,7 @@ DuckDB expressions are constructed with identical left-to-right fold order.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -152,6 +153,41 @@ def pc_raw_coords(spark, sf_dir):
         round4(F.col("x_resolved")).alias("x_res"),
         round4(F.col("y_resolved")).alias("y_res"),
     ).orderBy("pid")
+
+
+# Registration family (dq115/dq116): rotation about z by 30° + translation,
+# shared float literals so Spark and the oracle compute bit-identical doubles
+_REG_C, _REG_S = math.cos(math.pi / 6), math.sin(math.pi / 6)
+REG_MATRIX = [
+    [_REG_C, -_REG_S, 0.0, 10.0],
+    [_REG_S, _REG_C, 0.0, -5.0],
+    [0.0, 0.0, 1.0, 2.0],
+    [0.0, 0.0, 0.0, 1.0],
+]
+HAUS_MOD_A, HAUS_MOD_B = 97, 89  # pid strides selecting the two sub-clouds
+
+
+def pc_transform(spark, sf_dir):
+    """Rigid-transform a point cloud (dq115): 4x4 homogeneous matrix as
+    native column arithmetic — registration.rs:31-48 semantics."""
+    pts = _q(spark, sf_dir).filter(F.col("pid") % 7 == 0)
+    t = pointcloud.transform_points(pts, REG_MATRIX)
+    return t.select(
+        "pid",
+        round4("x").alias("tx"),
+        round4("y").alias("ty"),
+        round4("z").alias("tz"),
+    ).orderBy("pid")
+
+
+def pc_hausdorff(spark, sf_dir):
+    """Discrete Hausdorff distance between two sub-clouds (dq116) —
+    registration.rs:50-96; broadcast max-min, never the |X|x|Y| matrix."""
+    pts = _q(spark, sf_dir)
+    a = pts.filter(F.col("pid") % HAUS_MOD_A == 0)
+    b = pts.filter(F.col("pid") % HAUS_MOD_B == 0)
+    out = pointcloud.hausdorff_distance(a, b)
+    return out.select(round4("hausdorff").alias("hausdorff"))
 
 
 RP_PLANES, RP_SEED, RP_THRESHOLD = 8, 11, 0.4
@@ -2160,3 +2196,23 @@ ORACLES["dq73_stream_watermark_append"] = """
            (floor((sum(value)) * 10000.0 + 0.5) / 10000.0) AS sum_value
     FROM b, m WHERE (bucket + 1) * 600000 <= wm
     GROUP BY bucket ORDER BY bucket"""
+
+SPARK_QUERIES["dq115_transform_points"] = pc_transform
+SPARK_QUERIES["dq116_hausdorff"] = pc_hausdorff
+ORACLES["dq115_transform_points"] = f"""{POINTS_CTE}
+    SELECT pid,
+           (floor(({_REG_C!r} * x + {(-_REG_S)!r} * y + 10.0) * 10000.0 + 0.5) / 10000.0) AS tx,
+           (floor(({_REG_S!r} * x + {_REG_C!r} * y + (-5.0)) * 10000.0 + 0.5) / 10000.0) AS ty,
+           (floor((z + 2.0) * 10000.0 + 0.5) / 10000.0) AS tz
+    FROM points WHERE pid % 7 = 0 ORDER BY pid"""
+ORACLES["dq116_hausdorff"] = f"""{POINTS_CTE},
+    pa AS (SELECT x, y, z FROM points WHERE pid % {HAUS_MOD_A} = 0),
+    pb AS (SELECT x, y, z FROM points WHERE pid % {HAUS_MOD_B} = 0),
+    ab AS (SELECT max(mn) AS v FROM (
+        SELECT min((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) + (a.z-b.z)*(a.z-b.z)) AS mn
+        FROM pa a CROSS JOIN pb b GROUP BY a.x, a.y, a.z)),
+    ba AS (SELECT max(mn) AS v FROM (
+        SELECT min((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) + (b.z-a.z)*(b.z-a.z)) AS mn
+        FROM pb b CROSS JOIN pa a GROUP BY b.x, b.y, b.z))
+    SELECT (floor(sqrt(greatest(ab.v, ba.v)) * 10000.0 + 0.5) / 10000.0) AS hausdorff
+    FROM ab, ba"""

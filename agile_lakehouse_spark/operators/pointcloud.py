@@ -457,3 +457,83 @@ def _knn_grid_collect(done: list[DataFrame], probe_id: str, id_col: str) -> Data
     for o in out[1:]:
         base = base.unionByName(o)
     return base
+
+
+def transform_points(
+    df: DataFrame,
+    matrix: list[list[float]],
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """Apply a 4x4 homogeneous transform to the coordinate columns —
+    the registration primitive (``pc-format/examples/registration.rs:
+    31-48``'s ``transformed``), as pure native column arithmetic.
+
+    Each output coordinate is a fused multiply-add over the input row
+    (whole-stage codegen, no UDF, no shuffle); the projective divide is
+    emitted only when the bottom row isn't the affine ``[0,0,0,1]``, so
+    rigid/affine transforms cost 9 multiplies + 9 adds per point.  All
+    non-coordinate columns pass through untouched.
+    """
+    if len(matrix) != 4 or any(len(r) != 4 for r in matrix):
+        raise ValueError("matrix must be 4x4 (homogeneous)")
+    cx, cy, cz = F.col(x), F.col(y), F.col(z)
+
+    def row(r):
+        return F.lit(r[0]) * cx + F.lit(r[1]) * cy + F.lit(r[2]) * cz + F.lit(r[3])
+
+    nx, ny, nz = row(matrix[0]), row(matrix[1]), row(matrix[2])
+    if matrix[3] != [0.0, 0.0, 0.0, 1.0]:
+        w = row(matrix[3])
+        nx, ny, nz = nx / w, ny / w, nz / w
+    others = [c for c in df.columns if c not in (x, y, z)]
+    return df.select(*others, nx.alias(x), ny.alias(y), nz.alias(z))
+
+
+def _directed_max_min_d2(p: DataFrame, q: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """max over p-rows of (min over q-rows of squared distance), 1 row.
+
+    ``q`` is broadcast (the inner min side); ``p`` streams through one
+    pair-scoring stage and two aggregations.  The per-row grouping key is
+    synthetic, so duplicate points contribute identical mins — harmless.
+    """
+    pa = p.select(*[F.col(c).alias(f"_p{i}") for i, c in enumerate(cols)]).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
+    qb = q.select(*[F.col(c).alias(f"_q{i}") for i, c in enumerate(cols)])
+    d2 = None
+    for i in range(len(cols)):
+        t = (F.col(f"_p{i}") - F.col(f"_q{i}")) * (F.col(f"_p{i}") - F.col(f"_q{i}"))
+        d2 = t if d2 is None else d2 + t
+    return (
+        pa.crossJoin(F.broadcast(qb))
+        .groupBy("_rid")
+        .agg(F.min(d2).alias("_mn"))
+        .agg(F.max("_mn").alias("max_min_d2"))
+    )
+
+
+def hausdorff_distance(
+    a: DataFrame,
+    b: DataFrame,
+    cols: tuple[str, ...] = ("x", "y", "z"),
+) -> DataFrame:
+    """Discrete Hausdorff distance between two point clouds -> one row
+    ``(hausdorff double)`` (``registration.rs:50-96``): the max over both
+    directed max-min squared distances, square-rooted once at the end
+    (same shape as the reference — it compares squared distances and
+    sqrt's only the winner).
+
+    Scale: the reference materializes the full |X|x|Y| distance matrix;
+    here each direction broadcasts the MIN side and streams the other, so
+    memory is O(broadcast side) and the pair stream never materializes.
+    For two huge clouds, run k=1 :func:`knn_join_grid` per direction and
+    take the max — candidates then scale with local density, not |X|x|Y|.
+    """
+    ab = _directed_max_min_d2(a, b, cols)
+    ba = _directed_max_min_d2(b, a, cols)
+    return (
+        ab.crossJoin(ba.withColumnRenamed("max_min_d2", "_ba"))
+        .select(F.sqrt(F.greatest(F.col("max_min_d2"), F.col("_ba"))).alias("hausdorff"))
+    )
