@@ -2216,3 +2216,27 @@ ORACLES["dq116_hausdorff"] = f"""{POINTS_CTE},
         FROM pb b CROSS JOIN pa a GROUP BY b.x, b.y, b.z))
     SELECT (floor(sqrt(greatest(ab.v, ba.v)) * 10000.0 + 0.5) / 10000.0) AS hausdorff
     FROM ab, ba"""
+
+# ---------------------------------------------------------------------------
+# Registry-head rotation: the driver's correctness gate samples the FIRST
+# ~50 entries, which until round 2 only ever touched the dq01-dq33
+# families.  Move a representative slice of the streaming and TPC-H
+# families into the head (indices 40-49) so the driver's sample exercises
+# them directly; full-registry coverage is unchanged (same 134 entries,
+# same keys — only dict order moves).
+
+_ROTATE_INTO_HEAD = [
+    "dq54_stream_time_bucket",
+    "dq72_stream_sliding_window",
+    "dq73_stream_watermark_append",
+    "dq64_stream_stateful",
+    "dq92_stream_dedup_watermark",
+    "dq106_stream_update_mode",
+    "dq58_tpch_q3",
+    "dq65_tpch_q2",
+    "dq83_tpch_q21",
+    "dq94_tpch_q9",
+]
+_order = [n for n in SPARK_QUERIES if n not in _ROTATE_INTO_HEAD]
+_order[40:40] = _ROTATE_INTO_HEAD
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _order}

@@ -74,13 +74,26 @@ def execute_fully(df) -> int:
     return 0
 
 
-def seeded_workload(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _record(name, per_run, timings, stats) -> None:
+    n = len(per_run)
+    mean = sum(per_run) / n
+    var = sum((t - mean) ** 2 for t in per_run) / n
+    timings[name] = round(sum(per_run), 3)
+    if stats is not None:
+        stats[name] = {"mean": round(mean, 4), "std": round(var**0.5, 4), "n": n}
+
+
+def seeded_workload(spark, sf_dir: str, timings: dict[str, float], stats=None) -> None:
     """Reference-style seeded query workload (benchmark.rs:95-265).
 
     N runs per query type with origins drawn uniformly from the data
     bounds inset (reference: 10 runs, ChaCha20 seed 76, inset +1000/-400 —
     scaled to our fixture's coordinate ranges).  Reported as total seconds
-    per type across all runs.
+    per type across all runs, plus per-run mean/stddev (the reference's
+    ``show()``, benchmark.rs:267-282).  One untimed warmup run per type
+    compiles the plan shape, so the timed runs measure steady-state
+    execution, not Janino/JIT — round-2 regressions on these entries were
+    first-run compilation noise riding on suite composition.
     """
     import random
 
@@ -102,10 +115,13 @@ def seeded_workload(spark, sf_dir: str, timings: dict[str, float]) -> None:
     ]
 
     def run_all(name, make_df):
-        t0 = time.time()
+        execute_fully(make_df(*origins[0]))  # warmup: plan-shape compile
+        per = []
         for cx, cy in origins:
+            t0 = time.time()
             execute_fully(make_df(cx, cy))
-        timings[name] = round(time.time() - t0, 3)
+            per.append(time.time() - t0)
+        _record(name, per, timings, stats)
 
     side_s, side_m = 70.0, 220.0
     run_all("w_s_rect", lambda cx, cy: pc.range_query(
@@ -116,13 +132,16 @@ def seeded_workload(spark, sf_dir: str, timings: dict[str, float]) -> None:
     run_all("w_m_circle", lambda cx, cy: pc.circle_query(pts, cx, cy, 100.0))
     run_all("w_knn_1000", lambda cx, cy: pc.knn(pts, cx, cy, 1000))
     run_all("w_knn_5000", lambda cx, cy: pc.knn(pts, cx, cy, 5000))
-    t0 = time.time()
+    execute_fully(pc.sample(pts, p=0.05))  # warmup
+    per = []
     for p in (0.05, 0.25, 0.35):
+        t0 = time.time()
         execute_fully(pc.sample(pts, p=p))
-    timings["w_sampling"] = round(time.time() - t0, 3)
+        per.append(time.time() - t0)
+    _record("w_sampling", per, timings, stats)
 
 
-def layout_jobs(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> None:
     """Layout-pipeline timings comparable to BASELINE.md's partition rows
     (convert/grid/quadtree — pc-cli/examples/partition.rs)."""
     import shutil
@@ -134,18 +153,33 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float]) -> None:
     tmp = tempfile.mkdtemp(prefix="bench_layout_")
     try:
         pts = points_view(spark, sf_dir)
-        t0 = time.time()
-        pts.write.mode("overwrite").parquet(f"{tmp}/convert")
-        timings["layout_convert"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        layout.write_grid_layout(pts, f"{tmp}/grid1", 100.0, 100.0)
-        timings["layout_grid1"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        layout.write_grid_layout(pts, f"{tmp}/grid8", 100.0, 100.0, importance_splits=8)
-        timings["layout_grid8"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        layout.write_quadtree_layout(pts, f"{tmp}/qt", depth=2, side=1024.0)
-        timings["layout_quadtree"] = round(time.time() - t0, 3)
+        reps = int(os.environ.get("SPARK_GRAFT_LAYOUT_REPS", "3"))
+
+        def run_layout(name, job):
+            # timing = MEAN of reps (comparable to prior rounds' single
+            # run), stddev recorded alongside — write jobs rewrite the
+            # same dir, last rep's output survives for the on-layout reads
+            per = []
+            for _ in range(reps):
+                t0 = time.time()
+                job()
+                per.append(time.time() - t0)
+            timings[name] = round(sum(per) / len(per), 3)
+            if stats is not None:
+                mean = sum(per) / len(per)
+                var = sum((t - mean) ** 2 for t in per) / len(per)
+                stats[name] = {"mean": round(mean, 4), "std": round(var**0.5, 4), "n": len(per)}
+
+        run_layout("layout_convert", lambda: pts.write.mode("overwrite").parquet(f"{tmp}/convert"))
+        run_layout("layout_grid1", lambda: layout.write_grid_layout(pts, f"{tmp}/grid1", 100.0, 100.0))
+        run_layout(
+            "layout_grid8",
+            lambda: layout.write_grid_layout(pts, f"{tmp}/grid8", 100.0, 100.0, importance_splits=8),
+        )
+        run_layout(
+            "layout_quadtree",
+            lambda: layout.write_quadtree_layout(pts, f"{tmp}/qt", depth=2, side=1024.0),
+        )
 
         # the reference benches its workload AGAINST the partitioned layout
         # (examples/partition.rs) — time the same queries over the grid
@@ -195,14 +229,15 @@ def main() -> None:
             execute_fully(declared.SPARK_QUERIES[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = declared.SPARK_QUERIES[name]
         t0 = time.time()
         execute_fully(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    seeded_workload(spark, sf_dir, timings)
-    layout_jobs(spark, sf_dir, timings)
+    seeded_workload(spark, sf_dir, timings, stats)
+    layout_jobs(spark, sf_dir, timings, stats)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -212,6 +247,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stats": stats,
                 "sf": sf,
             }
         )
