@@ -2240,3 +2240,117 @@ _ROTATE_INTO_HEAD = [
 _order = [n for n in SPARK_QUERIES if n not in _ROTATE_INTO_HEAD]
 _order[40:40] = _ROTATE_INTO_HEAD
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _order}
+
+# ---------------------------------------------------------------------------
+# Corpus-quality family (dq117-dq120): Gopher-style rules, duplicated
+# n-gram coverage, benchmark decontamination, and training-mixture shares.
+
+DUPGRAM_N = 8
+CONTAM_N = 8
+CONTAM_TEST_SOURCE = "src0"
+
+
+def gopher_quality_q(spark, sf_dir):
+    return text.gopher_quality(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def dup_ngram_coverage_q(spark, sf_dir):
+    return text.dup_ngram_coverage(load_table(spark, sf_dir, "documents"), n=DUPGRAM_N)
+
+
+def contamination_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.contamination_report(
+        docs.filter(F.col("source") != CONTAM_TEST_SOURCE),
+        docs.filter(F.col("source") == CONTAM_TEST_SOURCE),
+        n=CONTAM_N,
+    )
+
+
+def corpus_mixture_q(spark, sf_dir):
+    return text.corpus_mixture(load_table(spark, sf_dir, "documents"))
+
+
+SPARK_QUERIES["dq117_gopher_quality"] = gopher_quality_q
+SPARK_QUERIES["dq118_dup_ngram_coverage"] = dup_ngram_coverage_q
+SPARK_QUERIES["dq119_contamination"] = contamination_q
+SPARK_QUERIES["dq120_corpus_mixture"] = corpus_mixture_q
+
+_TOKS_D = "regexp_split_to_array(trim(text), '\\s+')"
+_GRAMS_D = (
+    f"list_transform(range(1, greatest(len({_TOKS_D}) - {DUPGRAM_N - 1}, 0) + 1), "
+    f"p -> array_to_string(list_slice({_TOKS_D}, CAST(p AS INT), CAST(p + {DUPGRAM_N - 1} AS INT)), ' '))"
+)
+
+ORACLES["dq117_gopher_quality"] = f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_D}) AS BIGINT) AS n_tokens,
+           (floor((CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / CAST(len({_TOKS_D}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS mean_tok_len,
+           (floor((CAST(len(list_filter({_TOKS_D},
+                   x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                   / CAST(len({_TOKS_D}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS stop_frac,
+           (floor((CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+                   / CAST(len({_TOKS_D}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS distinct_ratio,
+           (len({_TOKS_D}) >= 30 AND len({_TOKS_D}) <= 100000
+            AND (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / CAST(len({_TOKS_D}) AS DOUBLE)) >= 3.0
+            AND (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / CAST(len({_TOKS_D}) AS DOUBLE)) <= 10.0
+            AND (CAST(len(list_filter({_TOKS_D},
+                 x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+                 / CAST(len({_TOKS_D}) AS DOUBLE)) >= 0.02
+            AND (CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+                 / CAST(len({_TOKS_D}) AS DOUBLE)) >= 0.35) AS keep
+    FROM documents ORDER BY doc_id"""
+
+ORACLES["dq118_dup_ngram_coverage"] = f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_GRAMS_D}) AS gram FROM documents),
+    dfreq AS (
+        SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(count(*) FILTER (WHERE dfreq.gram_docs > 1) AS BIGINT) AS n_dup_pos
+        FROM g JOIN dfreq USING (gram) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_pos, 0) AS BIGINT) AS n_pos,
+           CAST(coalesce(p.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+           (floor((CASE WHEN coalesce(p.n_pos, 0) > 0
+                        THEN CAST(p.n_dup_pos AS DOUBLE) / CAST(p.n_pos AS DOUBLE)
+                        ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0) AS dup_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY d.doc_id"""
+
+ORACLES["dq119_contamination"] = f"""
+    WITH tr AS (
+        SELECT DISTINCT doc_id AS train_id, unnest({_GRAMS_D}) AS gram
+        FROM documents WHERE source <> '{CONTAM_TEST_SOURCE}'),
+    te AS (
+        SELECT DISTINCT doc_id AS test_id, unnest({_GRAMS_D}) AS gram
+        FROM documents WHERE source = '{CONTAM_TEST_SOURCE}'),
+    hits AS (
+        SELECT te.test_id,
+               CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs,
+               CAST(count(DISTINCT te.gram) AS BIGINT) AS n_shared_grams
+        FROM te JOIN tr USING (gram) GROUP BY te.test_id)
+    SELECT d.doc_id AS test_id,
+           CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           (coalesce(h.n_train_docs, 0) > 0) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.test_id = d.doc_id
+    WHERE d.source = '{CONTAM_TEST_SOURCE}' ORDER BY d.doc_id"""
+
+ORACLES["dq120_corpus_mixture"] = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS_D})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           (floor((CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE))
+                  * 10000.0 + 0.5) / 10000.0) AS token_share,
+           (floor((CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(sum(n_tokens) OVER () AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS cum_share
+    FROM per_source ORDER BY n_tokens DESC, source"""

@@ -438,3 +438,56 @@ def levenshtein_near_dup(
         .filter(F.col("dist") <= max_dist)
         .orderBy("id_a", "id_b")
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): for every TEST
+    document, count the TRAIN documents sharing at least one word n-gram
+    with it, plus the number of distinct shared n-grams.  Rows with
+    ``contaminated = true`` are the train-set removal candidates.
+
+    Plan: distinct (doc, gram) pairs on both sides -> equi-join on the
+    gram -> per-test-doc aggregate -> left join back so clean test docs
+    appear with zeros.  The join key is the n-gram, so fan-out is bounded
+    by per-gram document frequency — never |train| x |test| — and at
+    100 TB the train side is the big relation while the test (benchmark)
+    side is naturally broadcast-sized.
+    """
+    def gram_pairs(df: DataFrame, out_id: str) -> DataFrame:
+        grams = F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
+                f"p -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), p, {n})))"
+            )
+        )
+        return spread(df.select(F.col(id_col), grams.alias("grams"))).select(
+            F.col(id_col).alias(out_id), F.explode("grams").alias("gram")
+        )
+
+    tr = gram_pairs(train, "train_id")
+    te = gram_pairs(test, "test_id")
+    hits = (
+        te.join(tr, "gram")
+        .groupBy("test_id")
+        .agg(
+            F.countDistinct("train_id").cast("bigint").alias("n_train_docs"),
+            F.countDistinct("gram").cast("bigint").alias("n_shared_grams"),
+        )
+    )
+    return (
+        test.select(F.col(id_col).alias("test_id"))
+        .join(hits, "test_id", "left")
+        .select(
+            "test_id",
+            F.coalesce("n_train_docs", F.lit(0)).cast("bigint").alias("n_train_docs"),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("bigint").alias("n_shared_grams"),
+            (F.coalesce("n_train_docs", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("test_id")
+    )

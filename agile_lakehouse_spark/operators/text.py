@@ -432,3 +432,168 @@ def upsample_short_docs(
         )
         .orderBy(id_col, "copy_idx")
     )
+
+
+# --- token n-grams (word-level, positional) --------------------------------
+#
+# Character shingles (portable.shingles_*) serve MinHash; the Gopher-style
+# corpus-quality metrics below need WORD n-grams with their positions kept
+# (coverage is a fraction of positions, so duplicates within a doc count).
+
+
+def _token_ngrams(text_col: str, n: int) -> Column:
+    """Array of word n-grams (space-joined), one per start position."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({_NGRAM_TOKS.format(t=text_col)}) - {n - 1}, 0)), "
+        f"p -> concat_ws(' ', slice({_NGRAM_TOKS.format(t=text_col)}, p, {n})))"
+    )
+
+
+_NGRAM_TOKS = "split(trim({t}), '\\\\s+')"
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 3.0,
+    max_mean_tok_len: float = 10.0,
+    min_stop_frac: float = 0.02,
+    min_distinct_ratio: float = 0.35,
+) -> DataFrame:
+    """Gopher-style per-document quality rules (Rae et al. 2021 §A1.1):
+    token-count bounds, mean-word-length band, stopword presence, and a
+    repetition guard (distinct-token ratio).  One projection pass, all
+    JVM expressions — the shape is a trivially parallel map at 100 TB.
+
+    All ratios are single IEEE divisions of exact integers, so the DuckDB
+    oracle reproduces them bit-for-bit.
+    """
+    toks = _tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    # total non-whitespace chars / token count = mean token length
+    tot_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", "")).cast("bigint")
+    mean_len = tot_chars.cast("double") / n_tok.cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
+    stop_frac = n_stop.cast("double") / n_tok.cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    distinct_ratio = n_distinct.cast("double") / n_tok.cast("double")
+    keep = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (mean_len >= min_mean_tok_len)
+        & (mean_len <= max_mean_tok_len)
+        & (stop_frac >= min_stop_frac)
+        & (distinct_ratio >= min_distinct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        round4(mean_len).alias("mean_tok_len"),
+        round4(stop_frac).alias("stop_frac"),
+        round4(distinct_ratio).alias("distinct_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated n-gram coverage (Gopher §A1.1 repetition signal, corpus
+    edition): per document, the fraction of word-n-gram START POSITIONS
+    whose n-gram also occurs in at least one OTHER document.  High
+    coverage = boilerplate / templated / copied text.
+
+    Plan: explode positional n-grams -> document-frequency per gram (one
+    hash agg, map-side combined) -> join frequencies back to the exploded
+    stream (both sides shuffle on the gram key, AQE reuses the exchange as
+    in the rare-bigram query) -> per-doc aggregate.  Never all-pairs; the
+    gram-key join fan-out is bounded by document frequency, and a
+    ``max_doc_freq``-style cap is unnecessary because the per-gram payload
+    after the agg is one row per (gram, doc), not the cross product.
+    """
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    base = spread(df.select(F.col(id_col), F.col(text_col)))
+    grams = base.select(
+        F.col(id_col), F.explode(_token_ngrams(text_col, n)).alias("gram")
+    )
+    gram_df = grams.groupBy("gram").agg(
+        F.countDistinct(id_col).cast("bigint").alias("gram_docs")
+    )
+    per_doc = (
+        grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+            F.sum(F.when(F.col("gram_docs") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_pos"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pos", F.lit(0)).cast("bigint").alias("n_pos"),
+            F.coalesce("n_dup_pos", F.lit(0)).cast("bigint").alias("n_dup_pos"),
+            round4(
+                F.when(
+                    F.coalesce("n_pos", F.lit(0)) > 0,
+                    F.coalesce("n_dup_pos", F.lit(0)).cast("double") / F.col("n_pos").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def corpus_mixture(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-mixture summary: per source, document and token counts,
+    token share of the corpus, and the cumulative share in descending
+    token order (the "how many sources cover 90% of the tokens" view a
+    mixture designer reads first).
+
+    Shares divide EXACT integer token sums (cumulative sum runs on the
+    integers, one IEEE division at the end), so the result is independent
+    of partitioning and shuffle order — and bit-identical in the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    per_source = (
+        df.select(F.col(source_col), F.size(_tokens(text_col)).cast("bigint").alias("n_tok"))
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = Window.partitionBy()
+    order = Window.partitionBy().orderBy(F.desc("n_tokens"), F.asc(source_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_source.withColumn("total_tokens", F.sum("n_tokens").over(total))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(order))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            round4(F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "token_share"
+            ),
+            round4(F.col("cum_tokens").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy(F.desc("n_tokens"), F.asc(source_col))
+    )

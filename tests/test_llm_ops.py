@@ -360,3 +360,69 @@ def test_audio_frame_energy(spark):
     for r in rows:
         chunk = payload[r.frame_idx * 64 : r.frame_idx * 64 + 128]
         assert r.energy == ref_energy(chunk)
+
+
+def test_gopher_quality_rules(spark):
+    rows = [
+        # long enough, healthy stopword + distinct mix -> keep
+        (1, "the quick brown fox jumps over a lazy dog near the old river bank "
+            "while birds sing in tall green trees and wind moves through open fields "
+            "carrying seeds to distant fertile valleys beyond the hills"),
+        # pure repetition: distinct ratio collapses -> drop
+        (2, " ".join(["spam"] * 60)),
+        # too short -> drop
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["distinct_ratio"] < 0.1
+    assert out[3]["keep"] is False and out[3]["n_tokens"] == 2
+
+
+def test_dup_ngram_coverage_detects_copied_run(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = one 8-gram
+    rows = [
+        (1, shared + " unique tail one"),
+        (2, shared + " different ending here"),
+        (3, "entirely fresh words with no overlap at all present"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.dup_ngram_coverage(df, n=8).collect()}
+    # the shared 8-gram occupies position 1 of docs 1 and 2
+    assert out[1]["n_dup_pos"] == 1 and out[2]["n_dup_pos"] == 1
+    assert out[3]["n_dup_pos"] == 0 and out[3]["dup_frac"] == 0.0
+    assert 0 < out[1]["dup_frac"] < 1
+
+
+def test_contamination_report_flags_overlap(spark):
+    test_df = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")], ["doc_id", "text"]
+    )
+    train_df = spark.createDataFrame(
+        [
+            (1, "prefix one two three four five six seven eight tail"),  # shares an 8-gram
+            (2, "совершенно other words nothing shared with benchmark text here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.contamination_report(train_df, test_df, n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["contaminated"] is True and r["n_train_docs"] == 1
+    # clean test doc still appears with zeros
+    test2 = spark.createDataFrame([(200, "zz yy xx ww vv uu tt ss rr qq")], ["doc_id", "text"])
+    out2 = dedup.contamination_report(train_df, test2, n=8).collect()
+    assert out2[0]["n_train_docs"] == 0 and out2[0]["contaminated"] is False
+
+
+def test_corpus_mixture_shares_sum_to_one(spark):
+    rows = [(i, "w " * (10 * (1 + i % 3)), f"s{i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = text.corpus_mixture(df).collect()
+    assert len(out) == 4
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-3
+    # cumulative share is monotone and ends at 1
+    cums = [r["cum_share"] for r in out]
+    assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-3
+    assert sum(r["n_docs"] for r in out) == 20
