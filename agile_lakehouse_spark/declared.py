@@ -2354,3 +2354,17 @@ ORACLES["dq120_corpus_mixture"] = f"""
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                    / CAST(sum(n_tokens) OVER () AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) AS cum_share
     FROM per_source ORDER BY n_tokens DESC, source"""
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (dq121): Spark-4 parse_json/variant_get vs
+# DuckDB JSON extraction over the same paths.
+
+SPARK_QUERIES["dq121_variant_extract"] = relational.variant_extract_events
+ORACLES["dq121_variant_extract"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(CAST(props ->> '$.absent' AS BIGINT)) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type"""

@@ -2173,3 +2173,34 @@ def array_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("types"), 1, 2).alias("first_two"),
         F.size(F.flatten(F.array(F.col("types"), fixed))).cast("bigint").alias("flat_size"),
     ).orderBy("user_id")
+
+
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path over events ``props`` (DQ121).
+
+    Spark 4's VARIANT type is the lakehouse answer to schemaless columns:
+    ``parse_json`` once into a binary variant, then typed ``variant_get``
+    path extraction — the encoded form is cheaper to re-extract than raw
+    JSON strings and is the type Delta/Iceberg shred into typed subcolumns
+    at scale.  ``try_variant_get`` on a missing path yields NULL (not an
+    error) — pinned by the ``n_missing`` output.  The oracle reads the
+    same paths with DuckDB's JSON extraction, so only the parse
+    representation differs, never the values.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.withColumn("v", F.parse_json("props"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    missing = F.expr("try_variant_get(v, '$.absent', 'bigint')")
+    return (
+        v.withColumn("k", k)
+        .withColumn("absent", missing)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("absent").cast("bigint").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
