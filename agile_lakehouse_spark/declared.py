@@ -2368,3 +2368,71 @@ ORACLES["dq121_variant_extract"] = """
            CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(count(CAST(props ->> '$.absent' AS BIGINT)) AS BIGINT) AS n_missing
     FROM events GROUP BY event_type ORDER BY event_type"""
+
+# ---------------------------------------------------------------------------
+# Product quantization (dq122): PQ encode + asymmetric-distance top-k —
+# the compression half of an IVF-PQ vector index.  Codebook = hash-
+# selected data vectors (deterministic, so the oracle recomputes the
+# identical codebook relationally); distances are left-associative add
+# chains spelled identically in both engines.
+
+PQ_M, PQ_KSUB = 4, 16
+
+
+def pq_adc_q(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, m=PQ_M, ksub=PQ_KSUB)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.pq_adc_topk(emb, cb, qv, k=ANN_K)
+
+
+SPARK_QUERIES["dq122_pq_adc_topk"] = pq_adc_q
+
+
+def _pq_sq_chain(a: str, b: str, s: int, sub: int) -> str:
+    terms = []
+    for j in range(sub):
+        i = s * sub + j + 1
+        d = f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        terms.append(f"({d} * {d})")
+    return " + ".join(terms)
+
+
+_PQ_SUB = 64 // PQ_M
+_PQ_D_COLS = ",\n               ".join(
+    f"{_pq_sq_chain('e.embedding', 'cb.embedding', s, _PQ_SUB)} AS d{s}" for s in range(PQ_M)
+)
+_PQ_L_COLS = ",\n               ".join(
+    f"{_pq_sq_chain('q.qv', 'cb.embedding', s, _PQ_SUB)} AS l{s}" for s in range(PQ_M)
+)
+_PQ_CODE_COLS = ",\n               ".join(
+    f"CAST(first(code ORDER BY d{s} ASC, code ASC) AS INTEGER) AS code{s}" for s in range(PQ_M)
+)
+_PQ_LUT_JOINS = "\n        ".join(
+    f"JOIN lut t{s} ON t{s}.code = c.code{s}" for s in range(PQ_M)
+)
+_PQ_ADC = " + ".join(f"t{s}.l{s}" for s in range(PQ_M))
+_PQ_HASH_ORDER = f"{_h15d('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC"
+
+ORACLES["dq122_pq_adc_topk"] = f"""
+    WITH cb AS (
+        SELECT row_number() OVER (ORDER BY {_PQ_HASH_ORDER}) - 1 AS code, embedding
+        FROM embeddings ORDER BY {_PQ_HASH_ORDER} LIMIT {PQ_KSUB}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (
+        SELECT e.vec_id, cb.code,
+               {_PQ_D_COLS}
+        FROM embeddings e CROSS JOIN cb),
+    codes AS (
+        SELECT vec_id,
+               {_PQ_CODE_COLS}
+        FROM d GROUP BY vec_id),
+    lut AS (
+        SELECT cb.code,
+               {_PQ_L_COLS}
+        FROM cb CROSS JOIN q)
+    SELECT c.vec_id, c.code0, c.code1, c.code2, c.code3,
+           (floor(({_PQ_ADC}) * 10000.0 + 0.5) / 10000.0) AS adc_dist
+    FROM codes c
+        {_PQ_LUT_JOINS}
+    ORDER BY ({_PQ_ADC}) ASC, c.vec_id ASC LIMIT {ANN_K}"""

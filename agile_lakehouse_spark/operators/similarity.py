@@ -252,3 +252,130 @@ def embedding_near_dup(
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+# --- product quantization (IVF-PQ's compression half) -----------------------
+#
+# PQ splits each D-dim vector into m subvectors and replaces every
+# subvector with the index of its nearest codeword in a per-subspace
+# codebook (ksub entries) — D floats become m small ints.  Queries score
+# compressed vectors with an asymmetric-distance LUT (ADC): per subspace,
+# the distance from the query's subvector to each codeword is computed
+# ONCE, and each row's approximate distance is m table lookups + adds.
+# This is the memory-side half of a 100 TB vector index (IVF prunes
+# partitions, PQ makes the survivors fit in RAM).
+
+
+def pq_codebook(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: subvector slices of the ``ksub`` vectors
+    with the lowest portable hash of their id (the same seedless,
+    partition-invariant draw as :func:`kmeans_train` init — any engine
+    reproduces the selection, which keeps the oracle exact; a production
+    deployment would run per-subspace Lloyd rounds from this init).
+
+    Returns ``codebook[s][code] = [float, ...]`` (ksub × D/m per
+    subspace); only ksub × D doubles ever reach the driver.
+    """
+    from agile_lakehouse_spark.functions.portable import hex15_spark
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.expr(hex15_spark(f"CAST({id_col} AS STRING)")).asc(), F.col(id_col).asc())
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(v) for v in r[vec_col][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _sq_dist_to_codeword(vec_col: str, offset: int, cent: list[float]):
+    """Σ_j (CAST(vec[offset+j] AS DOUBLE) - c_j)² as a LEFT-ASSOCIATIVE
+    add chain — the oracle spells the identical chain, so the IEEE result
+    is bit-for-bit equal and argmin ties resolve identically."""
+    expr = None
+    for j, c in enumerate(cent):
+        d = F.element_at(F.col(vec_col), offset + j + 1).cast("double") - F.lit(float(c))
+        term = d * d
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the nearest
+    codeword (squared L2; ties -> lowest code via first-match semantics).
+
+    The codebook enters the plan as LITERALS, so encoding is a pure
+    projection — no join, no shuffle, trivially parallel at any scale
+    (the reason PQ encode is a map stage in every production system).
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cols = [F.col(id_col)]
+    for s in range(m):
+        dists = F.array(*[_sq_dist_to_codeword(vec_col, s * sub, c) for c in codebook[s]])
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{s}"))
+    return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    qvec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC).
+
+    The query-to-codeword LUT (m × ksub doubles) is computed once
+    driver-side with the same left-associative chain the encoder uses and
+    enters the plan as literal arrays; each row then costs m
+    ``element_at`` lookups + adds on its codes, and the top-k plans as
+    ``TakeOrderedAndProject`` — no sort of the full relation, no shuffle
+    of vectors.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    enc = pq_encode(df, codebook, vec_col, id_col)
+    lut: list[list[float]] = []
+    for s in range(m):
+        row = []
+        for cent in codebook[s]:
+            acc = None
+            for j, c in enumerate(cent):
+                d = float(qvec[s * sub + j]) - float(c)
+                t = d * d
+                acc = t if acc is None else acc + t
+            row.append(acc)
+        lut.append(row)
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.array(*[F.lit(v) for v in lut[s]]), F.col(f"code{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        enc.withColumn("adc_dist", adc)
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            *[f"code{s}" for s in range(m)],
+            round4(F.col("adc_dist")).alias("adc_dist"),
+        )
+    )

@@ -426,3 +426,34 @@ def test_corpus_mixture_shares_sum_to_one(spark):
     cums = [r["cum_share"] for r in out]
     assert cums == sorted(cums) and abs(cums[-1] - 1.0) < 1e-3
     assert sum(r["n_docs"] for r in out) == 20
+
+
+def test_pq_encode_and_adc(spark, sf_dir):
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, m=4, ksub=16)
+    assert len(cb) == 4 and len(cb[0]) == 16 and len(cb[0][0]) == 16
+    enc = similarity.pq_encode(emb, cb)
+    rows = enc.collect()
+    assert all(0 <= r[f"code{s}"] < 16 for r in rows for s in range(4))
+    # a vector that IS a codeword encodes to itself: codebook rows come
+    # from the data, so their source vectors must hit distance 0
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.pq_adc_topk(emb, cb, qv, k=10).collect()
+    assert len(top) == 10
+    assert top[0]["adc_dist"] <= top[-1]["adc_dist"]
+    # ADC with the query's own subvectors scores the query's codes best:
+    # recall sanity vs exact L2 top-10
+    from agile_lakehouse_spark.functions import vector
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), F.array(*[F.lit(v) for v in qv]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    exact = {r["vec_id"] for r in emb.select("vec_id", d2.alias("d")).orderBy("d", "vec_id").limit(10).collect()}
+    got = {r["vec_id"] for r in top}
+    # untrained (init-only) codebook at tiny sf: loose floor, but the
+    # query vector itself must rank in the ADC top-k (its per-subspace
+    # codes minimize every LUT term by construction)
+    assert 0 in got and len(exact & got) >= 1
