@@ -2436,3 +2436,43 @@ ORACLES["dq122_pq_adc_topk"] = f"""
     FROM codes c
         {_PQ_LUT_JOINS}
     ORDER BY ({_PQ_ADC}) ASC, c.vec_id ASC LIMIT {ANN_K}"""
+
+# ---------------------------------------------------------------------------
+# Chained stateful streaming operators (dq123): two windowed aggregations
+# in ONE streaming query (Spark 3.4+ multiple-stateful-operators support)
+# — per-(window, user) counts feeding a per-window re-aggregation, both
+# stateful, append mode.  The ELEVENTH streaming path under the oracle
+# gate; eviction semantics identical to dq73 (windows emit once the final
+# no-data micro-batch advances the watermark past their end).
+
+
+def stream_chained_agg_q(spark, sf_dir):
+    stream = _event_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    per_user = stream.groupBy(F.window("ts", "10 minutes"), F.col("user_id")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_win = per_user.groupBy("window").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.max("c").cast("bigint").alias("max_user_events"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    )
+    done = _run_stream(per_win, "append")
+    return done.select(
+        F.expr("unix_timestamp(window.start) div 600").alias("bucket"),
+        "n_users",
+        "max_user_events",
+        "n_events",
+    ).orderBy("bucket")
+
+
+SPARK_QUERIES["dq123_stream_chained_agg"] = stream_chained_agg_q
+ORACLES["dq123_stream_chained_agg"] = """
+    WITH m AS (SELECT epoch_ms(max(ts)) - 600000 AS wm FROM events),
+    per AS (SELECT (epoch_ms(ts) // 1000) // 600 AS bucket, user_id, count(*) AS c
+            FROM events GROUP BY 1, 2)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(c) AS BIGINT) AS max_user_events,
+           CAST(sum(c) AS BIGINT) AS n_events
+    FROM per, m WHERE (bucket + 1) * 600000 <= wm
+    GROUP BY bucket ORDER BY bucket"""
