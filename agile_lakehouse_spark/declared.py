@@ -2476,3 +2476,56 @@ ORACLES["dq123_stream_chained_agg"] = """
            CAST(sum(c) AS BIGINT) AS n_events
     FROM per, m WHERE (bucket + 1) * 600000 <= wm
     GROUP BY bucket ORDER BY bucket"""
+
+# ---------------------------------------------------------------------------
+# Error-safe arithmetic (dq125) and polygon containment (dq126).
+
+SPARK_QUERIES["dq125_try_arithmetic"] = relational.try_arithmetic_audit
+ORACLES["dq125_try_arithmetic"] = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_custkey % 7 = 0) AS BIGINT) AS n_div_null,
+           CAST(sum(floor(o_totalprice / CAST(nullif(o_custkey % 7, 0) AS DOUBLE))) AS BIGINT)
+               AS sum_div_floor,
+           CAST(count(*) FILTER (WHERE o_orderkey NOT BETWEEN 0 AND 1) AS BIGINT)
+               AS n_mul_overflow,
+           CAST(sum(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT)
+               AS sum_prio_digit
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+# Convex CCW hexagon centered at (500, 500); vertices chosen inside the
+# points view's (x, y) domain so the containment split is non-trivial.
+POLY_HEX = [(800.0, 500.0), (650.0, 760.0), (350.0, 760.0), (200.0, 500.0), (350.0, 240.0), (650.0, 240.0)]
+
+
+def point_in_polygon_q(spark, sf_dir):
+    pts = points_view(spark, sf_dir)
+    inside = pointcloud.point_in_polygon(pts, POLY_HEX)
+    return inside.filter("inside").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+        round4(F.min("x")).alias("min_x"),
+        round4(F.max("x")).alias("max_x"),
+        round4(F.min("y")).alias("min_y"),
+        round4(F.max("y")).alias("max_y"),
+    )
+
+
+SPARK_QUERIES["dq126_point_in_polygon"] = point_in_polygon_q
+
+
+def _poly_pred_sql() -> str:
+    terms = []
+    poly = POLY_HEX
+    for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1]):
+        dx, dy = x2 - x1, y2 - y1
+        terms.append(f"(({dx!r}) * (y - ({y1!r})) - ({dy!r}) * (x - ({x1!r})) >= 0)")
+    return " AND ".join(terms)
+
+
+ORACLES["dq126_point_in_polygon"] = f"""{POINTS_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_inside,
+           (floor(min(x) * 10000.0 + 0.5) / 10000.0) AS min_x,
+           (floor(max(x) * 10000.0 + 0.5) / 10000.0) AS max_x,
+           (floor(min(y) * 10000.0 + 0.5) / 10000.0) AS min_y,
+           (floor(max(y) * 10000.0 + 0.5) / 10000.0) AS max_y
+    FROM points WHERE {_poly_pred_sql()}"""

@@ -544,3 +544,36 @@ def hausdorff_distance(
         ab.crossJoin(ba.withColumnRenamed("max_min_d2", "_ba"))
         .select(F.sqrt(F.greatest(F.col("max_min_d2"), F.col("_ba"))).alias("hausdorff"))
     )
+
+
+def point_in_polygon(
+    df,
+    polygon: list[tuple[float, float]],
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "inside",
+):
+    """Append a boolean: point strictly inside (or on the boundary of) a
+    CONVEX polygon given as counter-clockwise vertices.
+
+    Convexity reduces the test to a conjunction of half-plane edge checks
+    ``(x2-x1)(y-y1) - (y2-y1)(x-x1) >= 0`` — pure column arithmetic, so
+    the predicate runs inside whole-stage codegen and composes with a
+    bounding-box prefilter that DOES reach the Parquet scan (the same
+    coarse-then-refine discipline as the circle query,
+    pc-cli/src/benchmark.rs:183-220).  Arbitrary (concave) polygons would
+    use the crossing-number sum over edges instead — same expression
+    family, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    cond = None
+    for (x1, y1), (x2, y2) in zip(polygon, polygon[1:] + polygon[:1]):
+        cross = (F.lit(x2 - x1)) * (F.col(y_col) - F.lit(y1)) - (F.lit(y2 - y1)) * (
+            F.col(x_col) - F.lit(x1)
+        )
+        c = cross >= 0
+        cond = c if cond is None else (cond & c)
+    return df.withColumn(out_col, cond)

@@ -2204,3 +2204,42 @@ def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface (DQ125): ``try_divide`` /
+    ``try_multiply`` / ``try_cast`` return NULL instead of failing the
+    job on division-by-zero / int64 overflow / malformed casts.
+
+    At 100 TB this is the difference between a 20-hour job dying at hour
+    19 on one bad row and a NULL you can count: every migration from
+    non-ANSI engines (Hive semantics) hits it.  The oracle reproduces the
+    NULL outcomes with guard expressions (``nullif``, CASE) — semantics,
+    not syntax, are what's pinned.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    safe_div = F.expr("try_divide(o_totalprice, CAST(o_custkey % 7 AS DOUBLE))")
+    big = 9_223_372_036_854_775_807
+    safe_mul = F.expr(f"try_multiply(o_orderkey, {big}L)")
+    # digits-only priority prefix casts; the alpha suffix rows yield NULL
+    safe_cast = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("status"),
+            safe_div.alias("sd"),
+            safe_mul.alias("sm"),
+            safe_cast.alias("sc"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("sd").isNull(), 1).otherwise(0)).cast("bigint").alias("n_div_null"),
+            # floor before summing: Σ of raw double quotients is shuffle-
+            # order-dependent in the last decimals; Σ of their floors is
+            # an exact integer under any reduction order
+            F.sum(F.floor("sd")).cast("bigint").alias("sum_div_floor"),
+            F.sum(F.when(F.col("sm").isNull(), 1).otherwise(0)).cast("bigint").alias("n_mul_overflow"),
+            F.sum("sc").cast("bigint").alias("sum_prio_digit"),
+        )
+        .orderBy("status")
+    )

@@ -1,0 +1,111 @@
+"""Scaling evidence for the LLM-pipeline family: run exact dedup,
+MinHash+LSH near-dup, SimHash near-dup, and the Gopher quality filter
+over a SYNTHETIC corpus far beyond fixture scale (sf0.1 = 5k docs;
+default here 20k/100k/500k) and report docs/sec so fixed job costs are
+visible separately from throughput.
+
+The corpus is generated distributed (spark.range + hash arithmetic —
+no driver data, no RNG): ~1000-word vocabulary, 40-99 tokens/doc, and
+1-in-50 documents is a near-copy of its predecessor differing by one
+trailing token, so the near-dup operators find real pairs at every
+scale instead of degenerating to the no-candidates fast path.  Token
+dispersion uses xxhash64 — a linear-congruential token stream repeats
+every |prime| seeds, silently cloning documents at 100k+ docs and
+exploding the candidate joins (found the hard way).
+
+    python scripts/scaling_dedup.py [n_docs ...]
+
+Prints one JSON line per scale (SCALE.md records representative runs).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark import get_session
+from agile_lakehouse_spark.operators import dedup, text
+
+
+def synth_docs(spark, n: int):
+    """Deterministic synthetic corpus with planted near-duplicates.
+
+    Doc ids i with i % 50 == 1 reuse the seed of doc i-1 and append one
+    extra token — a guaranteed near-dup pair per 50 docs.  Token t of
+    seed s = w{(s*2654435761 + t*69069 + 13) % 1009 % 1000}, materialized
+    with transform(sequence(...)) + concat_ws: pure JVM expressions, rows
+    generated in place on executors.
+    """
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 50 == 1, F.col("id") - 1).otherwise(F.col("id")).alias("seed"),
+    )
+    tok = (
+        "transform(sequence(1, CAST(40 + seed % 60 AS INT)), "
+        "t -> CASE WHEN t % 17 = 0 THEN 'the' WHEN t % 23 = 0 THEN 'a' "
+        "ELSE concat('w', CAST(pmod(xxhash64(seed, t), 10000) AS STRING)) END)"
+    )
+    return base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 1,
+            F.concat_ws(" ", F.expr(tok), F.lit("variant")),
+        )
+        .otherwise(F.concat_ws(" ", F.expr(tok)))
+        .alias("text"),
+    )
+
+
+def run_scale(spark, n: int) -> dict:
+    out: dict[str, object] = {"n_docs": n}
+    docs = synth_docs(spark, n).persist()
+    n_rows = docs.count()  # materialize the corpus before timing operators
+    assert n_rows == n
+
+    t0 = time.time()
+    kept = dedup.exact_dedup(docs).count()
+    out["exact_s"] = round(time.time() - t0, 2)
+    out["exact_kept"] = kept
+
+    t0 = time.time()
+    pairs = dedup.minhash_near_dup(docs, k=5, threshold=0.5).count()
+    out["minhash_s"] = round(time.time() - t0, 2)
+    out["minhash_pairs"] = pairs
+
+    # 60-bit signatures: at 100k+ docs a 32-bit simhash SATURATES — the
+    # 8-bit pigeonhole buckets accumulate O(bucket²) candidate pairs
+    # (measured: 89 s / 0.5M pairs at 100k docs vs 12 s at 20k).  Wider
+    # hashes are the standard remedy (the operator parameterizes width;
+    # the declared 32-bit variant exists for fixture-scale oracle parity).
+    t0 = time.time()
+    spairs = dedup.simhash_near_dup(docs, max_hamming=3, bits=60, chunks=4).count()
+    out["simhash_s"] = round(time.time() - t0, 2)
+    out["simhash_pairs"] = spairs
+
+    t0 = time.time()
+    q = text.gopher_quality(docs).filter("keep").count()
+    out["gopher_s"] = round(time.time() - t0, 2)
+    out["gopher_kept"] = q
+
+    docs.unpersist()
+    for op in ("exact", "minhash", "simhash", "gopher"):
+        out[f"{op}_docs_per_s"] = round(n / out[f"{op}_s"], 0)
+    return out
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 100_000, 500_000]
+    spark = get_session("scaling-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in sizes:
+        print(json.dumps(run_scale(spark, n)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
