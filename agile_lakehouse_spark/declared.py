@@ -2529,3 +2529,58 @@ ORACLES["dq126_point_in_polygon"] = f"""{POINTS_CTE}
            (floor(min(y) * 10000.0 + 0.5) / 10000.0) AS min_y,
            (floor(max(y) * 10000.0 + 0.5) / 10000.0) AS max_y
     FROM points WHERE {_poly_pred_sql()}"""
+
+# ---------------------------------------------------------------------------
+# Full curation pipeline (dq124): Gopher rules -> normalized exact dedup
+# -> MinHash near-dup removal -> decontamination vs the held-out source,
+# composed as ONE lazy plan; the oracle replays every stage relationally.
+
+
+def curate_corpus_q(spark, sf_dir):
+    from agile_lakehouse_spark.operators.pipeline import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+SPARK_QUERIES["dq124_curate_corpus"] = curate_corpus_q
+
+_GOPHER_KEEP_D = f"""(len({_TOKS_D}) >= 30 AND len({_TOKS_D}) <= 100000
+    AND (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         / CAST(len({_TOKS_D}) AS DOUBLE)) >= 3.0
+    AND (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         / CAST(len({_TOKS_D}) AS DOUBLE)) <= 10.0
+    AND (CAST(len(list_filter({_TOKS_D},
+         x -> x IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         / CAST(len({_TOKS_D}) AS DOUBLE)) >= 0.02
+    AND (CAST(len(list_distinct({_TOKS_D})) AS DOUBLE)
+         / CAST(len({_TOKS_D}) AS DOUBLE)) >= 0.35)"""
+
+_NORM_FP_D = _h15d(
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+ORACLES["dq124_curate_corpus"] = f"""
+    WITH s0 AS (
+        SELECT doc_id, text FROM documents
+        WHERE source <> '{CONTAM_TEST_SOURCE}' AND {_GOPHER_KEEP_D}),
+    nf AS (SELECT doc_id, text, CAST({_NORM_FP_D} AS BIGINT) AS norm_fp FROM s0),
+    ke AS (SELECT min(doc_id) AS doc_id FROM nf GROUP BY norm_fp),
+    s1 AS (SELECT nf.doc_id, nf.text FROM nf JOIN ke USING (doc_id)),
+    {_duck_minhash_cte('s1')},
+    bucketed AS ({_duck_band_union()}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bucketed a JOIN bucketed b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    dropn AS (SELECT DISTINCT id_b AS doc_id
+              FROM cand JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+              WHERE (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_T}),
+    tr AS (SELECT DISTINCT s1.doc_id AS train_id, g.gram
+           FROM s1, unnest({_GRAMS_D}) AS g(gram)),
+    te AS (SELECT DISTINCT doc_id AS test_id, g.gram
+           FROM documents, unnest({_GRAMS_D}) AS g(gram)
+           WHERE source = '{CONTAM_TEST_SOURCE}'),
+    contam AS (SELECT DISTINCT tr.train_id AS doc_id FROM te JOIN tr USING (gram))
+    SELECT CAST(s1.doc_id AS BIGINT) AS doc_id FROM s1
+    WHERE s1.doc_id NOT IN (SELECT doc_id FROM dropn)
+      AND s1.doc_id NOT IN (SELECT doc_id FROM contam)
+    ORDER BY doc_id"""

@@ -440,6 +440,41 @@ def levenshtein_near_dup(
     )
 
 
+def word_gram_pairs(
+    df: DataFrame, n: int, text_col: str, id_col: str, out_id: str
+) -> DataFrame:
+    """Distinct (doc, word-n-gram) pairs, exploded — the shared candidate
+    unit of the decontamination operators."""
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
+            f"p -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), p, {n})))"
+        )
+    )
+    return spread(df.select(F.col(id_col), grams.alias("grams"))).select(
+        F.col(id_col).alias(out_id), F.explode("grams").alias("gram")
+    )
+
+
+def contaminated_train_ids(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TRAIN doc ids sharing at least one word n-gram with any test doc —
+    the removal set of a decontamination pass (the train-side view of
+    :func:`contamination_report`)."""
+    tr = word_gram_pairs(train, n, text_col, id_col, "train_id")
+    te = word_gram_pairs(test, n, text_col, id_col, "test_id")
+    return (
+        te.join(tr, "gram")
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+
+
 def contamination_report(
     train: DataFrame,
     test: DataFrame,
@@ -459,19 +494,8 @@ def contamination_report(
     100 TB the train side is the big relation while the test (benchmark)
     side is naturally broadcast-sized.
     """
-    def gram_pairs(df: DataFrame, out_id: str) -> DataFrame:
-        grams = F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
-                f"p -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), p, {n})))"
-            )
-        )
-        return spread(df.select(F.col(id_col), grams.alias("grams"))).select(
-            F.col(id_col).alias(out_id), F.explode("grams").alias("gram")
-        )
-
-    tr = gram_pairs(train, "train_id")
-    te = gram_pairs(test, "test_id")
+    tr = word_gram_pairs(train, n, text_col, id_col, "train_id")
+    te = word_gram_pairs(test, n, text_col, id_col, "test_id")
     hits = (
         te.join(tr, "gram")
         .groupBy("test_id")

@@ -54,3 +54,59 @@ def clean_corpus(
         .select(F.col(id_col).cast("bigint").alias(id_col), "quality")
         .orderBy(id_col)
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    test_source: str = "src0",
+    shingle_k: int = 5,
+    near_dup_threshold: float = 0.5,
+    contam_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Full training-set curation as ONE lazy plan (the clean_corpus v2):
+
+    1. Gopher quality rules (token bounds, word length, stopwords,
+       repetition guard) over the TRAIN split,
+    2. exact dedup on the NORMALIZED fingerprint (case/punct/whitespace
+       canonicalized first — raw-text dedup misses trivial variants),
+    3. MinHash+LSH near-dup removal (higher id drops),
+    4. decontamination: drop train docs sharing any word n-gram with the
+       held-out ``test_source`` benchmark split.
+
+    Returns the surviving doc ids, ordered.  Every stage is a hash agg,
+    bucketed join, or anti-join — the composition shuffles on doc/gram
+    keys only and never materializes intermediate corpora, so Catalyst
+    pipelines the stages and AQE sizes the exchanges at any scale.
+    """
+    from agile_lakehouse_spark.operators.text import gopher_quality, normalize_text
+
+    train = df.filter(F.col(source_col) != test_source)
+    test = df.filter(F.col(source_col) == test_source)
+
+    quality_ids = gopher_quality(train, text_col, id_col).filter("keep").select(id_col)
+    s0 = train.join(quality_ids, id_col, "left_semi")
+
+    norm = normalize_text(s0, text_col, id_col)
+    keep_exact = norm.groupBy("norm_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    s1 = s0.join(keep_exact, id_col, "left_semi")
+
+    near = dedup.minhash_near_dup(
+        s1.select(id_col, text_col),
+        k=shingle_k,
+        threshold=near_dup_threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    drop_near = near.select(F.col("id_b").alias(id_col)).distinct()
+
+    contam = dedup.contaminated_train_ids(s1, test, contam_n, text_col, id_col)
+
+    return (
+        s1.select(F.col(id_col).cast("bigint").alias(id_col))
+        .join(drop_near, id_col, "left_anti")
+        .join(contam, id_col, "left_anti")
+        .orderBy(id_col)
+    )

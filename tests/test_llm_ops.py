@@ -457,3 +457,21 @@ def test_pq_encode_and_adc(spark, sf_dir):
     # query vector itself must rank in the ADC top-k (its per-subspace
     # codes minimize every LUT term by construction)
     assert 0 in got and len(exact & got) >= 1
+
+
+def test_curate_corpus_stages_filter(spark, sf_dir):
+    from agile_lakehouse_spark.operators.pipeline import curate_corpus
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(docs).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == sorted(ids) and len(ids) > 0
+    # survivors are a strict subset of the train split
+    train_ids = {r["doc_id"] for r in docs.filter(F.col("source") != "src0").collect()}
+    assert set(ids) < train_ids
+    # no survivor is contaminated: re-check against the report
+    test_df = docs.filter(F.col("source") == "src0")
+    surv = docs.filter(F.col("doc_id").isin(ids))
+    contam = dedup.contaminated_train_ids(surv, test_df)
+    assert contam.count() == 0
