@@ -2584,3 +2584,48 @@ ORACLES["dq124_curate_corpus"] = f"""
     WHERE s1.doc_id NOT IN (SELECT doc_id FROM dropn)
       AND s1.doc_id NOT IN (SELECT doc_id FROM contam)
     ORDER BY doc_id"""
+
+# ---------------------------------------------------------------------------
+# Partition transforms (dq127): Iceberg-style hidden-partitioning values
+# (hash bucket / int truncate / string truncate / day granularity) over
+# orders, verified bit-for-bit (portable md5-fold stands in for the
+# spec's murmur3_32 so the oracle can reproduce assignments).
+
+PT_BUCKETS, PT_TRUNC_W = 8, 50000
+
+
+def partition_transforms_q(spark, sf_dir):
+    from agile_lakehouse_spark.plans import layout
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            layout.bucket_transform("o_custkey", PT_BUCKETS).alias("bucket"),
+            layout.truncate_int_transform("o_totalprice", PT_TRUNC_W).alias("price_bin"),
+            layout.truncate_str_transform("o_orderpriority", 1).alias("prio_prefix"),
+            layout.days_transform("o_orderdate").alias("day"),
+        )
+        .groupBy("bucket", "price_bin", "prio_prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
+        .orderBy("bucket", "price_bin", "prio_prefix")
+    )
+
+
+SPARK_QUERIES["dq127_partition_transforms"] = partition_transforms_q
+ORACLES["dq127_partition_transforms"] = f"""
+    WITH t AS (
+        SELECT CAST({_h15d("CAST(o_custkey AS VARCHAR)")} % {PT_BUCKETS} AS INTEGER) AS bucket,
+               CAST(floor(o_totalprice / {PT_TRUNC_W}) * {PT_TRUNC_W} AS BIGINT) AS price_bin,
+               substring(o_orderpriority, 1, 1) AS prio_prefix,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day
+        FROM orders)
+    SELECT bucket, price_bin, prio_prefix,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(day) AS BIGINT) AS min_day,
+           CAST(max(day) AS BIGINT) AS max_day
+    FROM t GROUP BY bucket, price_bin, prio_prefix
+    ORDER BY bucket, price_bin, prio_prefix"""

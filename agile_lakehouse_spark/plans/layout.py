@@ -195,3 +195,74 @@ def layout_stats(spark: SparkSession, path: str, dims: list[str]) -> DataFrame:
     for d in dims:
         aggs += [F.min(d).alias(f"{d}_min"), F.max(d).alias(f"{d}_max")]
     return df.groupBy("_file").agg(*aggs)
+
+
+# --- Iceberg-style partition transforms -------------------------------------
+#
+# Hidden-partitioning transforms (Iceberg spec §Partition Transforms):
+# derive the partition value from a data column so writers never manage
+# partition columns by hand and layouts can evolve.  Ours use the
+# portable md5-fold hash instead of Iceberg's murmur3_32 so the DuckDB
+# oracle can verify assignments bit-for-bit; the shapes (hash-bucket,
+# value-truncate, time-granularity) are the spec's.
+
+
+def bucket_transform(col: str, n: int) -> Column:
+    """Hash-bucket a key into ``n`` partitions, engine-portably.
+
+    Equality predicates on the source column translate to ONE bucket —
+    the pruning contract of hash partitioning (see
+    :func:`bucket_of` for the reader-side value).
+    """
+    from agile_lakehouse_spark.functions.portable import hex15_spark
+
+    return F.pmod(F.expr(hex15_spark(f"CAST({col} AS STRING)")), F.lit(n)).cast("int")
+
+
+def bucket_of(value, n: int) -> int:
+    """Driver-side bucket of a literal key — what a reader adds as a
+    partition predicate to get hidden-partition pruning."""
+    import hashlib
+
+    h = int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+    return h % n
+
+
+def truncate_int_transform(col: Column | str, width: int) -> Column:
+    """Numeric truncate transform: floor to ``width``-sized bins (range
+    predicates on the source column stay prunable).
+
+    Floor runs on the RAW value — casting a double to bigint first is an
+    engine property (Spark truncates, DuckDB rounds) and would shift bin
+    boundaries by one for fractions >= .5.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / width) * width).cast("bigint")
+
+
+def truncate_str_transform(col: Column | str, width: int) -> Column:
+    """String truncate transform: first ``width`` chars (prefix-range
+    predicates stay prunable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, 1, width)
+
+
+def days_transform(ts: Column | str) -> Column:
+    """Day granularity: epoch days as an int partition value."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.floor(F.unix_timestamp(c) / 86400).cast("int")
+
+
+def write_bucketed_by_key(
+    df: DataFrame, path: str, key_col: str, n_buckets: int
+) -> None:
+    """Write hash-bucket partitioned files: one directory per bucket, so a
+    point lookup on the key reads 1/n of the table (plus the manifest-
+    bloom layer for file-level pruning inside the bucket)."""
+    (
+        df.withColumn("bucket", bucket_transform(key_col, n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "dq93_tpch_q8",
     "dq94_tpch_q9",
     "dq98_latest_state",
+    "dq117_gopher_quality",
+    "dq118_dup_ngram_coverage",
+    "dq122_pq_adc_topk",
+    "dq124_curate_corpus",
 ]
 
 

@@ -147,3 +147,48 @@ def test_zorder3_locality_beats_2d_for_z_slabs(spark):
     # 3-D key: the slab's span is a strict subset
     assert got.r2 == full.r2
     assert got.r3 < full.r3
+
+
+def test_bucket_transform_hidden_partition_pruning(spark, tmp_path):
+    """A key-equality lookup on a bucket-partitioned table reads one
+    bucket directory (partition pruning), and bucket_of() computes the
+    same bucket the writer assigned."""
+    from agile_lakehouse_spark.plans.layout import bucket_of, bucket_transform, write_bucketed_by_key
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("v")
+    )
+    dest = str(tmp_path / "bucketed")
+    write_bucketed_by_key(df, dest, "k", 8)
+    back = spark.read.parquet(dest)
+    assert back.count() == 2000
+    # reader-side: hidden-partition lookup = key predicate + derived bucket
+    key = 777
+    b = bucket_of(key, 8)
+    hit = back.filter((F.col("bucket") == b) & (F.col("k") == key))
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["v"] == 777 * 3 % 97
+    files = hit.select(F.input_file_name()).distinct().count()
+    total = back.select(F.input_file_name()).distinct().count()
+    assert files <= max(1, total // 8)
+    # writer/reader agreement on every key, not just one
+    mism = (
+        df.select("k", bucket_transform("k", 8).alias("bw"))
+        .join(back.select("k", F.col("bucket").cast("int").alias("br")), "k")
+        .filter(F.col("bw") != F.col("br"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_truncate_transform_bins(spark):
+    from agile_lakehouse_spark.plans.layout import truncate_int_transform, truncate_str_transform
+
+    df = spark.createDataFrame(
+        [(49999.50,), (50000.0,), (12.3,), (-0.5,)], "p double"
+    ).select(truncate_int_transform("p", 50000).alias("bin"))
+    assert [r["bin"] for r in df.collect()] == [0, 50000, 0, -50000]
+    s = spark.createDataFrame([("5-LOW",), ("1-URGENT",)], "x string").select(
+        truncate_str_transform("x", 1).alias("p")
+    )
+    assert [r["p"] for r in s.collect()] == ["5", "1"]

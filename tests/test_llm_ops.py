@@ -475,3 +475,17 @@ def test_curate_corpus_stages_filter(spark, sf_dir):
     surv = docs.filter(F.col("doc_id").isin(ids))
     contam = dedup.contaminated_train_ids(surv, test_df)
     assert contam.count() == 0
+
+
+def test_pq_adc_plan_is_top_k_no_shuffle(spark, sf_dir):
+    """PQ ADC top-k must plan as TakeOrderedAndProject over a pure
+    projection — literal codebook/LUT means no join, no exchange."""
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, m=4, ksub=16)
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    df = similarity.pq_adc_topk(emb, cb, qv, k=10)
+    assert explain.is_top_k(df)
+    assert explain.num_shuffles(df) == 0
+    assert not explain.uses_python_udf(df)
