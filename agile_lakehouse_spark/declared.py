@@ -2629,3 +2629,43 @@ ORACLES["dq127_partition_transforms"] = f"""
            CAST(max(day) AS BIGINT) AS max_day
     FROM t GROUP BY bucket, price_bin, prio_prefix
     ORDER BY bucket, price_bin, prio_prefix"""
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve key parity (dq128): the alternative clustering key of
+# write_grid_layout(curve="hilbert"), recomputed by the oracle with the
+# IDENTICAL packed-bigint fold — proving the curve files are
+# range-partitioned by, bit for bit (dq70's discipline for Morton).
+
+
+def pc_hilbert_cells(spark, sf_dir):
+    from agile_lakehouse_spark.plans.layout import hilbert_key
+
+    g = pointcloud.grid_cells(_q(spark, sf_dir), {"x": GRID_DELTA, "y": GRID_DELTA})
+    return (
+        g.withColumn("hkey", hilbert_key("cell_x", "cell_y", order=15))
+        .groupBy("hkey")
+        .agg(
+            F.min("cell_x").alias("cell_x"),
+            F.min("cell_y").alias("cell_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+        .orderBy("hkey")
+    )
+
+
+SPARK_QUERIES["dq128_hilbert_cells"] = pc_hilbert_cells
+
+
+def _hilbert_oracle_sql() -> str:
+    from agile_lakehouse_spark.plans.layout import hilbert_key_duck
+
+    return f"""{POINTS_CTE},
+    cells AS (SELECT CAST(floor(x/{GRID_DELTA}) AS BIGINT) AS cell_x,
+                     CAST(floor(y/{GRID_DELTA}) AS BIGINT) AS cell_y FROM points)
+    SELECT {hilbert_key_duck("cell_x", "cell_y", 15)} AS hkey,
+           min(cell_x) AS cell_x, min(cell_y) AS cell_y,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM cells GROUP BY 1 ORDER BY 1"""
+
+
+ORACLES["dq128_hilbert_cells"] = _hilbert_oracle_sql()

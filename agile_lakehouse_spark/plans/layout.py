@@ -105,6 +105,7 @@ def write_grid_layout(
     y: str = "y",
     importance_col: str = "i",
     max_records_per_file: int = DEFAULT_BATCH_SIZE,
+    curve: str = "morton",
 ) -> None:
     """Grid layout: shuffle on (cell_x, cell_y[, islice]), cluster, write.
 
@@ -112,11 +113,17 @@ def write_grid_layout(
     sliced into equal importance bands (framework.rs:69-110 via split_aabb).
     One shuffle, then files whose row groups are tight in (x, y, i) — at
     100 TB this is the job you run once per ingest batch, and every later
-    query pays less scan.
+    query pays less scan.  ``curve`` picks the clustering key: "morton"
+    (default) or "hilbert" (adjacent-cell guarantee, no quadrant seams —
+    see :func:`hilbert_key`).
     """
-    out = grid_cells(df, {x: delta_x, y: delta_y}).withColumn(
-        "zkey", zorder_key("cell_x", "cell_y")
-    )
+    if curve == "morton":
+        key = zorder_key("cell_x", "cell_y")
+    elif curve == "hilbert":
+        key = hilbert_key("cell_x", "cell_y")
+    else:
+        raise ValueError(f"unknown curve {curve!r} (morton | hilbert)")
+    out = grid_cells(df, {x: delta_x, y: delta_y}).withColumn("zkey", key)
     sort_keys = ["zkey"]
     if importance_splits > 1:
         out = out.withColumn(
@@ -265,4 +272,88 @@ def write_bucketed_by_key(
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
+    )
+
+
+def _hilbert_fold(cx: str, cy: str, order: int, sl, sr, bxor, land) -> tuple[str, str]:
+    """Engine-agnostic Hilbert fold, state PACKED into one BIGINT:
+    bits [0, order) = y, [order, 2*order) = x, [2*order, 4*order) = d —
+    so ``order`` <= 15 (60 bits).  A struct accumulator would be the
+    natural spelling, but DuckDB 1.0 mis-evaluates struct-lambda
+    list_reduce under vectorized (multi-row) execution (off-by-one on a
+    16/64 cell sample; single rows fold correctly) — the packed-integer
+    fold sidesteps that and keeps both engines' arithmetic literally
+    identical.  sl/sr/bxor/land are the engine spellings of shiftleft /
+    shiftright / xor / bitwise-and."""
+    half = 1 << (order - 1)
+    mask = (1 << order) - 1
+    x = land(sr("acc", order), mask)
+    y = land("acc", mask)
+    # the shifted 1 must be a BIGINT up front: s*s reaches 2^28, which
+    # would overflow 32-bit INTEGER arithmetic in either engine
+    s_ = sl("CAST(1 AS BIGINT)", "i")
+    rx = f"(CASE WHEN ({land(x, s_)}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({land(y, s_)}) > 0 THEN 1 ELSE 0 END)"
+    newd = f"({sr('acc', 2 * order)} + ({s_}) * ({s_}) * ({bxor(f'(3 * {rx})', ry)}))"
+    # reflection about the FULL grid (n-1-v, canonical Hilbert rotation):
+    # the per-level (s-1-v) variant produces NEGATIVE intermediates when
+    # v >= s, which the packed representation cannot hold (and DuckDB
+    # refuses to left-shift); n-1-v keeps state in [0, n) at every level
+    n1 = (1 << order) - 1
+    newx = (
+        f"(CASE WHEN {ry} = 1 THEN ({x}) "
+        f"WHEN {rx} = 1 THEN {n1} - ({y}) ELSE ({y}) END)"
+    )
+    newy = (
+        f"(CASE WHEN {ry} = 1 THEN ({y}) "
+        f"WHEN {rx} = 1 THEN {n1} - ({x}) ELSE ({x}) END)"
+    )
+    step = f"({sl(newd, 2 * order)} + {sl(newx, order)} + {newy})"
+    init = f"({sl(f'(CAST({cx} AS BIGINT) + {half})', order)} + (CAST({cy} AS BIGINT) + {half}))"
+    return init, step
+
+
+def hilbert_key(cx: str, cy: str, order: int = 15) -> Column:
+    """Hilbert-curve index of two cell indices (order bits per axis) —
+    the locality-tighter alternative to :func:`zorder_key`: successive
+    Hilbert cells are always GRID-ADJACENT (Morton jumps at quadrant
+    boundaries), so range-partitioned files have no long seams.
+
+    The classic per-level rotate/reflect walk runs as ONE ``aggregate``
+    fold over the bit levels — pure JVM integer arithmetic inside
+    whole-stage codegen, no UDF; the DuckDB oracle replays the identical
+    fold (:func:`hilbert_key_duck`), so keys verify bit-for-bit.
+    Negative indices are offset into the non-negative range first, as in
+    ``zorder_key``; ``order`` <= 15 (the packed fold uses 4*order bits).
+    """
+    if order > 15:
+        raise ValueError("packed fold supports order <= 15")
+    init, step = _hilbert_fold(
+        cx, cy, order,
+        sl=lambda a, b: f"shiftleft({a}, {b})",
+        sr=lambda a, b: f"shiftright({a}, {b})",
+        bxor=lambda a, b: f"({a} ^ {b})",
+        land=lambda a, b: f"({a} & {b})",
+    )
+    return F.expr(
+        f"shiftright(aggregate(sequence({order - 1}, 0, -1), CAST({init} AS BIGINT), "
+        f"(acc, i) -> CAST({step} AS BIGINT)), {2 * order})"
+    )
+
+
+def hilbert_key_duck(cx: str, cy: str, order: int = 15) -> str:
+    """DuckDB SQL with semantics identical to :func:`hilbert_key`."""
+    if order > 15:
+        raise ValueError("packed fold supports order <= 15")
+    init, step = _hilbert_fold(
+        cx, cy, order,
+        sl=lambda a, b: f"({a} << CAST({b} AS INTEGER))",
+        sr=lambda a, b: f"({a} >> CAST({b} AS INTEGER))",
+        bxor=lambda a, b: f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))",
+        land=lambda a, b: f"({a} & {b})",
+    )
+    levels = ", ".join(f"CAST({i} AS BIGINT)" for i in range(order - 1, -1, -1))
+    return (
+        f"(list_reduce(list_prepend(CAST({init} AS BIGINT), [{levels}]), "
+        f"(acc, i) -> CAST({step} AS BIGINT)) >> {2 * order})"
     )
