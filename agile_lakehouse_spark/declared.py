@@ -2669,3 +2669,109 @@ def _hilbert_oracle_sql() -> str:
 
 
 ORACLES["dq128_hilbert_cells"] = _hilbert_oracle_sql()
+
+# ---------------------------------------------------------------------------
+# Graph family depth (dq129/dq130): deterministic integer PageRank and
+# bounded BFS over the symmetrized user co-activity graph (dq86's edges).
+
+PR_ITERS, PR_DAMP, PR_SCALE = 5, 85, 10**9
+BFS_HOPS = 4
+
+
+def _coactivity_edges(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("bigint").alias("m"),
+        ).distinct()
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.m") == F.col("r.m")) & (F.col("l.user_id") < F.col("r.user_id")))
+        .select(F.col("l.user_id").alias("u"), F.col("r.user_id").alias("v"))
+        .distinct()
+    )
+
+
+def pagerank_q(spark, sf_dir):
+    e0 = _coactivity_edges(spark, sf_dir)
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pr = graph.pagerank(sym, iters=PR_ITERS, damping_pct=PR_DAMP, scale=PR_SCALE)
+    return (
+        pr.select(F.col("node").cast("bigint").alias("user_id"), F.col("pr").cast("bigint"))
+        .orderBy(F.desc("pr"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+def bfs_q(spark, sf_dir):
+    e0 = _coactivity_edges(spark, sf_dir)
+    sym = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    d = graph.bfs_hops(sym, max_hops=BFS_HOPS)
+    return d.select(
+        F.col("node").cast("bigint").alias("user_id"), F.col("hops").cast("bigint")
+    ).orderBy("user_id")
+
+
+SPARK_QUERIES["dq129_pagerank"] = pagerank_q
+SPARK_QUERIES["dq130_bfs_hops"] = bfs_q
+
+_PR_EDGES_D = """
+    b AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) AS m FROM events),
+    e0 AS (SELECT DISTINCT l.user_id AS u, r.user_id AS v
+           FROM b l JOIN b r ON l.m = r.m AND l.user_id < r.user_id),
+    e AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v AS s, u AS d FROM e0),
+    nodes AS (SELECT DISTINCT s AS node FROM e),
+    deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+    nn AS (SELECT count(*) AS n FROM nodes)"""
+
+
+def _pr_iter(k: int) -> str:
+    return f"""
+    p{k} AS (
+        SELECT nodes.node,
+               (SELECT CAST(100 - {PR_DAMP} AS BIGINT) * {PR_SCALE} // (100 * n) FROM nn)
+               + (CAST({PR_DAMP} AS BIGINT) * coalesce(t.S, 0)) // 100 AS pr
+        FROM nodes LEFT JOIN (
+            SELECT e.d, sum(p.pr // deg.dg) AS S
+            FROM e JOIN p{k - 1} p ON p.node = e.s JOIN deg ON deg.s = e.s
+            GROUP BY e.d) t ON t.d = nodes.node)"""
+
+
+ORACLES["dq129_pagerank"] = (
+    "WITH "
+    + _PR_EDGES_D
+    + f""",
+    p0 AS (SELECT node, (SELECT CAST({PR_SCALE} AS BIGINT) // n FROM nn) AS pr FROM nodes)"""
+    + ","
+    + ",".join(_pr_iter(k) for k in range(1, PR_ITERS + 1))
+    + f"""
+    SELECT CAST(node AS BIGINT) AS user_id, CAST(pr AS BIGINT) AS pr
+    FROM p{PR_ITERS} ORDER BY pr DESC, user_id ASC LIMIT 20"""
+)
+
+
+def _bfs_iter(k: int) -> str:
+    return f"""
+    r{k} AS (
+        SELECT node, min(hops) AS hops FROM (
+            SELECT node, hops FROM r{k - 1}
+            UNION ALL
+            SELECT e.d AS node, r.hops + 1 AS hops
+            FROM e JOIN r{k - 1} r ON e.s = r.node)
+        GROUP BY node)"""
+
+
+ORACLES["dq130_bfs_hops"] = (
+    "WITH "
+    + _PR_EDGES_D
+    + """,
+    s AS (SELECT min(s) AS src FROM e),
+    r0 AS (SELECT src AS node, 0 AS hops FROM s)"""
+    + ","
+    + ",".join(_bfs_iter(k) for k in range(1, BFS_HOPS + 1))
+    + f"""
+    SELECT CAST(node AS BIGINT) AS user_id, CAST(hops AS BIGINT) AS hops
+    FROM r{BFS_HOPS} ORDER BY user_id"""
+)

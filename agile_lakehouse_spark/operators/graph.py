@@ -289,3 +289,86 @@ def connected_components_star(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic integer-arithmetic PageRank (fixed iteration count).
+
+    Ranks live in integer micro-units (``scale`` = 1.0): init
+    ``scale // n``, update ``base + damping * Σ(pr_u // deg_u) // 100``
+    with ``base = (100-damping) * scale // (100 * n)``.  Floor divisions
+    make every step EXACT integer arithmetic, so the result is
+    independent of shuffle/reduction order AND reproducible by any
+    engine — float PageRank sums diverge across engines in the last bits
+    and cannot sit under a hash-equality gate.
+
+    One distributed pass per iteration (join prev ranks + degrees on the
+    edge source, aggregate on the destination), driver-coordinated like
+    the connected-components loop; ``localCheckpoint`` caps lineage.
+    Dangling nodes (no out-edges) are absent by construction when the
+    caller symmetrizes an undirected graph.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nodes = e.select(F.col("s").alias("node")).union(e.select("d")).distinct().persist()
+    n = nodes.count()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    pr = nodes.withColumn("pr", F.lit(scale // n))
+    for _ in range(iters):
+        sums = (
+            e.join(pr.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(F.col("d"), F.expr("pr div dg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("S"))
+        )
+        pr = (
+            nodes.join(sums.withColumnRenamed("d", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr(f"({damping_pct} * coalesce(S, 0L)) div 100")).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = pr
+    nodes.unpersist()
+    return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source=None,
+    max_hops: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Minimum hop distance from ``source`` (default: the lowest node id)
+    to every node reachable within ``max_hops``, by iterative frontier
+    expansion — one edge join + min-aggregate per level, the canonical
+    distributed BFS (no per-path enumeration, so dense graphs can't blow
+    up the way a naive recursive-CTE path walk does).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if source is None:
+        source = e.agg(F.min("s")).collect()[0][0]
+    dist = e.sparkSession.createDataFrame([(int(source), 0)], "node bigint, hops int")
+    for _ in range(max_hops):
+        expanded = (
+            e.join(dist.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.union(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

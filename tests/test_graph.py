@@ -166,3 +166,33 @@ def test_cc_unconverged_warns(spark):
         warnings.simplefilter("always")
         graph.connected_components_star(edges, id_col="node", max_iterations=1).collect()
     assert any("fixpoint not reached" in str(x.message) for x in w)
+
+
+def test_pagerank_ring_is_uniform(spark):
+    from agile_lakehouse_spark.operators import graph
+
+    n = 8
+    ring = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    e = spark.createDataFrame(ring, "u bigint, v bigint")
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(e, iters=4).collect()}
+    # symmetric ring: every node has identical rank, and mass stays ~1.0
+    assert len(set(pr.values())) == 1
+    assert abs(sum(pr.values()) - 10**9) < n * 200  # floor-division leakage only
+
+
+def test_pagerank_star_center_wins(spark):
+    from agile_lakehouse_spark.operators import graph
+
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    e = spark.createDataFrame(star, "u bigint, v bigint")
+    pr = {r["node"]: r["pr"] for r in graph.pagerank(e, iters=5).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 6)) * 2
+
+
+def test_bfs_hops_line_graph(spark):
+    from agile_lakehouse_spark.operators import graph
+
+    line = [(i, i + 1) for i in range(5)] + [(i + 1, i) for i in range(5)]
+    e = spark.createDataFrame(line, "u bigint, v bigint")
+    d = {r["node"]: r["hops"] for r in graph.bfs_hops(e, source=0, max_hops=3).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3}  # nodes beyond max_hops absent
