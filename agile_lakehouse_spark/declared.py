@@ -2775,3 +2775,55 @@ ORACLES["dq130_bfs_hops"] = (
     SELECT CAST(node AS BIGINT) AS user_id, CAST(hops AS BIGINT) AS hops
     FROM r{BFS_HOPS} ORDER BY user_id"""
 )
+
+# ---------------------------------------------------------------------------
+# Corpus split + table diff (dq131/dq132).
+
+
+def split_q(spark, sf_dir):
+    return text.train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
+def table_diff_q(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") % 17 != 5).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    right = orders.filter(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return relational.table_diff(
+        left, right, key_cols=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+
+
+SPARK_QUERIES["dq131_train_val_test_split"] = split_q
+SPARK_QUERIES["dq132_table_diff"] = table_diff_q
+
+ORACLES["dq131_train_val_test_split"] = f"""
+    SELECT lang AS stratum,
+           CASE WHEN {_h15d("CAST(doc_id AS VARCHAR)")} % 100 < 10 THEN 'test'
+                WHEN {_h15d("CAST(doc_id AS VARCHAR)")} % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY stratum, split ORDER BY stratum, split"""
+
+ORACLES["dq132_table_diff"] = """
+    WITH l AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 17 <> 5),
+    r AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 13 <> 5),
+    j AS (SELECT l.o_orderkey AS lk, r.o_orderkey AS rk,
+                 (l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+                  AND l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus) AS same
+          FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+    SELECT CASE WHEN lk IS NOT NULL AND rk IS NULL THEN 'removed'
+                WHEN lk IS NULL AND rk IS NOT NULL THEN 'added'
+                WHEN same THEN 'unchanged' ELSE 'changed' END AS class,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY 1 ORDER BY 1"""

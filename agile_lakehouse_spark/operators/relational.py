@@ -2243,3 +2243,47 @@ def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two relations sharing a key (DQ132): classify
+    every key as ``added`` (right only), ``removed`` (left only),
+    ``changed`` (both, any compare column differs NULL-safely) or
+    ``unchanged``.  The data-ops primitive behind migration validation,
+    CDC reconciliation, and snapshot comparison.
+
+    ONE full outer join on the key; comparison is ``<=>`` per column so
+    NULLs diff correctly.  At 100 TB both sides shuffle once on the key —
+    there is no cheaper exact diff — and the output is the per-class
+    count summary, never a materialized row dump.
+    """
+    lk = [F.col(f"l.{k}") for k in key_cols]
+    rk = [F.col(f"r.{k}") for k in key_cols]
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    j = left.alias("l").join(right.alias("r"), cond, "full_outer")
+    in_l = lk[0].isNotNull()
+    in_r = rk[0].isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        same = eq if same is None else same & eq
+    cls = (
+        F.when(in_l & ~in_r, F.lit("removed"))
+        .when(~in_l & in_r, F.lit("added"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(cls.alias("class"))
+        .groupBy("class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("class")
+    )

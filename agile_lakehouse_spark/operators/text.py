@@ -597,3 +597,35 @@ def corpus_mixture(
         )
         .orderBy(F.desc("n_tokens"), F.asc(source_col))
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic 3-way corpus split (DQ131): every document lands in
+    train/val/test as a pure function of its id (portable md5-fold hash
+    mod 100), so the split is stable across engines, partition layouts,
+    cluster sizes, AND reruns — the property that makes a training-data
+    split auditable.  Seeded ``randomSplit`` has none of these.
+
+    Output: per (stratum, split) counts — the table a dataset card
+    publishes.  One pass, conditional aggregation.
+    """
+    from agile_lakehouse_spark.functions import portable
+
+    h = F.expr(portable.hex15_spark(f"CAST({id_col} AS STRING)")) % 100
+    split = (
+        F.when(h < test_pct, F.lit("test"))
+        .when(h < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.select(F.col(strata_col).alias("stratum"), split.alias("split"))
+        .groupBy("stratum", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("stratum", "split")
+    )

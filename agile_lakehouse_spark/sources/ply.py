@@ -205,3 +205,73 @@ def write_ply(df: DataFrame, path: str, binary: bool = False) -> None:
         f.write(header)
         for (line,) in lines.toLocalIterator():
             f.write(line + "\n")
+
+
+def vertex_meta(path: str) -> tuple[list[tuple[str, str]], int]:
+    """(props as (name, spark_type), n_rows) of the vertex element —
+    metadata-only header read, used by the ``ply`` DataSource planner."""
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    marker = head.find(b"end_header")
+    if marker < 0:
+        raise ValueError("PLY header exceeds 64 KiB or missing end_header")
+    header_text = head[:marker].decode("ascii", "replace")
+    elements, _fmt = _parse_elements(header_text.splitlines() + ["end_header"])
+    vertex = next((e for e in elements if e[0] == "vertex"), None)
+    if vertex is None:
+        raise ValueError("no vertex element")
+    _, n_rows, ply_props = vertex
+    if any(t == "list" for _, t in ply_props):
+        raise ValueError("list properties unsupported on vertex")
+    return [(p, _PLY_TO_SPARK[t]) for p, t in ply_props], n_rows
+
+
+def read_vertex_slice(path: str, start: int, count: int) -> list[tuple]:
+    """Decode vertex rows [start, start+count) — the executor-side read
+    unit of the ``ply`` DataSource.  Binary slices seek directly
+    (fixed-width records: offset arithmetic, no scan); ascii slices skip
+    lines.  Same dependency-free decode paths as :func:`read_ply`."""
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    marker = head.find(b"end_header")
+    if marker < 0:
+        raise ValueError("PLY header exceeds 64 KiB or missing end_header")
+    header_text = head[:marker].decode("ascii", "replace")
+    elements, fmt = _parse_elements(header_text.splitlines() + ["end_header"])
+    data_start = head.index(b"\n", marker) + 1
+    vertex = next(e for e in elements if e[0] == "vertex")
+    _, n_rows, ply_props = vertex
+    props = [(p, _PLY_TO_SPARK[t]) for p, t in ply_props]
+    count = max(0, min(count, n_rows - start))
+    floats = {"float", "double"}
+
+    if fmt in ("binary_little_endian", "binary_big_endian"):
+        order = "<" if fmt == "binary_little_endian" else ">"
+        offset = 0
+        for name, ecount, eprops in elements:
+            if name == "vertex":
+                break
+            if any(t == "list" for _, t in eprops):
+                raise ValueError(f"element {name!r} with list properties precedes vertex")
+            offset += ecount * sum(np.dtype(order + _PLY_TO_NP[t]).itemsize for _, t in eprops)
+        dt = np.dtype([(p, order + _PLY_TO_NP[t]) for p, t in ply_props])
+        with open(path, "rb") as f:
+            f.seek(data_start + offset + start * dt.itemsize)
+            buf = f.read(count * dt.itemsize)
+        if len(buf) < count * dt.itemsize:
+            raise ValueError("truncated PLY payload slice")
+        rec = np.frombuffer(buf, dtype=dt, count=count)
+        return [
+            tuple(float(rec[n][i]) if t in floats else int(rec[n][i]) for n, t in props)
+            for i in range(count)
+        ]
+
+    if fmt != "ascii":
+        raise ValueError(f"unknown PLY format {fmt!r}")
+    with open(path, encoding="ascii") as f:
+        lines = f.read().splitlines()
+    body = lines[lines.index("end_header") + 1 :][start : start + count]
+    return [
+        tuple(float(v) if t in floats else int(v) for v, (_, t) in zip(line.split(), props))
+        for line in body
+    ]

@@ -113,3 +113,27 @@ def test_binary_larger_file(spark, tmp_path):
     back = ply.read_ply(spark, p)
     assert back.count() == n
     assert sorted(r.x for r in back.collect()) == sorted(r.x for r in df.collect())
+
+
+def test_ply_datasource_matches_driver_reader(spark, tmp_path):
+    """spark.read.format('ply') decodes the same rows executor-side as the
+    driver-side read_ply, across ascii AND binary, with slicing."""
+    from agile_lakehouse_spark.sources import ply
+    from agile_lakehouse_spark.sources.ply_datasource import PlyDataSource
+
+    df = spark.range(1000).selectExpr(
+        "CAST(id AS double) AS x",
+        "CAST(id * 2 AS float) AS y",
+        "CAST(id % 128 AS int) AS c",
+    )
+    for binary in (False, True):
+        path = str(tmp_path / f"pts_{binary}.ply")
+        ply.write_ply(df, path, binary=binary)
+        spark.dataSource.register(PlyDataSource)
+        back = (
+            spark.read.format("ply").option("slice_rows", 300).load(path)
+        )
+        assert back.rdd.getNumPartitions() >= 3  # slicing engaged
+        direct = ply.read_ply(spark, path)
+        assert sorted(back.collect()) == sorted(direct.collect())
+        assert back.count() == 1000
