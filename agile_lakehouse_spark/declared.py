@@ -2827,3 +2827,19 @@ ORACLES["dq132_table_diff"] = """
                 WHEN same THEN 'unchanged' ELSE 'changed' END AS class,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM j GROUP BY 1 ORDER BY 1"""
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 history build (dq133).
+
+SPARK_QUERIES["dq133_scd2_history"] = relational.scd2_history
+ORACLES["dq133_scd2_history"] = """
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           event_id,
+           (floor(value * 10000.0 + 0.5) / 10000.0) AS attr_value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+           CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS valid_to,
+           (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ORDER BY user_id, version"""

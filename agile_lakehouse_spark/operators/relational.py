@@ -2287,3 +2287,38 @@ def table_diff(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .orderBy("class")
     )
+
+
+def scd2_history(spark: SparkSession, sf_dir: str, max_user: int = 20) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build (DQ133): turn a changelog
+    into validity intervals — each change opens a version at its own
+    timestamp and closes at the NEXT change (open-ended for the current
+    version).  ``lead()`` over one (key, time) window sort; the warehouse
+    op behind every dimension table with history.
+
+    Epochs emitted as integer microseconds (exact; Spark ``unix_micros``
+    ≙ DuckDB ``epoch_us``); event_id tie-breaks equal timestamps so
+    versions are total-ordered under any shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < max_user)
+    ms = F.expr("unix_micros(ts)").cast("bigint")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("attr_value"),
+            ms.alias("valid_from"),
+        )
+        .withColumn("version", F.row_number().over(Window.partitionBy("user_id").orderBy("valid_from", "event_id")).cast("bigint"))
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+            ),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select("user_id", "version", "event_id", round4(F.col("attr_value")).alias("attr_value"), "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "version")
+    )
