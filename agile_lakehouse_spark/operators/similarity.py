@@ -300,16 +300,18 @@ def pq_codebook(
     ]
 
 
-def _sq_dist_to_codeword(vec_col: str, offset: int, cent: list[float]):
+def _sq_dist_sql(vec_col: str, offset: int, cent: list[float]) -> str:
     """Σ_j (CAST(vec[offset+j] AS DOUBLE) - c_j)² as a LEFT-ASSOCIATIVE
-    add chain — the oracle spells the identical chain, so the IEEE result
-    is bit-for-bit equal and argmin ties resolve identically."""
-    expr = None
+    add chain of SQL text — the oracle spells the identical chain, so the
+    IEEE result is bit-for-bit equal and argmin ties resolve identically.
+    (SQL text, not Column objects: a 4096-node Column tree costs ~11 s of
+    py4j round-trips to BUILD; one expr() string parses in milliseconds.)
+    """
+    terms = []
     for j, c in enumerate(cent):
-        d = F.element_at(F.col(vec_col), offset + j + 1).cast("double") - F.lit(float(c))
-        term = d * d
-        expr = term if expr is None else expr + term
-    return expr
+        d = f"(CAST(element_at({vec_col}, {offset + j + 1}) AS DOUBLE) - {float(c)!r})"
+        terms.append(f"({d} * {d})")
+    return " + ".join(terms)
 
 
 def pq_encode(
@@ -324,14 +326,22 @@ def pq_encode(
     The codebook enters the plan as LITERALS, so encoding is a pure
     projection — no join, no shuffle, trivially parallel at any scale
     (the reason PQ encode is a map stage in every production system).
+    Distance arrays materialize once per subspace in a first projection;
+    the argmin reads the array column, so each distance is computed (and
+    codegen'd) exactly once.
     """
     m = len(codebook)
     sub = len(codebook[0][0])
-    cols = [F.col(id_col)]
-    for s in range(m):
-        dists = F.array(*[_sq_dist_to_codeword(vec_col, s * sub, c) for c in codebook[s]])
-        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{s}"))
-    return df.select(*cols)
+    dist_cols = [
+        f"array({', '.join(_sq_dist_sql(vec_col, s * sub, c) for c in codebook[s])}) AS _pqd{s}"
+        for s in range(m)
+    ]
+    with_dists = df.selectExpr(id_col, *dist_cols)
+    code_cols = [
+        f"CAST(array_position(_pqd{s}, array_min(_pqd{s})) - 1 AS INT) AS code{s}"
+        for s in range(m)
+    ]
+    return with_dists.selectExpr(id_col, *code_cols)
 
 
 def pq_adc_topk(
@@ -365,12 +375,12 @@ def pq_adc_topk(
                 acc = t if acc is None else acc + t
             row.append(acc)
         lut.append(row)
-    adc = None
-    for s in range(m):
-        term = F.element_at(F.array(*[F.lit(v) for v in lut[s]]), F.col(f"code{s}") + 1)
-        adc = term if adc is None else adc + term
+    adc = " + ".join(
+        f"element_at(array({', '.join(repr(v) for v in lut[s])}), code{s} + 1)"
+        for s in range(m)
+    )
     return (
-        enc.withColumn("adc_dist", adc)
+        enc.withColumn("adc_dist", F.expr(adc))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
         .select(
