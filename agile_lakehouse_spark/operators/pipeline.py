@@ -91,7 +91,9 @@ def curate_corpus(
 
     norm = normalize_text(s0, text_col, id_col)
     keep_exact = norm.groupBy("norm_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    s1 = s0.join(keep_exact, id_col, "left_semi")
+    # s1 feeds THREE consumers (near-dup pairs, contamination grams, the
+    # survivor output) — compute the quality+dedup prefix once
+    s1 = s0.join(keep_exact, id_col, "left_semi").persist()
 
     near = dedup.minhash_near_dup(
         s1.select(id_col, text_col),
