@@ -389,3 +389,55 @@ def pq_adc_topk(
             round4(F.col("adc_dist")).alias("adc_dist"),
         )
     )
+
+
+def ivf_write_layout(
+    df: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The WRITE-TIME half of IVF: assign every vector to its cell once
+    and write ``partitionBy(cell)`` — at 100 TB this is the one-time
+    layout job; every probe afterwards reads only ``nprobe`` partition
+    directories (see :func:`ivf_topk_on_layout`).  Running assignment at
+    query time instead scans and scores the FULL table per query — at
+    1M vectors that inline path measured 12× slower than a probe on this
+    layout (scripts/scaling_ann.py)."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    (
+        df.join(assigned, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_on_layout(
+    spark,
+    path: str,
+    qvec: list[float],
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an :func:`ivf_write_layout` table: rank centroids against the
+    query (tiny), then read ONLY the ``nprobe`` matching ``cell=``
+    partition directories (Spark partition pruning on the IN-list) and
+    run the exact kernel over those candidates."""
+    q = _query_array(qvec)
+    cells = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", vector.cosine(F.col("centroid_vec"), q).alias("qcos")
+        )
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cands = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return cosine_topk(cands, qvec, k, vec_col, id_col)

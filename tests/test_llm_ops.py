@@ -489,3 +489,30 @@ def test_pq_adc_plan_is_top_k_no_shuffle(spark, sf_dir):
     assert explain.is_top_k(df)
     assert explain.num_shuffles(df) == 0
     assert not explain.uses_python_udf(df)
+
+
+def test_ivf_layout_probe_matches_inline(spark, sf_dir, tmp_path):
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = similarity.default_centroids(emb, 8)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_layout(emb, path, cents)
+    on_layout = similarity.ivf_topk_on_layout(spark, path, qv, cents, k=10, nprobe=2)
+    inline = similarity.ivf_topk(emb, qv, k=10, m=8, nprobe=2)
+    got = [(r["vec_id"], r["cos"]) for r in on_layout.collect()]
+    want = [(r["vec_id"], r["cos"]) for r in inline.collect()]
+    assert got == want
+    # probe touches only the nprobe partition directories
+    import re
+
+    probed = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    )
+    cells = {m.group(1) for r in probed if (m := re.search(r"cell=(\d+)", r[0]))}
+    assert cells and len(cells) <= 2
