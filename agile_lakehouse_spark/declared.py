@@ -2843,3 +2843,30 @@ ORACLES["dq133_scd2_history"] = """
     FROM events WHERE user_id < 20
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ORDER BY user_id, version"""
+
+# ---------------------------------------------------------------------------
+# Approx-distinct under the gate (dq134): HLL++ output is engine-specific,
+# so the DECLARED contract is the error bound — exact distinct count plus
+# a boolean "approx within 2x the advertised rsd" that the oracle asserts
+# as a constant.  A sketch regression (or rsd misconfiguration) flips the
+# boolean and fails the hash gate; tests pin tighter bounds.
+
+
+def approx_distinct_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("text", rsd=0.05).cast("double").alias("n_approx"),
+    )
+    within = (
+        F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact") <= 0.10
+    )
+    return agg.select("lang", "n_exact", within.alias("approx_ok")).orderBy("lang")
+
+
+SPARK_QUERIES["dq134_approx_distinct"] = approx_distinct_q
+ORACLES["dq134_approx_distinct"] = """
+    SELECT lang,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM documents GROUP BY lang ORDER BY lang"""
