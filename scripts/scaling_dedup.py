@@ -92,8 +92,14 @@ def run_scale(spark, n: int) -> dict:
     out["gopher_s"] = round(time.time() - t0, 2)
     out["gopher_kept"] = q
 
+    # corpus-wide duplicated-8-gram coverage: explode + doc-freq join
+    t0 = time.time()
+    cov = text.dup_ngram_coverage(docs, n=8).filter("n_dup_pos > 0").count()
+    out["dupcov_s"] = round(time.time() - t0, 2)
+    out["dupcov_docs"] = cov
+
     docs.unpersist()
-    for op in ("exact", "minhash", "simhash", "gopher"):
+    for op in ("exact", "minhash", "simhash", "gopher", "dupcov"):
         out[f"{op}_docs_per_s"] = round(n / out[f"{op}_s"], 0)
     return out
 

@@ -360,3 +360,65 @@ def test_star_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.component for r in connected_components_star(df).collect()}
     assert got == want
+
+
+def _hilbert_py(order, x, y):
+    n = 1 << order
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) else 0
+        ry = 1 if (y & s) else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-5000, 5000), st.integers(-5000, 5000)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(4, 15),
+)
+def test_hilbert_key_matches_model_random(spark, cells, order):
+    from agile_lakehouse_spark.plans.layout import hilbert_key
+
+    half = 1 << (order - 1)
+    bound = half - 1
+    cells = [(max(-half, min(bound - 1, x)), max(-half, min(bound - 1, y))) for x, y in cells]
+    df = spark.createDataFrame(cells, "cx long, cy long")
+    got = {(r.cx, r.cy): r.h for r in df.withColumn("h", hilbert_key("cx", "cy", order)).collect()}
+    for (cx, cy), h in got.items():
+        assert h == _hilbert_py(order, cx + half, cy + half)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_pq_codes_minimize_subspace_distance(spark, seed):
+    """Every PQ code is the true argmin over its subspace codebook,
+    checked against a numpy model on deterministic synthetic vectors."""
+    import numpy as np
+
+    from agile_lakehouse_spark.operators import similarity
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((30, 16)).astype("float32")
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.pq_codebook(df, m=4, ksub=8)
+    enc = {r["vec_id"]: [r[f"code{s}"] for s in range(4)] for r in similarity.pq_encode(df, cb).collect()}
+    for i in range(30):
+        for s in range(4):
+            sub = np.asarray(vecs[i][s * 4 : (s + 1) * 4], dtype="float64")
+            dists = [
+                float(((sub - np.asarray(c, dtype="float64")) ** 2).sum()) for c in cb[s]
+            ]
+            best = min(range(8), key=lambda j: (dists[j], j))
+            assert enc[i][s] == best, (i, s)
