@@ -74,9 +74,10 @@ def cmd_partition(args) -> int:
     df = _read_points(spark, args.input)
     t0 = time.time()
     if args.mode == "grid":
-        layout.write_grid_layout(df, args.output, args.delta, args.delta)
+        layout.write_grid_layout(df, args.output, args.delta, args.delta, curve=args.curve)
     elif args.mode == "grid-importance":
-        layout.write_grid_layout(df, args.output, args.delta, args.delta, importance_splits=args.splits)
+        layout.write_grid_layout(df, args.output, args.delta, args.delta,
+                                 importance_splits=args.splits, curve=args.curve)
     else:
         layout.write_quadtree_layout(df, args.output, depth=args.depth, side=args.side)
     n = spark.read.parquet(args.output).count()
@@ -133,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--splits", type=int, default=8)
     t.add_argument("--depth", type=int, default=2)
     t.add_argument("--side", type=float, default=1024.0)
+    t.add_argument("--curve", choices=["morton", "hilbert"], default="morton")
     t.set_defaults(fn=cmd_partition)
 
     b = sub.add_parser("benchmark", help="Seeded query workload (benchmark.rs shape)")
