@@ -2870,3 +2870,47 @@ ORACLES["dq134_approx_distinct"] = """
            CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
            TRUE AS approx_ok
     FROM documents GROUP BY lang ORDER BY lang"""
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (dq135): Spark 4's Datasketches surface — HLL, theta,
+# and KLL sketches built PER SOURCE, merged with *_union_agg/*_merge_agg,
+# then estimated.  Mergeability is THE scale property (per-partition
+# sketches combine associatively — one pass, no re-scan); sketch bytes are
+# engine-specific, so the declared contract is dq134's: exact anchors +
+# tolerance booleans the oracle asserts as constants.
+
+
+def sketch_merge_q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.expr("hll_sketch_agg(text)").alias("hs"),
+        F.expr("theta_sketch_agg(text)").alias("ts"),
+        F.expr("kll_sketch_agg_bigint(n_chars)").alias("ks"),
+    )
+    merged = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(hs))").alias("hll_est"),
+        F.expr("theta_sketch_estimate(theta_union_agg(ts))").alias("theta_est"),
+        F.expr("kll_sketch_get_quantile_bigint(kll_merge_agg_bigint(ks), 0.5)").alias("kll_q50"),
+    )
+    exact = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("text").cast("bigint").alias("n_distinct"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25"),
+        F.expr("percentile(n_chars, 0.75)").alias("p75"),
+    )
+    j = exact.crossJoin(merged)
+    return j.select(
+        "n_docs",
+        "n_distinct",
+        (F.abs(F.col("hll_est") - F.col("n_distinct")) / F.col("n_distinct") <= 0.10).alias("hll_ok"),
+        (F.abs(F.col("theta_est") - F.col("n_distinct")) / F.col("n_distinct") <= 0.10).alias("theta_ok"),
+        ((F.col("kll_q50") >= F.floor("p25")) & (F.col("kll_q50") <= F.ceil("p75"))).alias("kll_ok"),
+    )
+
+
+SPARK_QUERIES["dq135_sketch_merge"] = sketch_merge_q
+ORACLES["dq135_sketch_merge"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+           TRUE AS hll_ok, TRUE AS theta_ok, TRUE AS kll_ok
+    FROM documents"""
