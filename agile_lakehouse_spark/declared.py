@@ -2914,3 +2914,86 @@ ORACLES["dq135_sketch_merge"] = """
            CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
            TRUE AS hll_ok, TRUE AS theta_ok, TRUE AS kll_ok
     FROM documents"""
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set algebra (dq136) and approx_top_k partials (dq137):
+# the rest of the Spark-4 Datasketches surface under the dq134 contract.
+
+
+def theta_set_algebra_q(spark, sf_dir):
+    """Distinct-token set algebra across languages via THETA sketches —
+    the sketch family that supports intersection/difference (HLL only
+    unions).  Exact anchors: per-language distinct token counts and the
+    exact intersection size; sketch estimates checked within 15%."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.expr(portable.tokens_spark("text"))).alias("tok"))
+    per_lang = toks.filter(F.col("lang").isin("en", "de")).groupBy("lang").agg(
+        F.expr("theta_sketch_agg(tok)").alias("sk"),
+        F.countDistinct("tok").cast("bigint").alias("n_exact"),
+    )
+    est = per_lang.agg(
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))").alias("inter_est"),
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("union_est"),
+        F.sum("n_exact").alias("sum_exact"),
+    )
+    en = toks.filter(F.col("lang") == "en").select("tok").distinct()
+    de = toks.filter(F.col("lang") == "de").select("tok").distinct()
+    exact = (
+        en.join(de, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+        .crossJoin(en.union(de).distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_union")))
+    )
+    j = exact.crossJoin(est)
+    tol = lambda e, x: F.abs(F.col(e) - F.col(x)) / F.greatest(F.col(x), F.lit(1)) <= 0.15
+    return j.select(
+        "n_inter",
+        "n_union",
+        tol("inter_est", "n_inter").alias("inter_ok"),
+        tol("union_est", "n_union").alias("union_ok"),
+    )
+
+
+def approx_topk_q(spark, sf_dir):
+    """approx_top_k partial sketches per source, combined corpus-wide —
+    the distributed heavy-hitters path.  At fixture vocabulary sizes the
+    sketch is exact, so the estimated top-3 tokens EQUAL the exact top-3
+    (deterministic tie-break asserted by matching the exact list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.expr(portable.tokens_spark("text"))).alias("tok"))
+    partials = toks.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(tok, 50)").alias("acc")
+    )
+    est = partials.agg(F.expr("approx_top_k_estimate(approx_top_k_combine(acc, 50), 3)").alias("top"))
+    est_rows = est.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("tok"), F.col("e.count").cast("bigint").alias("cnt")
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(3)
+    )
+    return (
+        est_rows.alias("e")
+        .join(exact.alias("x"), (F.col("e.tok") == F.col("x.tok")) & (F.col("e.cnt") == F.col("x.cnt")))
+        .select(F.col("e.tok").alias("tok"), F.col("e.cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+    )
+
+
+SPARK_QUERIES["dq136_theta_set_algebra"] = theta_set_algebra_q
+SPARK_QUERIES["dq137_approx_topk"] = approx_topk_q
+
+_TOKS_LANG = "regexp_split_to_array(trim(text), '\\s+')"
+ORACLES["dq136_theta_set_algebra"] = f"""
+    WITH t AS (SELECT lang, unnest({_TOKS_LANG}) AS tok FROM documents WHERE lang IN ('en','de')),
+    en AS (SELECT DISTINCT tok FROM t WHERE lang = 'en'),
+    de AS (SELECT DISTINCT tok FROM t WHERE lang = 'de')
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM en JOIN de USING (tok)) AS n_inter,
+           (SELECT CAST(count(*) AS BIGINT) FROM (SELECT tok FROM en UNION SELECT tok FROM de)) AS n_union,
+           TRUE AS inter_ok, TRUE AS union_ok"""
+
+ORACLES["dq137_approx_topk"] = f"""
+    WITH t AS (SELECT unnest({_TOKS_LANG}) AS tok FROM documents)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM t GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 3"""
