@@ -184,6 +184,10 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
             "layout_quadtree",
             lambda: layout.write_quadtree_layout(pts, f"{tmp}/qt", depth=2, side=1024.0),
         )
+        run_layout(
+            "layout_grid_hilbert",
+            lambda: layout.write_grid_layout(pts, f"{tmp}/gridh", 100.0, 100.0, curve="hilbert"),
+        )
 
         # the reference benches its workload AGAINST the partitioned layout
         # (examples/partition.rs) — time the same queries over the grid
