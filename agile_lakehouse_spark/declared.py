@@ -2641,14 +2641,14 @@ def pc_hilbert_cells(spark, sf_dir):
     from agile_lakehouse_spark.plans.layout import hilbert_key
 
     g = pointcloud.grid_cells(_q(spark, sf_dir), {"x": GRID_DELTA, "y": GRID_DELTA})
+    # group to cells FIRST: the Hilbert fold is a higher-order function
+    # (interpreted, outside codegen) — evaluate it once per cell, not row
+    per_cell = g.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
     return (
-        g.withColumn("hkey", hilbert_key("cell_x", "cell_y", order=15))
-        .groupBy("hkey")
-        .agg(
-            F.min("cell_x").alias("cell_x"),
-            F.min("cell_y").alias("cell_y"),
-            F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        )
+        per_cell.withColumn("hkey", hilbert_key("cell_x", "cell_y", order=15))
+        .select("hkey", "cell_x", "cell_y", "n_points")
         .orderBy("hkey")
     )
 

@@ -132,13 +132,23 @@ def write_grid_layout(
     (default) or "hilbert" (adjacent-cell guarantee, no quadrant seams —
     see :func:`hilbert_key`).
     """
+    out = grid_cells(df, {x: delta_x, y: delta_y})
     if curve == "morton":
-        key = zorder_key("cell_x", "cell_y")
+        out = out.withColumn("zkey", zorder_key("cell_x", "cell_y"))
     elif curve == "hilbert":
-        key = hilbert_key("cell_x", "cell_y")
+        # the key depends only on the CELL: evaluate the fold once per
+        # distinct cell and broadcast-join it back — Spark higher-order
+        # functions run interpreted (outside codegen), so the per-ROW
+        # spelling costs 8× the whole layout job at sf0.1 (measured
+        # 12.0 s vs 1.5 s) and scales with points, not cells
+        cells = (
+            out.select("cell_x", "cell_y")
+            .distinct()
+            .withColumn("zkey", hilbert_key("cell_x", "cell_y"))
+        )
+        out = out.join(F.broadcast(cells), ["cell_x", "cell_y"])
     else:
         raise ValueError(f"unknown curve {curve!r} (morton | hilbert)")
-    out = grid_cells(df, {x: delta_x, y: delta_y}).withColumn("zkey", key)
     sort_keys = ["zkey"]
     if importance_splits > 1:
         out = out.withColumn(
