@@ -2997,3 +2997,25 @@ ORACLES["dq137_approx_topk"] = f"""
     WITH t AS (SELECT unnest({_TOKS_LANG}) AS tok FROM documents)
     SELECT tok, CAST(count(*) AS BIGINT) AS cnt
     FROM t GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 3"""
+
+# Second head rotation: the driver samples the first ~50 entries; pull a
+# representative slice of THIS round's families (corpus quality, PQ,
+# chained streaming, graph depth, Hilbert, curation, sketches) into
+# indices 30-39 so the sample exercises them directly.  Full-registry
+# coverage unchanged — same keys, dict order only.
+
+_ROTATE_INTO_HEAD_R3 = [
+    "dq117_gopher_quality",
+    "dq118_dup_ngram_coverage",
+    "dq119_contamination",
+    "dq122_pq_adc_topk",
+    "dq123_stream_chained_agg",
+    "dq124_curate_corpus",
+    "dq128_hilbert_cells",
+    "dq129_pagerank",
+    "dq133_scd2_history",
+    "dq135_sketch_merge",
+]
+_order_r3 = [n for n in SPARK_QUERIES if n not in _ROTATE_INTO_HEAD_R3]
+_order_r3[30:30] = _ROTATE_INTO_HEAD_R3
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _order_r3}
