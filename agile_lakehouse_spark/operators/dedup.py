@@ -445,10 +445,15 @@ def word_gram_pairs(
 ) -> DataFrame:
     """Distinct (doc, word-n-gram) pairs, exploded — the shared candidate
     unit of the decontamination operators."""
+    # CASE-guarded: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    # slice(toks, 0, n) throws — docs shorter than n tokens yield [].
+    toks = f"split(trim({text_col}), '\\\\s+')"
     grams = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {n - 1}, 0)), "
-            f"p -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), p, {n})))"
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"p -> concat_ws(' ', slice({toks}, p, {n}))) "
+            f"ELSE cast(array() as array<string>) END"
         )
     )
     return spread(df.select(F.col(id_col), grams.alias("grams"))).select(

@@ -442,10 +442,20 @@ def upsample_short_docs(
 
 
 def _token_ngrams(text_col: str, n: int) -> Column:
-    """Array of word n-grams (space-joined), one per start position."""
+    """Array of word n-grams (space-joined), one per start position.
+
+    CASE-guarded like :func:`_bigrams`: Spark's ``sequence(1, 0)`` yields a
+    DESCENDING ``[1, 0]`` (not an empty list), and ``slice(toks, 0, n)``
+    then throws INVALID_PARAMETER_VALUE.START — so any doc with fewer than
+    ``n`` tokens must short-circuit to an empty gram array (matching
+    DuckDB's ``range``, which IS empty at upper bound 0).
+    """
+    toks = _NGRAM_TOKS.format(t=text_col)
     return F.expr(
-        f"transform(sequence(1, greatest(size({_NGRAM_TOKS.format(t=text_col)}) - {n - 1}, 0)), "
-        f"p -> concat_ws(' ', slice({_NGRAM_TOKS.format(t=text_col)}, p, {n})))"
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"p -> concat_ws(' ', slice({toks}, p, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
     )
 
 

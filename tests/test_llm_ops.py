@@ -416,6 +416,54 @@ def test_contamination_report_flags_overlap(spark):
     assert out2[0]["n_train_docs"] == 0 and out2[0]["contaminated"] is False
 
 
+def test_word_ngrams_short_docs_yield_empty(spark):
+    """Docs with fewer than n whitespace tokens must produce ZERO n-grams,
+    not crash: Spark's sequence(1, 0) is a DESCENDING [1, 0] and
+    slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START — the round-3
+    code only guarded the bigram helper (regression from ADVICE r3)."""
+    rows = [
+        (1, "three token doc"),                                   # < 8 tokens
+        (2, ""),                                                  # empty
+        (3, "   "),                                               # whitespace only
+        (4, "one two three four five six seven eight nine ten"),  # >= 8 tokens
+        (5, "one two three four five six seven eight nine ten"),  # dup of 4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # dup_ngram_coverage: short docs appear with zero positions, no error
+    cov = {r["doc_id"]: r for r in text.dup_ngram_coverage(df, n=8).collect()}
+    assert cov[1]["n_pos"] == 0 and cov[1]["dup_frac"] == 0.0
+    assert cov[2]["n_pos"] == 0 and cov[3]["n_pos"] == 0
+    assert cov[4]["n_dup_pos"] > 0  # the real dup still detected
+    # contamination: short docs on BOTH sides survive and count as clean
+    test_df = spark.createDataFrame([(100, "tiny doc"), (101, "one two three four five six seven eight")], ["doc_id", "text"])
+    rep = {r["test_id"]: r for r in dedup.contamination_report(df, test_df, n=8).collect()}
+    assert rep[100]["contaminated"] is False and rep[100]["n_train_docs"] == 0
+    assert rep[101]["contaminated"] is True
+    assert dedup.contaminated_train_ids(df, test_df, n=8).count() >= 1
+
+
+def test_curate_corpus_survives_short_docs(spark):
+    """The full pipeline must not die when the corpus contains short/empty
+    docs (any real corpus does) — they are filtered, not fatal."""
+    from agile_lakehouse_spark.operators.pipeline import curate_corpus
+
+    long_text = ("the quick brown fox jumps over the lazy dog and then runs far away "
+                 "into the dark woods tonight while stars shine over the quiet valley "
+                 "and the river keeps flowing to the sea")
+    rows = [
+        (0, "tiny", "train"),          # short train doc
+        (1, "", "train"),              # empty train doc
+        (2, long_text, "train"),
+        (3, "also small", "src0"),     # SHORT TEST doc — goes to word_gram_pairs unfiltered
+        (4, long_text + " benchmark answer key", "src0"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curate_corpus(df).collect()  # must not raise
+    ids = {r["doc_id"] for r in out}
+    assert 0 not in ids and 1 not in ids  # quality-filtered, not crashed
+    assert 2 not in ids  # contaminated by test doc 4 (shares 8-grams)
+
+
 def test_corpus_mixture_shares_sum_to_one(spark):
     rows = [(i, "w " * (10 * (1 + i % 3)), f"s{i % 4}") for i in range(20)]
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
