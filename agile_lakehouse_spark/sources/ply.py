@@ -268,10 +268,17 @@ def read_vertex_slice(path: str, start: int, count: int) -> list[tuple]:
 
     if fmt != "ascii":
         raise ValueError(f"unknown PLY format {fmt!r}")
+    # stream: skip header + `start` rows with islice, never materializing
+    # the whole file — a full read().splitlines() per slice would make the
+    # DataSource O(file_size x n_slices) on ascii inputs
+    import itertools
+
     with open(path, encoding="ascii") as f:
-        lines = f.read().splitlines()
-    body = lines[lines.index("end_header") + 1 :][start : start + count]
-    return [
-        tuple(float(v) if t in floats else int(v) for v, (_, t) in zip(line.split(), props))
-        for line in body
-    ]
+        for line in f:
+            if line.strip() == "end_header":
+                break
+        body = itertools.islice(f, start, start + count)
+        return [
+            tuple(float(v) if t in floats else int(v) for v, (_, t) in zip(line.split(), props))
+            for line in body
+        ]

@@ -47,9 +47,12 @@ class PlyDataSourceReader(DataSourceReader):
 
     def _files(self) -> list[str]:
         if os.path.isdir(self.path):
-            return sorted(
+            files = sorted(
                 os.path.join(self.path, f) for f in os.listdir(self.path) if f.endswith(".ply")
             )
+            if not files:
+                raise ValueError(f"no .ply files in {self.path!r}")
+            return files
         return [self.path]
 
     def partitions(self):
@@ -85,6 +88,8 @@ class PlyDataSource(DataSource):
             raise ValueError("ply source requires a path")
         if os.path.isdir(path):
             cands = sorted(f for f in os.listdir(path) if f.endswith(".ply"))
+            if not cands:
+                raise ValueError(f"no .ply files in {path!r}")
             path = os.path.join(path, cands[0])
         props, _ = _ply.vertex_meta(path)
         # build the StructType directly: _parse_datatype_string needs an

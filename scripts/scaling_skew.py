@@ -42,8 +42,12 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     n_keys = 10_000
+    # hash-threshold hot assignment: id % int(1/hot_frac) quantizes the
+    # fraction coarsely and degenerates to 100%-hot for hot_frac > 0.5
+    # (modulus truncates to 1) — a hash draw hits the target fraction for
+    # ANY hot_frac in (0, 1)
     facts = spark.range(n).select(
-        F.when(F.col("id") % int(1 / hot_frac) == 0, F.lit(0))
+        F.when(F.pmod(F.xxhash64(F.col("id") + 7), 1000) < int(hot_frac * 1000), F.lit(0))
         .otherwise(F.pmod(F.xxhash64("id"), n_keys))
         .alias("k"),
         (F.col("id") % 1000).alias("v"),

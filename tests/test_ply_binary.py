@@ -137,3 +137,30 @@ def test_ply_datasource_matches_driver_reader(spark, tmp_path):
         direct = ply.read_ply(spark, path)
         assert sorted(back.collect()) == sorted(direct.collect())
         assert back.count() == 1000
+
+
+def test_ply_ascii_slice_streams_correct_rows(spark, tmp_path):
+    """ascii read_vertex_slice skips rows with islice (no full-file read);
+    slices tile the file exactly, including the ragged tail."""
+    df = spark.range(100).selectExpr("CAST(id AS double) AS x", "CAST(id AS float) AS y")
+    path = str(tmp_path / "a.ply")
+    ply.write_ply(df, path)
+    got = []
+    for start in range(0, 100, 33):
+        got += ply.read_vertex_slice(path, start, 33)
+    assert len(got) == 100
+    assert sorted(r[0] for r in got) == [float(i) for i in range(100)]
+    # out-of-range slice is empty, not an error
+    assert ply.read_vertex_slice(path, 100, 33) == []
+
+
+def test_ply_datasource_empty_dir_raises_clear_error(spark, tmp_path):
+    from agile_lakehouse_spark.sources.ply_datasource import PlyDataSource, PlyDataSourceReader
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .ply files"):
+        PlyDataSourceReader({"path": str(empty)})._files()
+    ds = PlyDataSource(options={"path": str(empty)})
+    with pytest.raises(ValueError, match="no .ply files"):
+        ds.schema()
