@@ -3019,3 +3019,39 @@ _ROTATE_INTO_HEAD_R3 = [
 _order_r3 = [n for n in SPARK_QUERIES if n not in _ROTATE_INTO_HEAD_R3]
 _order_r3[30:30] = _ROTATE_INTO_HEAD_R3
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _order_r3}
+
+# Third head rotation (round 4): the driver samples the first ~50 entries.
+# Keep the dq01-dq24 anchors + one representative per dedup/ANN/text
+# family, and pull families the sample has NEVER directly covered into
+# the head: spatial/interval joins (dq34/dq39), four streaming paths
+# (dq54-57), registration (dq115/116), partition transforms (dq127), BFS/
+# split/diff (dq130-132), the sketch contracts (dq134/136/137), ANN
+# recall + kNN join, VARIANT, point-in-polygon, corpus mixture, and the
+# multimodal rows-only entry.  Full-registry coverage unchanged — same
+# keys, dict order only.
+
+_HEAD_R4 = [
+    "dq01_pc_scan_count", "dq02_pc_range", "dq03_pc_bounds", "dq04_pc_mean",
+    "dq05_pc_rect_count", "dq06_pc_circle", "dq07_pc_sample", "dq08_pc_knn",
+    "dq24_pc_grid_cells", "dq24b_pc_quadtree_cells",
+    "dq09_groupby_agg", "dq10_join_broadcast", "dq11_multiway_join",
+    "dq12a_join_semi", "dq12b_join_anti", "dq13_distinct", "dq14_set_ops",
+    "dq15_window_rank", "dq16_window_running", "dq17_date_functions",
+    "dq18_string_functions", "dq19a_rollup", "dq19b_cube",
+    "dq19c_grouping_sets", "dq20_time_bucket", "dq20b_session_islands",
+    "dq21_dedup_exact", "dq22_ann_topk", "dq23_text_stats",
+    "dq25_multimodal_features",
+    "dq34_spatial_join", "dq39_interval_join",
+    "dq54_stream_time_bucket", "dq55_stream_dedup",
+    "dq56_stream_static_join", "dq57_stream_interval_join",
+    "dq61_ann_recall", "dq62_knn_join",
+    "dq115_transform_points", "dq116_hausdorff",
+    "dq120_corpus_mixture", "dq121_variant_extract",
+    "dq126_point_in_polygon", "dq127_partition_transforms",
+    "dq130_bfs_hops", "dq131_train_val_test_split", "dq132_table_diff",
+    "dq134_approx_distinct", "dq136_theta_set_algebra", "dq137_approx_topk",
+]
+_head_r4_set = set(_HEAD_R4)
+assert _head_r4_set <= set(SPARK_QUERIES), sorted(_head_r4_set - set(SPARK_QUERIES))
+_order_r4 = _HEAD_R4 + [n for n in SPARK_QUERIES if n not in _head_r4_set]
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _order_r4}

@@ -260,18 +260,25 @@ def main() -> None:
     layout_jobs(spark, sf_dir, timings, stats)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stats": stats,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "stats": stats,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # ALSO write the JSON to a file: the driver captures a bounded stdout
+    # tail, and at 60+ entries the one-line summary can overflow it
+    # (BENCH_r03.json recorded "parsed": null for exactly this reason)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # stdout line below is still the contract
+    print(line)
     spark.stop()
 
 
