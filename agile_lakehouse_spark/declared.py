@@ -511,9 +511,16 @@ def dedup_clusters_q(spark, sf_dir):
 
 
 def multimodal_features(spark, sf_dir):
+    """REAL image decode under the oracle gate (upgraded from rows-only in
+    round 4): per doc, synthesize an 8x8 24-bit BMP whose flat RGB byte j
+    is ``(doc_id*31 + j*7) % 256`` (``multimodal.synthesize_bmp_media``),
+    then DECODE it with the dependency-free BMP parser and emit exact
+    integer channel sums.  The oracle replays the generation arithmetic
+    directly — so a single byte misplaced by the encode/decode pair
+    (BGR order, bottom-up rows, 4-byte row padding) fails the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.as_media_table(docs, "doc_id", F.encode(F.col("text"), "utf-8"))
-    return multimodal.extract_features(media).orderBy("media_id")
+    media = multimodal.synthesize_bmp_media(docs, "doc_id")
+    return multimodal.image_stats(media).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3055,3 +3062,79 @@ _head_r4_set = set(_HEAD_R4)
 assert _head_r4_set <= set(SPARK_QUERIES), sorted(_head_r4_set - set(SPARK_QUERIES))
 _order_r4 = _HEAD_R4 + [n for n in SPARK_QUERIES if n not in _head_r4_set]
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _order_r4}
+
+# ---------------------------------------------------------------------------
+# round 4: real media codecs under the oracle gate (BMP done in dq25 above;
+# WAV/PCM here).  The synthesize->encode->decode->aggregate chain means the
+# oracle — which replays only the generation arithmetic — verifies the
+# container round-trip byte-for-byte: any codec bug (chunk walk, sample
+# width, endianness, word alignment) shifts the integer sums and fails.
+
+
+def wav_decode_stats_q(spark, sf_dir):
+    """REAL RIFF/PCM-16 decode: 256 int16 samples per doc generated as
+    ((doc_id*1103515245 + i*12345) % 65536) - 32768, containerized as WAV,
+    decoded by the dependency-free RIFF parser, reduced to exact integer
+    energy / peak."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_wav_media(docs, "doc_id")
+    return multimodal.audio_stats(media).orderBy("media_id")
+
+
+def wav_frame_energy_q(spark, sf_dir):
+    """1 -> N frame expansion over REAL decoded audio: 64-sample frames,
+    32-sample hop (50% overlap), exact integer energy per frame — the
+    STFT windowing shape with the decode step real."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_wav_media(docs, "doc_id")
+    return (
+        multimodal.audio_frame_energy(media, frame_bytes=64, hop_bytes=32, codec="wav")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+SPARK_QUERIES["dq138_wav_decode"] = wav_decode_stats_q
+SPARK_QUERIES["dq139_wav_frames"] = wav_frame_energy_q
+
+# dq25 oracle (upgraded from rows-only): replay the 8x8 BMP pixel rule —
+# flat RGB byte j of doc_id's image is (doc_id*31 + j*7) % 256, so channel
+# c of pixel p is j = p*3 + c
+ORACLES["dq25_multimodal_features"] = """
+    SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 0)*7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 1)*7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 2)*7) % 256) AS BIGINT) AS sum_b
+    FROM documents d CROSS JOIN range(64) p(j)
+    GROUP BY d.doc_id ORDER BY media_id"""
+
+ORACLES["dq138_wav_decode"] = """
+    WITH s AS (
+        SELECT d.doc_id,
+               ((d.doc_id*1103515245 + i.i*12345) % 65536) - 32768 AS v
+        FROM documents d CROSS JOIN range(256) i(i)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(256 AS BIGINT) AS n_samples,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(SUM(v*v) AS BIGINT) AS energy,
+           CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+    FROM s GROUP BY doc_id ORDER BY media_id"""
+
+# frames: k in [0, ceil(256/32)) = [0, 8); frame k covers sample indices
+# [k*32, min(k*32+64, 256)) — the last frame shrinks (tail rule)
+ORACLES["dq139_wav_frames"] = """
+    WITH s AS (
+        SELECT d.doc_id, i.i,
+               ((d.doc_id*1103515245 + i.i*12345) % 65536) - 32768 AS v
+        FROM documents d CROSS JOIN range(256) i(i)
+    )
+    SELECT CAST(s.doc_id AS BIGINT) AS media_id,
+           CAST(k.k AS BIGINT) AS frame_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s.v*s.v) AS BIGINT) AS energy
+    FROM s JOIN range(8) k(k)
+      ON s.i >= k.k*32 AND s.i < k.k*32 + 64
+    GROUP BY s.doc_id, k.k ORDER BY media_id, frame_idx"""

@@ -2,14 +2,16 @@
 
 Media are opaque ``binary`` columns with typed metadata (modality, mime,
 width/height/duration), processed by Arrow-batched ``mapInPandas`` stages —
-the one place Python is the right tool, because codecs are C libraries with
-Python bindings, not SQL expressions.
+the one place Python is the right tool, because codecs are byte-layout
+parsers and C libraries with Python bindings, not SQL expressions.
 
-The decode step itself is STUBBED (no image/audio libs in this container,
-per the build brief): :func:`decode_stub` raises ``NotImplementedError``
-when a real codec is requested, and :func:`extract_features` uses a
-deterministic byte-level fake so the Spark-side plumbing — schema, batch
-iteration, UDF signature, partition shape — is real and tested.
+REAL decode paths (``functions/codecs.py``, dependency-free): 24-bit BMP
+and binary PPM images (:func:`image_stats`, ``resize_images(codec="bmp")``)
+and RIFF/WAVE 16-bit PCM audio (:func:`audio_stats`,
+``audio_frame_energy(codec="wav")``).  Compressed formats (PNG/JPEG/MP3/
+H.264) stay behind :func:`decode_stub` — their codecs are C libraries
+absent from this container — and :func:`extract_features` keeps the
+byte-level generic path for arbitrary payloads.
 
 Scale notes: media bytes dominate row size, so ``mapInPandas`` batches are
 capped by ``spark.sql.execution.arrow.maxRecordsPerBatch``; repartition by a
@@ -21,17 +23,21 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+from agile_lakehouse_spark.functions import codecs
 
 MEDIA_SCHEMA = StructType(
     [
@@ -54,9 +60,12 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_stub(payload: bytes, modality: str):
-    """Real codec hook — not available in this environment."""
+    """Codec hook for formats whose decoders are NOT in this environment
+    (PNG/JPEG/MP3/H.264 ... — C libraries).  BMP/PPM images and PCM WAV
+    audio decode for real via ``functions/codecs.py``."""
     raise NotImplementedError(
-        f"no {modality} codec in this container; wire Pillow/librosa/pyav here"
+        f"no compressed-{modality} codec in this container; wire Pillow/librosa/pyav "
+        "here (BMP/PPM/WAV decode natively via agile_lakehouse_spark.functions.codecs)"
     )
 
 
@@ -98,6 +107,161 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+# --- real-codec paths (BMP/PPM images, PCM WAV audio) ----------------------
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_pixels", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("energy", LongType(), False),  # exact Σ s², int64
+        StructField("max_abs", LongType(), False),
+    ]
+)
+
+
+def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8) -> DataFrame:
+    """Media table with REAL 24-bit BMP payloads whose pixel bytes are a
+    deterministic function of the row id: flat RGB byte j of image ``id``
+    is ``(id * 31 + j * 7) % 256``.
+
+    The generation rule is pure integer arithmetic so a SQL oracle can
+    recompute any decoded aggregate without ever seeing the container —
+    which is exactly what makes encode -> decode verifiable end-to-end
+    (dq25): a single byte misplaced by the codec (row padding, BGR order,
+    bottom-up rows) changes the channel sums and fails the hash gate.
+    """
+    n = width * height * 3
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "mime": "image/bmp",
+                    "payload": [
+                        codecs.encode_bmp(
+                            ((int(i) * 31 + j * 7) % 256).astype(np.uint8).reshape(height, width, 3)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, sample_rate: int = 16_000) -> DataFrame:
+    """Media table with REAL PCM-16 WAV payloads: sample i of row ``id``
+    is ``((id * 1103515245 + i * 12345) % 65536) - 32768`` — full int16
+    range, oracle-replayable (see :func:`synthesize_bmp_media`)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "audio",
+                    "mime": "audio/wav",
+                    "payload": [
+                        codecs.encode_wav(
+                            (((int(m) * 1103515245 + i * 12345) % 65536) - 32768).astype(np.int16),
+                            sample_rate,
+                        )
+                        for m in ids
+                    ],
+                }
+            )
+
+    base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode (BMP or PPM, magic-sniffed) -> per-image exact
+    integer channel sums.  All values are integers, so the output is
+    bit-stable under any partitioning and hashable by the oracle gate."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nps, rs, gs, bs = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = codecs.decode_image(bytes(payload))
+                h, w, _ = arr.shape
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                nps.append(h * w)
+                rs.append(int(sums[0]))
+                gs.append(int(sums[1]))
+                bs.append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(nps, dtype="int64"),
+                    "sum_r": pd.Series(rs, dtype="int64"),
+                    "sum_g": pd.Series(gs, dtype="int64"),
+                    "sum_b": pd.Series(bs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode -> per-clip exact integer sample statistics:
+    count, rate, energy (Σ s², int64 — 256k 16-bit samples max out far
+    below overflow), peak magnitude."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rates, energies, peaks = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                samples, rate = codecs.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                ids.append(mid)
+                ns.append(len(s))
+                rates.append(rate)
+                energies.append(int((s * s).sum()))
+                peaks.append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "max_abs": pd.Series(peaks, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -116,31 +280,45 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, codec: str | None = None
+) -> DataFrame:
     """Image resize stage (1 row in -> 1 row out), Arrow-batched.
 
-    The codec body is a STUB (deterministic byte subsampling stands in for
-    Pillow's ``Image.resize``); the Spark plumbing — binary in/out schema,
-    batch iteration, target-dims parameterization — is the real shape a
-    production resize runs in.  Swap the body via :func:`decode_stub`.
+    ``codec="bmp"`` is the REAL path: decode (BMP/PPM, magic-sniffed) ->
+    nearest-neighbor resample (deterministic integer source indices
+    ``src = dst * in_dim // out_dim`` — no float filtering, so output
+    pixels are exact copies of input pixels) -> re-encode BMP.  The
+    default (``codec=None``) keeps the byte-subsampling stub for opaque
+    payloads whose real decoder isn't in this container.
     """
     n_out = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            def real_resize(b):
+                if b is None or len(b) == 0:
+                    return b
+                arr = codecs.decode_image(bytes(b))
+                in_h, in_w, _ = arr.shape
+                rows = (np.arange(height, dtype=np.int64) * in_h) // height
+                cols = (np.arange(width, dtype=np.int64) * in_w) // width
+                return codecs.encode_bmp(arr[rows][:, cols])
+
             def fake_resize(b):
                 if b is None or len(b) == 0:
                     return b
-                # deterministic subsample to n_out bytes (STUB for decode->resize->encode)
+                # deterministic subsample to n_out bytes (stand-in for opaque formats)
                 step = max(len(b) // n_out, 1)
                 return bytes(b[::step][:n_out])
 
+            fn = real_resize if codec == "bmp" else fake_resize
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": pdf["payload"].map(fake_resize),
+                    "payload": pdf["payload"].map(fn),
                 }
             )
 
@@ -181,17 +359,24 @@ AUDIO_FRAME_SCHEMA = StructType(
 )
 
 
-def audio_frame_energy(media: DataFrame, frame_bytes: int = 128, hop_bytes: int = 64) -> DataFrame:
+def audio_frame_energy(
+    media: DataFrame,
+    frame_bytes: int = 128,
+    hop_bytes: int = 64,
+    codec: str | None = None,
+) -> DataFrame:
     """Audio frame analysis (1 row in -> N overlapping frames out) — the
     STFT windowing shape: frame width ``frame_bytes`` advancing by
     ``hop_bytes`` (50% overlap at the defaults), one output row per frame
     with its exact integer energy (sum of squared samples).
 
-    STUB codec: payload bytes stand in for 8-bit PCM samples (a real
-    pipeline decodes via librosa/soundfile in :func:`decode_stub` first);
-    energy stays an INTEGER so results are bit-stable regardless of
-    partitioning or batch boundaries.  Frames never cross payload rows,
-    so the stage parallelizes per media row with no shuffle.
+    ``codec="wav"`` is the REAL path: RIFF/PCM-16 decode first, then the
+    same windowing over int16 SAMPLES (``frame_bytes``/``hop_bytes`` are
+    then counted in samples).  Default treats raw payload bytes as 8-bit
+    PCM (zero-centered) for opaque formats.  Energy stays an INTEGER so
+    results are bit-stable regardless of partitioning or batch
+    boundaries; frames never cross payload rows, so the stage
+    parallelizes per media row with no shuffle.
     """
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,18 +385,25 @@ def audio_frame_energy(media: DataFrame, frame_bytes: int = 128, hop_bytes: int 
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 if b is None or len(b) == 0:
                     continue
-                # one frame per hop start inside the payload — tail windows
-                # shrink rather than drop, so every byte lands in a frame
-                n_frames = (len(b) + hop_bytes - 1) // hop_bytes
+                if codec == "wav":
+                    samples, _ = codecs.decode_wav(bytes(b))
+                    vals = samples.astype(np.int64)
+                else:
+                    # zero-centered 8-bit interpretation of raw bytes
+                    vals = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64) - 128
+                if len(vals) == 0:
+                    continue
+                # one frame per hop start — tail windows shrink rather
+                # than drop, so every sample lands in a frame
+                n_frames = (len(vals) + hop_bytes - 1) // hop_bytes
                 for k in range(n_frames):
-                    chunk = b[k * hop_bytes : k * hop_bytes + frame_bytes]
-                    if not chunk:
+                    chunk = vals[k * hop_bytes : k * hop_bytes + frame_bytes]
+                    if len(chunk) == 0:
                         break
                     ids.append(mid)
                     idxs.append(k)
                     ns.append(len(chunk))
-                    # center 8-bit samples at zero before squaring
-                    energies.append(sum((s - 128) * (s - 128) for s in chunk))
+                    energies.append(int((chunk * chunk).sum()))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "n_samples": ns, "energy": energies}
             )
