@@ -21,6 +21,8 @@ Skewed buckets (boilerplate shingles) are AQE-skew-split.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,8 +33,21 @@ DEFAULT_NUM_PERMS = 12
 DEFAULT_BANDS = 4
 DEFAULT_ROWS_PER_BAND = 3
 
+# analyzed-plan nodes that imply the input went through a shuffle (and is
+# therefore spark.sql.shuffle.partitions wide); anchored to the tree-drawing
+# prefix so column names can't false-positive
+_SHUFFLE_NODE = re.compile(
+    r"^[\s:+\-]*(Join|Aggregate|Sort|Repartition|RebalancePartitions|Window|"
+    r"Deduplicate|Intersect|Except|Distinct)\b",
+    re.M,
+)
 
-def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+
+def spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    known_partitions: int | None = None,
+) -> DataFrame:
     """Rebalance a narrow input before an explode-heavy pipeline.
 
     Shingle/token explosion amplifies rows ~100-300x WITHOUT a shuffle, so
@@ -40,9 +55,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     would run the whole hash pipeline on a few cores.  Shuffling the
     pre-explode rows (the cheap representation) buys full parallelism for
     the expensive stage.  No-op when the input is already wide enough.
+
+    The width check stays conditional on purpose — an unconditional
+    ``repartition`` would re-shuffle an already-balanced corpus, which at
+    100 TB costs far more than it saves.  But the check itself must not
+    cost physical planning: ``df.rdd.getNumPartitions()`` (round 1-3)
+    plans + compiles a row deserializer per fresh DataFrame — measured
+    ~0.25 s per call, paid repeatedly in composed pipelines.  The width
+    now comes from the ANALYZED plan only (cached by Spark, no physical
+    planning): a plan containing a shuffle-inducing node is
+    ``spark.sql.shuffle.partitions`` wide; a pure scan is as wide as its
+    file count (file splitting only ever increases that).  Callers who
+    know the width pass ``known_partitions`` and skip even that.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    sess = df.sparkSession
+    target = min_partitions or sess.sparkContext.defaultParallelism
+    current = known_partitions
+    if current is None:
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+            if _SHUFFLE_NODE.search(plan):
+                current = int(sess.conf.get("spark.sql.shuffle.partitions"))
+            else:
+                current = len(df.inputFiles())  # 0 for local relations -> spread
+        except Exception:  # noqa: BLE001 — private-API guard: public fallback
+            current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
     return df.repartition(target)
 
