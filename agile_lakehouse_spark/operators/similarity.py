@@ -300,6 +300,119 @@ def pq_codebook(
     ]
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd training of a PQ codebook (Jégou et al. 2011 §II):
+    init = the deterministic hash-draw (:func:`pq_codebook`, the oracle
+    twin), then ``iters`` rounds of assign -> per-(subspace, code,
+    coordinate) mean.
+
+    Each round is ONE distributed pass in the ``kmeans_train`` shape:
+    the current codebook enters the plan as literals, :func:`pq_encode`
+    assigns every row's m codes in a single projection (codegen-safe),
+    and the update is one union-of-subspaces ``posexplode`` aggregate —
+    only m x ksub x (D/m) = D x ksub aggregated doubles return to the
+    driver per round.  Codes that lose all members keep their previous
+    codeword.  At 100 TB: train on a hash-sampled subset (the dq36
+    portable Bernoulli filter), then encode the full corpus once.
+    """
+    spark = df.sparkSession
+    codebook = pq_codebook(df, m, ksub, vec_col, id_col)
+    sub = len(codebook[0][0])
+    vecs = df.select(id_col, vec_col)
+    for _ in range(iters):
+        enc = pq_encode(vecs, codebook, vec_col, id_col).join(vecs, id_col)
+        per_sub = [
+            enc.selectExpr(
+                f"{s} AS s",
+                f"code{s} AS code",
+                f"posexplode(slice({vec_col}, {s * sub + 1}, {sub})) AS (pos, val)",
+            )
+            for s in range(m)
+        ]
+        stacked = per_sub[0]
+        for p in per_sub[1:]:
+            stacked = stacked.unionAll(p)
+        means = (
+            stacked.groupBy("s", "code", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mval"))
+            .collect()
+        )
+        new_cb: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            new_cb.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mval"]
+        for (s, code), coords in new_cb.items():
+            codebook[s][code] = [coords[p] for p in range(sub)]
+    return codebook
+
+
+def pq_quantization_error(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean squared quantization error of a codebook over the corpus —
+    Σ_s min_code ||subvec_s - codeword||² averaged over rows, in ONE
+    projection + aggregate (the per-subspace distance arrays are the same
+    expressions :func:`pq_encode` builds; the min replaces the argmin).
+    This is the objective Lloyd training monotonically decreases — the
+    trainable-vs-oracle-twin contract dq140 pins."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    dist_cols = []
+    for s in range(m):
+        cb = f"array({', '.join(_array_lit_sql(c) for c in codebook[s])})"
+        sliced = f"slice({vec_col}, {s * sub + 1}, {sub})"
+        dist_cols.append(
+            f"array_min(transform({cb}, cw -> aggregate("
+            f"zip_with({sliced}, cw, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)))"
+        )
+        # noqa: the per-subspace min is the row's quantization error share
+    total = " + ".join(dist_cols)
+    row = df.selectExpr(f"{total} AS qerr").agg(F.avg("qerr").alias("mse")).collect()[0]
+    return float(row["mse"])
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    qvec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of PQ-ADC top-k vs exact L2 top-k — the dq61 pattern:
+    approximation quality measured IN the engine as a join of the two
+    top-k id sets.  Returns one row (n_exact, n_overlap, recall)."""
+    from agile_lakehouse_spark.functions.portable import round4 as _r4
+
+    q = [float(v) for v in qvec]
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.array(*[F.lit(v) for v in q]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = df.select(id_col, d2.alias("_d")).orderBy("_d", id_col).limit(k).select(id_col)
+    approx = pq_adc_topk(df, codebook, q, k, vec_col, id_col).select(id_col)
+    return exact.join(approx, id_col).agg(
+        F.lit(k).cast("bigint").alias("n_exact"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        _r4(F.count(F.lit(1)) / F.lit(float(k))).alias("recall"),
+    )
+
+
 def _array_lit_sql(vals: list[float]) -> str:
     """Literal array<double> as SQL text (constant-folded by Catalyst)."""
     return f"array({', '.join(repr(float(v)) for v in vals)})"

@@ -507,6 +507,35 @@ def test_pq_encode_and_adc(spark, sf_dir):
     assert 0 in got and len(exact & got) >= 1
 
 
+def test_pq_train_reduces_quantization_error(spark, sf_dir):
+    """Lloyd's guarantee: every training round monotonically decreases
+    corpus quantization MSE from the hash-draw init (the oracle twin)."""
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = similarity.pq_codebook(emb)
+    e0 = similarity.pq_quantization_error(emb, init)
+    cb1 = similarity.pq_train(emb, iters=1)
+    e1 = similarity.pq_quantization_error(emb, cb1)
+    cb2 = similarity.pq_train(emb, iters=2)
+    e2 = similarity.pq_quantization_error(emb, cb2)
+    assert e1 < e0 and e2 <= e1
+    # trained codebook keeps the PQ shape and encodes every row
+    assert len(cb2) == 4 and len(cb2[0]) == 16 and len(cb2[0][0]) == 16
+    assert similarity.pq_encode(emb, cb2).count() == emb.count()
+
+
+def test_pq_recall_at_k_contract(spark, sf_dir):
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    r = similarity.pq_recall_at_k(emb, cb, qv, k=10).collect()[0]
+    assert r["n_exact"] == 10 and 0 <= r["n_overlap"] <= 10
+    assert abs(r["recall"] - r["n_overlap"] / 10.0) < 1e-9
+
+
 def test_curate_corpus_stages_filter(spark, sf_dir):
     from agile_lakehouse_spark.operators.pipeline import curate_corpus
     from agile_lakehouse_spark.sources.catalog import load_table
