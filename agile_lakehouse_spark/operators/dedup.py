@@ -350,14 +350,148 @@ def simhash(df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str =
     return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
+def auto_simhash_bits(
+    n_docs: int, chunks: int = 4, target_occupancy: float = 2.0, min_chunk_bits: int = 8
+) -> int:
+    """Signature width from a cheap corpus count (round-4 verdict item 4).
+
+    Pigeonhole blocking joins per-chunk buckets; with ``w = bits/chunks``
+    bit chunks there are ``2^w`` buckets, and the join's candidate volume
+    grows with (distinct signatures / 2^w)² per bucket.  The saturation
+    the ladder measured (32-bit fine at 20 k docs, dead at 500 k) is
+    exactly this occupancy crossing 1 — so derive ``w`` from the count:
+    ``w = ceil(log2(n / target_occupancy))``, floored at ``min_chunk_bits``.
+    Deterministic: the same corpus size always picks the same width, so
+    auto mode stays oracle-stable at any fixed fixture.
+    """
+    import math
+
+    w = max(min_chunk_bits, math.ceil(math.log2(max(n_docs, 2) / target_occupancy)))
+    return w * chunks
+
+
+def _simhash_chunk_words(
+    df: DataFrame, chunks: int, chunk_bits: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Wide SimHash as ``chunks`` independent words -> (id, sims ARRAY<BIGINT>).
+
+    Beyond 60 bits a single fold can't carry the signature (the portable
+    hash yields 60 bits), so each chunk becomes its OWN ``chunk_bits``-wide
+    simhash from a per-chunk SALTED token hash — the concatenation is a
+    valid simhash of ``chunks * chunk_bits`` bits whose chunk extraction
+    is just ``element_at``.  Same occurrences->distinct-pairs collapse and
+    global token dictionary as :func:`simhash`.
+    """
+    pairs = (
+        spread(df)
+        .select(F.col(id_col), F.explode(F.expr(portable.tokens_spark(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    hash_cols = [
+        F.expr(portable.hexfold_spark(f"md5(concat(tok, '#w{c}'))")).alias(f"h{c}")
+        for c in range(chunks)
+    ]
+    dic = pairs.select("tok").distinct().select("tok", *hash_cols)
+    toks = pairs.join(dic, "tok")
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"h{c}"), kk).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s{c}_{kk}")
+        for c in range(chunks)
+        for kk in range(chunk_bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    words = [
+        sum(
+            F.when(F.col(f"s{c}_{kk}") > 0, F.lit(2**kk)).otherwise(F.lit(0))
+            for kk in range(chunk_bits)
+        ).cast("bigint")
+        for c in range(chunks)
+    ]
+    return agg.select(F.col(id_col), F.array(*words).alias("sims"))
+
+
+def _simhash_wide_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    chunks: int,
+    chunk_bits: int,
+    text_col: str,
+    id_col: str,
+    persist_sigs: bool,
+) -> DataFrame:
+    """Pigeonhole blocking over array-of-words signatures (bits > 60 path);
+    same distinct-signature discipline and output as the narrow path."""
+    sims = _simhash_chunk_words(df, chunks, chunk_bits, text_col, id_col)
+    if persist_sigs:
+        sims = sims.persist()
+    hashes = sims.select("sims").distinct()
+    blocked = hashes.select(
+        "sims",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), F.element_at("sims", c + 1).alias("val"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("sims", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+    ha, hb = blocked.alias("ha"), blocked.alias("hb")
+    hamming = sum(
+        F.bit_count(F.element_at("sh_a", c + 1).bitwiseXOR(F.element_at("sh_b", c + 1)))
+        for c in range(chunks)
+    )
+    hash_pairs = (
+        ha.join(
+            hb,
+            (F.col("ha.chunk") == F.col("hb.chunk"))
+            & (F.col("ha.val") == F.col("hb.val"))
+            & (F.col("ha.sims") < F.col("hb.sims")),
+        )
+        .select(F.col("ha.sims").alias("sh_a"), F.col("hb.sims").alias("sh_b"))
+        .distinct()
+        .withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    sa = sims.select(F.col(id_col).alias("id_x"), F.col("sims").alias("sh_a"))
+    sb = sims.select(F.col(id_col).alias("id_y"), F.col("sims").alias("sh_b"))
+    cross_group = (
+        hash_pairs.join(sa, "sh_a")
+        .join(sb, "sh_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    ga = sims.select(F.col(id_col).alias("id_a"), "sims")
+    gb = sims.select(F.col(id_col).alias("id_b"), "sims")
+    within_group = (
+        ga.join(gb, "sims")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+    return (
+        cross_group.unionByName(within_group)
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int | str = 32,
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_sigs: bool = True,
+    target_occupancy: float = 2.0,
 ) -> DataFrame:
     """SimHash near-dup pairs with pigeonhole blocking — exact, not all-pairs.
 
@@ -365,12 +499,28 @@ def simhash_near_dup(
     equal bit-chunks, so candidates come from per-chunk bucket joins; the
     hamming check then verifies.  (``max_hamming`` must be < ``chunks``.)
 
+    ``bits="auto"`` sizes the signature from one cheap ``count()`` via
+    :func:`auto_simhash_bits` — the knob the round-3 ladder showed must
+    track corpus size (32-bit saturates at ~100 k docs) no longer needs
+    hand-tuning.  Signatures wider than 60 bits switch to the chunk-word
+    representation (:func:`_simhash_chunk_words`); ``bits <= 60`` keeps
+    the single-BIGINT path bit-for-bit identical to round 3 (dq21c's
+    oracle depends on it).
+
     ``persist_sigs``: the simhash table feeds both sides of the chunk-bucket
-    self-join; persisting computes the token-explode+32-bit-sum aggregation
+    self-join; persisting computes the token-explode+bit-sum aggregation
     once instead of twice (compute-once signatures, as at scale).
     """
     if max_hamming >= chunks:
         raise ValueError("pigeonhole blocking needs max_hamming < chunks")
+    if bits == "auto":
+        bits = auto_simhash_bits(df.count(), chunks, target_occupancy)
+    if bits % chunks:
+        raise ValueError(f"bits={bits} not divisible by chunks={chunks}")
+    if bits > 60:
+        return _simhash_wide_pairs(
+            df, max_hamming, chunks, bits // chunks, text_col, id_col, persist_sigs
+        )
     sims = simhash(df, bits, text_col, id_col)
     if persist_sigs:
         sims = sims.persist()

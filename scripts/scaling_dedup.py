@@ -77,14 +77,16 @@ def run_scale(spark, n: int) -> dict:
     out["minhash_s"] = round(time.time() - t0, 2)
     out["minhash_pairs"] = pairs
 
-    # 60-bit signatures: at 100k+ docs a 32-bit simhash SATURATES — the
-    # 8-bit pigeonhole buckets accumulate O(bucket²) candidate pairs
-    # (measured: 89 s / 0.5M pairs at 100k docs vs 12 s at 20k).  Wider
-    # hashes are the standard remedy (the operator parameterizes width;
-    # the declared 32-bit variant exists for fixture-scale oracle parity).
+    # AUTO-width signatures (round 4): the occupancy rule picks the chunk
+    # width from the corpus count (32-bit at fixture scale, 64-bit at
+    # 100k, 80-bit at 2M), replacing the hand-tuned 60-bit knob the
+    # round-3 ladder showed saturating at 500k docs (72.4 s).  >60 bits
+    # switches to the chunk-word signature representation.
     t0 = time.time()
-    spairs = dedup.simhash_near_dup(docs, max_hamming=3, bits=60, chunks=4).count()
+    bits = dedup.auto_simhash_bits(n)
+    spairs = dedup.simhash_near_dup(docs, max_hamming=3, bits=bits, chunks=4).count()
     out["simhash_s"] = round(time.time() - t0, 2)
+    out["simhash_bits"] = bits
     out["simhash_pairs"] = spairs
 
     t0 = time.time()

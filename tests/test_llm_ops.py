@@ -416,6 +416,53 @@ def test_contamination_report_flags_overlap(spark):
     assert out2[0]["n_train_docs"] == 0 and out2[0]["contaminated"] is False
 
 
+def test_auto_simhash_bits_tracks_corpus_size():
+    # deterministic, monotone, floored at 8-bit chunks, divisible by chunks
+    assert dedup.auto_simhash_bits(500) == 32            # fixture scale -> classic path
+    assert dedup.auto_simhash_bits(100_000) == 64        # past the 32-bit saturation
+    assert dedup.auto_simhash_bits(2_000_000) == 80      # the ladder's 2M row
+    ws = [dedup.auto_simhash_bits(n) for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
+    assert ws == sorted(ws)
+    assert all(w % 4 == 0 for w in ws)
+    assert dedup.auto_simhash_bits(10**6, chunks=5) % 5 == 0
+
+
+def test_simhash_wide_pigeonhole_is_exact(spark):
+    """The >60-bit chunk-word path must return EXACTLY the pairs a brute
+    quadratic hamming scan finds on the same signatures — pigeonhole
+    blocking is a recall guarantee, not an approximation."""
+    base = ("spark shuffles partitions across the cluster while catalyst optimizes "
+            "logical plans and tungsten generates code for the hot loops")
+    rows = [(i, base + f" filler token {i % 3}") for i in range(12)]
+    rows += [(100 + i, f"completely different corpus slice number {i} with unique words "
+              + " ".join(f"w{i}{j}" for j in range(10))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks, chunk_bits, max_h = 4, 20, 3  # 80-bit signature
+    sims = {r["doc_id"]: tuple(r["sims"])
+            for r in dedup._simhash_chunk_words(df, chunks, chunk_bits, "text", "doc_id").collect()}
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    want = sorted(
+        (a, b, hamming(sims[a], sims[b]))
+        for a in sims for b in sims
+        if a < b and hamming(sims[a], sims[b]) <= max_h
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_dup(df, max_hamming=max_h, bits=80, chunks=chunks).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_simhash_auto_matches_explicit_at_fixture_scale(spark, sf_dir):
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    auto = dedup.simhash_near_dup(docs, bits="auto").collect()
+    explicit = dedup.simhash_near_dup(docs, bits=32).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+
 def test_word_ngrams_short_docs_yield_empty(spark):
     """Docs with fewer than n whitespace tokens must produce ZERO n-grams,
     not crash: Spark's sequence(1, 0) is a DESCENDING [1, 0] and
