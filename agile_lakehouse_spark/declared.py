@@ -3164,3 +3164,58 @@ SPARK_QUERIES["dq140_pq_trained"] = pq_trained_contract_q
 ORACLES["dq140_pq_trained"] = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS mse_improved
     FROM embeddings"""
+
+
+def image_resize_stats_q(spark, sf_dir):
+    """dq141: the FULL image chain under the hash gate — synthesize 8x8
+    BMP -> decode -> nearest-neighbor resize to 4x4 (source pixel (2r,2c)
+    copied exactly) -> re-encode BMP -> decode again -> channel sums.
+    The oracle replays the source-index arithmetic: resized pixel (r,c)
+    channel ch has flat source byte ((r*2*8 + c*2)*3 + ch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_bmp_media(docs, "doc_id")
+    small = multimodal.resize_images(media, width=4, height=4, codec="bmp")
+    return multimodal.image_stats(
+        small.select("media_id", F.lit("image").alias("modality"),
+                     F.lit("image/bmp").alias("mime"), "payload")
+    ).orderBy("media_id")
+
+
+def ppm_decode_stats_q(spark, sf_dir):
+    """dq142: the PPM container branch under the same decoded-values gate
+    as dq25's BMP (magic-sniffed decode; P6 header walk + raw RGB rows
+    instead of BMP's padded bottom-up BGR)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, "doc_id", container="ppm")
+    return multimodal.image_stats(media).orderBy("media_id")
+
+
+SPARK_QUERIES["dq141_image_resize"] = image_resize_stats_q
+SPARK_QUERIES["dq142_ppm_decode"] = ppm_decode_stats_q
+
+# resized pixel (r, c) copies source pixel (2r, 2c) of the 8x8 image:
+# flat source byte of channel ch = ((r*2*8 + c*2)*3 + ch)
+ORACLES["dq141_image_resize"] = """
+    WITH px AS (
+        SELECT d.doc_id, ((p.k // 4) * 2 * 8 + (p.k % 4) * 2) * 3 AS jbase
+        FROM documents d CROSS JOIN range(16) p(k)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(4 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(16 AS BIGINT) AS n_pixels,
+           CAST(SUM((doc_id*31 + (jbase + 0)*7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((doc_id*31 + (jbase + 1)*7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((doc_id*31 + (jbase + 2)*7) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY media_id"""
+
+ORACLES["dq142_ppm_decode"] = """
+    SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 0)*7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 1)*7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 2)*7) % 256) AS BIGINT) AS sum_b
+    FROM documents d CROSS JOIN range(64) p(j)
+    GROUP BY d.doc_id ORDER BY media_id"""

@@ -132,18 +132,29 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
-def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8) -> DataFrame:
-    """Media table with REAL 24-bit BMP payloads whose pixel bytes are a
-    deterministic function of the row id: flat RGB byte j of image ``id``
-    is ``(id * 31 + j * 7) % 256``.
+def synthesize_image_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+    container: str = "bmp",
+) -> DataFrame:
+    """Media table with REAL image payloads (``container`` = "bmp" or
+    "ppm") whose pixel bytes are a deterministic function of the row id:
+    flat RGB byte j of image ``id`` is ``(id * 31 + j * 7) % 256``.
 
     The generation rule is pure integer arithmetic so a SQL oracle can
     recompute any decoded aggregate without ever seeing the container —
     which is exactly what makes encode -> decode verifiable end-to-end
-    (dq25): a single byte misplaced by the codec (row padding, BGR order,
-    bottom-up rows) changes the channel sums and fails the hash gate.
+    (dq25/dq142): a single byte misplaced by the codec (BMP row padding,
+    BGR order, bottom-up rows; PPM header walk) changes the channel sums
+    and fails the hash gate.
     """
+    if container not in ("bmp", "ppm"):
+        raise ValueError(f"container must be 'bmp' or 'ppm', got {container!r}")
     n = width * height * 3
+    enc = codecs.encode_bmp if container == "bmp" else codecs.encode_ppm
+    mime = f"image/{container}"
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         j = np.arange(n, dtype=np.int64)
@@ -153,11 +164,9 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, 
                 {
                     "media_id": ids,
                     "modality": "image",
-                    "mime": "image/bmp",
+                    "mime": mime,
                     "payload": [
-                        codecs.encode_bmp(
-                            ((int(i) * 31 + j * 7) % 256).astype(np.uint8).reshape(height, width, 3)
-                        )
+                        enc(((int(i) * 31 + j * 7) % 256).astype(np.uint8).reshape(height, width, 3))
                         for i in ids
                     ],
                 }
@@ -165,6 +174,11 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, 
 
     base = df.select(F.col(id_col).cast("long").alias("media_id"))
     return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id", width: int = 8, height: int = 8) -> DataFrame:
+    """BMP shorthand for :func:`synthesize_image_media` (dq25's fixture)."""
+    return synthesize_image_media(df, id_col, width, height, "bmp")
 
 
 def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, sample_rate: int = 16_000) -> DataFrame:

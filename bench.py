@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "dq118_dup_ngram_coverage",
     "dq122_pq_adc_topk",
     "dq124_curate_corpus",
+    "dq25_multimodal_features",  # real BMP decode via mapInPandas (round 4)
+    "dq139_wav_frames",  # real WAV decode, 1->N frame expansion (round 4)
 ]
 
 
