@@ -9,9 +9,12 @@ LasExec + file/chunk skip masks.
 
 Uncompressed ``.las`` (point formats 0-3) decodes NATIVELY via
 ``sources/las_native.py`` — fixed-width records, one ``numpy.frombuffer``
-per chunk, no third-party dependency.  Compressed ``.laz`` stays gated on
-``laspy`` (not in this container): same chunk plumbing, different byte
-decode.
+per chunk, no third-party dependency.  Compressed ``.laz`` with POINT10
+records (point format 0) ALSO decodes natively via ``sources/
+laz_native.py`` (vendored LASzip arithmetic codec, round 4) — chunk
+plans come from the REAL chunk table, one Spark task per LAZ chunk
+(``pc-io/src/las/source.rs:159-208``).  Formats 1-3 (.laz with
+GPSTIME/RGB items) stay gated on ``laspy``.
 """
 
 from __future__ import annotations
@@ -95,11 +98,53 @@ def decode_chunk_native(plan: ChunkPlan, raw: bool = False) -> list[tuple]:
     )
 
 
+def decode_chunk_native_laz(plan: ChunkPlan, raw: bool = False) -> list[tuple]:
+    """Decode one LAZ chunk with the vendored LASzip codec
+    (``laz_native``).  The plan's offset must sit on a real chunk
+    boundary (which :func:`plan_chunks_for_file` guarantees for .laz)."""
+    from agile_lakehouse_spark.sources import laz_native
+
+    info = laz_native.read_laz_info(plan.path)
+    idx = plan.offset // info.chunk_size
+    if info.chunk_size * idx != plan.offset or plan.count != info.chunk_points[idx]:
+        raise ValueError(
+            f"LAZ plan ({plan.offset}, {plan.count}) not aligned with the chunk table"
+        )
+    cols = laz_native.decode_laz_chunk(plan.path, info, idx, raw=raw)
+    return list(
+        zip(
+            map(float, cols["x"]),
+            map(float, cols["y"]),
+            map(float, cols["z"]),
+            map(int, cols["intensity"]),
+            map(int, cols["classification"]),
+        )
+    )
+
+
 def plan_chunks_for_file(path: str, chunk_points: int = DEFAULT_CHUNK_POINTS) -> list[ChunkPlan]:
-    """Chunk plans for a real ``.las`` file: point count from the header
-    (metadata-only read), fixed-size chunks."""
+    """Chunk plans for a real ``.las``/``.laz`` file.
+
+    ``.las``: point count from the header (metadata-only read),
+    fixed-size chunks.  ``.laz`` (POINT10): the REAL chunk table from the
+    LASzip stream — each plan is exactly one independently-decodable
+    compressed chunk (the reference's parallel unit,
+    ``pc-io/src/las/source.rs:159-208``)."""
     from agile_lakehouse_spark.sources import las_native
 
+    if path.endswith(".laz"):
+        from agile_lakehouse_spark.sources import laz_native
+
+        try:
+            info = laz_native.read_laz_info(path)
+        except NotImplementedError:
+            # non-POINT10 LAZ: laspy path with synthesized fixed chunks
+            return plan_chunks(path, las_native.read_header(path).n_points, chunk_points)
+        plans, off = [], 0
+        for cnt in info.chunk_points:
+            plans.append(ChunkPlan(path, off, cnt))
+            off += cnt
+        return plans
     return plan_chunks(path, las_native.read_header(path).n_points, chunk_points)
 
 
@@ -118,7 +163,16 @@ def ingest_las(
     exactly the carve-out the Spark-first rule allows.
     """
     if decoder is None:
-        laz = any(p.path.endswith(".laz") for p in plans)
-        decoder = decode_chunk_laspy if laz else decode_chunk_native
+        if any(p.path.endswith(".laz") for p in plans):
+            # native LASzip codec for POINT10 variants; laspy otherwise
+            from agile_lakehouse_spark.sources import laz_native
+
+            try:
+                laz_native.read_laz_info(plans[0].path)
+                decoder = decode_chunk_native_laz
+            except NotImplementedError:
+                decoder = decode_chunk_laspy
+        else:
+            decoder = decode_chunk_native
     rdd = spark.sparkContext.parallelize(plans, max(len(plans), 1)).flatMap(decoder)
     return spark.createDataFrame(rdd, schema=schema)

@@ -90,8 +90,19 @@ def _decode_chunk(path: str, offset: int, count: int):
             map(int, cols["classification"]),
         )
         return
+    if path.endswith(".laz"):
+        from agile_lakehouse_spark.sources import las as _las
+        from agile_lakehouse_spark.sources import laz_native
+
+        try:
+            laz_native.read_laz_info(path)
+        except NotImplementedError:
+            pass  # non-POINT10 variant: fall through to laspy below
+        else:
+            yield from _las.decode_chunk_native_laz(_las.ChunkPlan(path, offset, count))
+            return
     if not HAS_LASPY:  # pragma: no cover
-        raise NotImplementedError(".laz decode needs laspy")
+        raise NotImplementedError("this .laz variant needs laspy (native codec covers POINT10)")
     import laspy  # pragma: no cover
 
     with laspy.open(path) as rd:  # pragma: no cover
@@ -128,9 +139,24 @@ class LasDataSourceReader(DataSourceReader):
 
     def partitions(self):
         # the chunk table: one read unit per (file, point-range) — the unit
-        # of parallelism AND of future skip-masks (source.rs:159-208)
+        # of parallelism AND of future skip-masks (source.rs:159-208).
+        # For native-decodable .laz the units come from the REAL chunk
+        # table (each one an independently-decodable compressed chunk).
         parts = []
         for f in self._files():
+            if f.endswith(".laz"):
+                from agile_lakehouse_spark.sources import laz_native
+
+                try:
+                    info = laz_native.read_laz_info(f)
+                except NotImplementedError:
+                    info = None
+                if info is not None:
+                    off = 0
+                    for cnt in info.chunk_points:
+                        parts.append(LasChunkPartition(f, off, cnt))
+                        off += cnt
+                    continue
             total = _las_point_count(f)
             off = 0
             while off < total:

