@@ -9,12 +9,12 @@ LasExec + file/chunk skip masks.
 
 Uncompressed ``.las`` (point formats 0-3) decodes NATIVELY via
 ``sources/las_native.py`` — fixed-width records, one ``numpy.frombuffer``
-per chunk, no third-party dependency.  Compressed ``.laz`` with POINT10
-records (point format 0) ALSO decodes natively via ``sources/
-laz_native.py`` (vendored LASzip arithmetic codec, round 4) — chunk
-plans come from the REAL chunk table, one Spark task per LAZ chunk
-(``pc-io/src/las/source.rs:159-208``).  Formats 1-3 (.laz with
-GPSTIME/RGB items) stay gated on ``laspy``.
+per chunk, no third-party dependency.  Compressed ``.laz`` point formats
+0-3 (POINT10 + GPSTIME11 + RGB12, all version 2) ALSO decode natively
+via ``sources/laz_native.py`` (vendored LASzip arithmetic codec, round
+4) — chunk plans come from the REAL chunk table, one Spark task per LAZ
+chunk (``pc-io/src/las/source.rs:159-208``).  Exotic variants (formats
+4+, layered compressor 3, extra bytes) stay gated on ``laspy``.
 """
 
 from __future__ import annotations

@@ -11,7 +11,8 @@ of the reference's DataFusion ``TableProvider`` + ``LasExec``
   except scheduled by Spark over executors, not threads.
 - ``read(partition)`` ≙ ``LasExec::execute``: decode one chunk, yield
   rows.  Uncompressed ``.las`` decodes natively (``las_native.py``,
-  vectorized frombuffer — no dependency); ``.laz`` needs laspy; a
+  vectorized frombuffer — no dependency); ``.laz`` formats 0-3 decode
+  natively too (``laz_native.py``); exotic variants need laspy; a
   ``.fakelas`` synthetic decoder remains for partition-planning tests.
 
 Filter pushdown note: the Python DataSource API (as of Spark 4.1) exposes
@@ -102,7 +103,9 @@ def _decode_chunk(path: str, offset: int, count: int):
             yield from _las.decode_chunk_native_laz(_las.ChunkPlan(path, offset, count))
             return
     if not HAS_LASPY:  # pragma: no cover
-        raise NotImplementedError("this .laz variant needs laspy (native codec covers POINT10)")
+        raise NotImplementedError(
+            "this .laz variant needs laspy (native codec covers point formats 0-3)"
+        )
     import laspy  # pragma: no cover
 
     with laspy.open(path) as rd:  # pragma: no cover

@@ -111,3 +111,56 @@ def test_native_laz_cross_decodes_with_laspy(tmp_path):
     out = laz_native.decode_laz_points(theirs, raw=True)
     assert np.array_equal(out["x"], np.asarray(src.X, dtype=np.int64))
     assert np.array_equal(out["intensity"], np.asarray(src.intensity, dtype=np.int64))
+
+
+def test_native_laz_formats_1_3_cross_decode_with_laspy(tmp_path):
+    """Formats 1-3 (GPSTIME11/RGB12 v2) cross-decoder conformance, both
+    directions, wherever laspy + a LAZ backend exist."""
+    from agile_lakehouse_spark.sources import laz_native
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    base = {
+        "x": rng.uniform(0, 100, n), "y": rng.uniform(0, 100, n), "z": rng.uniform(0, 50, n),
+        "intensity": rng.integers(0, 65536, n), "classification": rng.integers(0, 32, n),
+        "return_byte": np.full(n, 0x09), "scan_angle_rank": rng.integers(-90, 91, n),
+        "user_data": rng.integers(0, 256, n), "point_source_id": rng.integers(0, 100, n),
+        "gps_time": np.cumsum(rng.choice([1e-4, 0.0, 5e-4], n)) + 3e5,
+        "red": rng.integers(0, 65536, n), "green": rng.integers(0, 65536, n),
+        "blue": rng.integers(0, 65536, n),
+    }
+    for fmt in (1, 2, 3):
+        # ours -> laspy
+        ours = str(tmp_path / f"ours{fmt}.laz")
+        laz_native.write_laz(ours, base, chunk_size=900, point_format=fmt)
+        with laspy.open(ours) as rd:
+            pts = rd.read_points(n)
+            if fmt in (1, 3):
+                assert np.array_equal(np.asarray(pts.gps_time), base["gps_time"])
+            if fmt in (2, 3):
+                for c in ("red", "green", "blue"):
+                    assert np.array_equal(np.asarray(pts[c], dtype=np.int64), base[c])
+        # laspy -> ours
+        hdr = laspy.LasHeader(point_format=fmt, version="1.2")
+        hdr.scales = [0.01, 0.01, 0.01]
+        hdr.offsets = [0.0, 0.0, 0.0]
+        las = laspy.LasData(hdr)
+        las.x, las.y, las.z = base["x"], base["y"], base["z"]
+        las.intensity = base["intensity"].astype(np.uint16)
+        if fmt in (1, 3):
+            las.gps_time = base["gps_time"]
+        if fmt in (2, 3):
+            las.red = base["red"].astype(np.uint16)
+            las.green = base["green"].astype(np.uint16)
+            las.blue = base["blue"].astype(np.uint16)
+        theirs = str(tmp_path / f"theirs{fmt}.laz")
+        try:
+            las.write(theirs)
+        except Exception as e:  # noqa: BLE001
+            pytest.skip(f"no LAZ compression backend: {e}")
+        out = laz_native.decode_laz_points(theirs)
+        if fmt in (1, 3):
+            assert np.array_equal(out["gps_time"], base["gps_time"])
+        if fmt in (2, 3):
+            for c in ("red", "green", "blue"):
+                assert np.array_equal(out[c], base[c])

@@ -189,3 +189,127 @@ def test_laz_spark_ingest_and_datasource(spark, tmp_path):
     back = spark.read.format("las").load(path)
     assert back.rdd.getNumPartitions() == 3  # REAL chunk table fan-out
     assert back.count() == 4000
+
+
+# --- point formats 1-3: GPSTIME11 v2 + RGB12 v2 ------------------------------
+
+
+def _gps_scanlines(n, seed=21):
+    """Adversarial gps stream: regular ticks, exact repeats, negative
+    rollbacks, occasional huge jumps, and two interleaved scanner
+    sequences — every branch of the multi-sequence coder."""
+    rng = np.random.default_rng(seed)
+    a = np.cumsum(rng.choice([0.0, 1e-4, 1e-4, 5e-4, -2e-4], n)) + 1e5
+    b = np.cumsum(np.full(n, 3e-4)) + 9e5  # second scanner, far away in time
+    take_b = rng.random(n) < 0.3
+    out = np.where(take_b, b, a)
+    out[rng.random(n) < 0.01] *= 1e3  # full 64-bit jumps
+    return out
+
+
+def test_laz_format1_gpstime_roundtrip(tmp_path):
+    n = 6000
+    cols = _cloud(n, seed=20, smooth=True)
+    cols["gps_time"] = _gps_scanlines(n)
+    p = str(tmp_path / "f1.laz")
+    laz_native.write_laz(p, cols, chunk_size=2500, point_format=1)
+    hdr = las_native.read_header(p)
+    assert hdr.point_format == 1 and hdr.record_len == 28
+    out = laz_native.decode_laz_points(p)
+    assert np.array_equal(out["gps_time"], cols["gps_time"])  # bit-exact
+    # regular ticks should compress far below the 8 raw bytes/point
+    import os
+
+    assert os.path.getsize(p) < 0.75 * n * 28
+
+
+def test_laz_format2_rgb_roundtrip(tmp_path):
+    n = 4000
+    rng = np.random.default_rng(22)
+    cols = _cloud(n, seed=22)
+    # mix grayscale (r==g==b, the sym&64-clear path), slow ramps, and noise
+    gray = rng.integers(0, 65536, n)
+    ramp = (np.arange(n) * 7) % 65536
+    noise = rng.integers(0, 65536, n)
+    pick = rng.integers(0, 3, n)
+    cols["red"] = np.select([pick == 0, pick == 1], [gray, ramp], noise)
+    cols["green"] = np.select([pick == 0, pick == 1], [gray, ramp + 3], rng.integers(0, 65536, n))
+    cols["blue"] = np.select([pick == 0, pick == 1], [gray, ramp + 250], rng.integers(0, 65536, n))
+    p = str(tmp_path / "f2.laz")
+    laz_native.write_laz(p, cols, chunk_size=1700, point_format=2)
+    hdr = las_native.read_header(p)
+    assert hdr.point_format == 2 and hdr.record_len == 26
+    out = laz_native.decode_laz_points(p)
+    for c in ("red", "green", "blue"):
+        assert np.array_equal(out[c], cols[c]), c
+
+
+def test_laz_format3_full_roundtrip_and_vlr(tmp_path):
+    n = 5000
+    cols = _cloud(n, seed=23)
+    cols["gps_time"] = _gps_scanlines(n, seed=24)
+    rng = np.random.default_rng(25)
+    for c in ("red", "green", "blue"):
+        cols[c] = rng.integers(0, 65536, n)
+    p = str(tmp_path / "f3.laz")
+    laz_native.write_laz(p, cols, chunk_size=2100, point_format=3)
+    hdr = las_native.read_header(p)
+    assert hdr.point_format == 3 and hdr.record_len == 34
+    raw = open(p, "rb").read()
+    hdr_size = struct.unpack_from("<H", raw, 94)[0]
+    _res, _user, _rec, length, _d = struct.unpack_from("<H16sHH32s", raw, hdr_size)
+    vlr = laz_native.parse_laszip_vlr(raw[hdr_size + 54 : hdr_size + 54 + length])
+    assert vlr["items"] == [
+        {"type": 6, "size": 20, "version": 2},
+        {"type": 7, "size": 8, "version": 2},
+        {"type": 8, "size": 6, "version": 2},
+    ]
+    out = laz_native.decode_laz_points(p)
+    assert np.array_equal(out["gps_time"], cols["gps_time"])
+    for c in ("red", "green", "blue"):
+        assert np.array_equal(out[c], cols[c])
+    # chunked == full decode on the extended items too
+    info = laz_native.read_laz_info(p)
+    off = 0
+    for i, cnt in enumerate(info.chunk_points):
+        part = laz_native.decode_laz_chunk(p, info, i)
+        assert np.array_equal(part["gps_time"], out["gps_time"][off : off + cnt])
+        assert np.array_equal(part["blue"], out["blue"][off : off + cnt])
+        off += cnt
+
+
+def test_laz_gpstime_edge_streams(tmp_path):
+    """Branch-targeted gps streams: all-constant (0diff unchanged), pure
+    arithmetic sequence (multi==1), alternating sign (negative multis),
+    and every-point-a-jump (CODE_FULL churn through all 4 sequences)."""
+    n = 800
+    base = _cloud(n, seed=26, smooth=True)
+    p = str(tmp_path / "edge.laz")
+    for gps in (
+        np.full(n, 123456.789),
+        np.arange(n) * 1e-4 + 5e4,
+        5e4 + np.cumsum(np.where(np.arange(n) % 2 == 0, 3e-4, -1e-4)),
+        np.arange(n, dtype=np.float64) * 1e9 + 1e15,
+    ):
+        cols = dict(base)
+        cols["gps_time"] = gps
+        laz_native.write_laz(p, cols, chunk_size=300, point_format=1)
+        out = laz_native.decode_laz_points(p)
+        assert np.array_equal(out["gps_time"], gps)
+
+
+def test_laz_format3_spark_datasource(spark, tmp_path):
+    from agile_lakehouse_spark.sources.las_datasource import LasDataSource
+
+    n = 3000
+    cols = _cloud(n, seed=27)
+    cols["gps_time"] = _gps_scanlines(n, seed=28)
+    rng = np.random.default_rng(29)
+    for c in ("red", "green", "blue"):
+        cols[c] = rng.integers(0, 65536, n)
+    path = str(tmp_path / "ds3.laz")
+    laz_native.write_laz(path, cols, chunk_size=1000, point_format=3)
+    spark.dataSource.register(LasDataSource)
+    df = spark.read.format("las").load(path)
+    assert df.rdd.getNumPartitions() == 3  # real chunk table, format 3
+    assert df.count() == n

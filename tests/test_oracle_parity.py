@@ -68,7 +68,9 @@ def test_driver_contract_registry_consistency():
     import __spark_entry__ as entry
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    rows_only = {"dq25_multimodal_features"}
+    # every declared query now carries an oracle (dq25 was rows-only until
+    # the round-4 native media codecs made its decoded values SQL-checkable)
+    rows_only = set()
     assert set(os_) == set(qs) - rows_only
     for name in qs:
         assert re.fullmatch(r"dq\d{2,3}[a-z]?_[a-z0-9_]+", name), name
