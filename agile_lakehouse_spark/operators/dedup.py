@@ -708,3 +708,70 @@ def contamination_report(
         )
         .orderBy("test_id")
     )
+
+
+# --- paragraph-level dedup (C4/RefinedWeb-style duplicate-span removal) ------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    para_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated paragraphs ACROSS documents, keeping each
+    distinct paragraph's first global occurrence (ordered by doc id,
+    then position) and reconstructing the cleaned text per document —
+    the C4 recipe's span-level companion to document-level dedup
+    (document dedup drops whole near-copies; this strips boilerplate
+    spans recurring inside otherwise-distinct documents).
+
+    Corpora without newlines (the fixture ``documents``) use fixed
+    ``para_tokens``-token windows as paragraph surrogates; the operator
+    itself only sees an array of spans, so a newline splitter slots in
+    unchanged.
+
+    Shape at scale: explode to (doc, pos, para) -> ONE hash shuffle on
+    the paragraph string for the first-occurrence window -> one shuffle
+    back on doc id to reassemble. Both shuffles are on bounded keys
+    (paragraph text / doc id); no all-pairs stage anywhere. Empty or
+    sub-window docs short-circuit to an empty span array (the
+    ``sequence(1, 0)`` descending-range pitfall — ADVICE round 3).
+    """
+    from pyspark.sql import Window
+
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    n_paras = f"CAST(ceil(size({toks}) / CAST({para_tokens} AS DOUBLE)) AS INT)"
+    paras = (
+        f"CASE WHEN size({toks}) >= 1 AND NOT (size({toks}) = 1 AND element_at({toks}, 1) = '') "
+        f"THEN transform(sequence(0, {n_paras} - 1), "
+        f"j -> concat_ws(' ', slice({toks}, j * {para_tokens} + 1, {para_tokens}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    exploded = df.selectExpr(id_col, f"posexplode({paras}) AS (para_idx, para)")
+    w = Window.partitionBy("para").orderBy(F.col(id_col).asc(), F.col("para_idx").asc())
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("para_idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("cleaned"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_paras").cast("bigint").alias("n_paras"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            "cleaned",
+        )
+    )

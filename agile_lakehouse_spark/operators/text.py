@@ -644,3 +644,37 @@ def train_val_test_split(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("stratum", "split")
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+#
+# Training-corpus scrubbing: replace e-mail / phone / IPv4 literals with
+# typed placeholder tokens and count what was removed.  Patterns stay in
+# the Java-regex ∩ RE2 common subset (no lookaround, no backrefs) so the
+# DuckDB oracle replays them exactly; counts come from
+# ``regexp_extract_all(..., 0)`` on the ORIGINAL text, replacement is
+# sequential (e-mail -> phone -> IP) on one projection.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ip": (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Append per-type redaction counts and a ``redacted`` text column.
+
+    One pure projection — three ``regexp_replace`` (JVM, codegen) chained
+    in dict order plus three match-counts; no shuffle, trivially
+    map-parallel at any scale.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, (pat, token) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}s",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("bigint"),
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted", redacted)
