@@ -3219,3 +3219,125 @@ ORACLES["dq142_ppm_decode"] = """
            CAST(SUM((d.doc_id*31 + (p.j*3 + 2)*7) % 256) AS BIGINT) AS sum_b
     FROM documents d CROSS JOIN range(64) p(j)
     GROUP BY d.doc_id ORDER BY media_id"""
+
+# ---------------------------------------------------------------------------
+# round 4 (cont.): paragraph-level dedup, SQ8 scalar quantization, and PII
+# redaction — the three remaining LLM-curation staples next to document
+# dedup (dq21*), PQ (dq122/140) and the Gopher rules (dq117).
+
+
+def dedup_paragraphs_q(spark, sf_dir):
+    """dq143: C4-style duplicate-SPAN removal across documents — fixed
+    8-token windows as paragraph surrogates (the fixture corpus has no
+    newlines), first global occurrence kept, per-doc text reassembled.
+    Two bounded-key shuffles (paragraph hash, then doc id); never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_paragraphs(docs, para_tokens=8).orderBy("doc_id")
+
+
+SPARK_QUERIES["dq143_dedup_paragraphs"] = dedup_paragraphs_q
+ORACLES["dq143_dedup_paragraphs"] = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    p0 AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 1 AND NOT (len(toks) = 1 AND toks[1] = '')
+        THEN list_transform(generate_series(0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1),
+             j -> {'para_idx': CAST(j AS INT), 'para': array_to_string(toks[j*8+1 : j*8+8], ' ')})
+        ELSE CAST([] AS STRUCT(para_idx INT, para VARCHAR)[]) END AS paras
+      FROM t),
+    p AS (SELECT doc_id, unnest(paras, recursive := true) FROM p0),
+    f AS (SELECT doc_id, para_idx, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM p)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '') AS cleaned
+    FROM f GROUP BY doc_id ORDER BY doc_id"""
+
+
+def sq8_topk_q(spark, sf_dir):
+    """dq144: SQ8 scalar quantization end-to-end — per-dimension (lo, hi)
+    bounds in ONE aggregate pass, uint8 encode as a pure projection
+    (shared literal arrays, the dq122 codegen lesson), asymmetric-distance
+    top-10 against the raw vec_id=0 query via TakeOrderedAndProject.
+    The oracle replays train -> encode -> ADC bit-for-bit (identical IEEE
+    op order; list_reduce fold for the sum)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = similarity.sq8_train(emb)
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    codes = similarity.sq8_encode(emb, lo, hi)
+    return similarity.sq8_adc_topk(codes, lo, hi, qvec, k=10)
+
+
+SPARK_QUERIES["dq144_sq8_topk"] = sq8_topk_q
+_SQ8_CODE = (
+    "CAST(least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE), floor("
+    "CASE WHEN b.his[CAST(k AS INT)] - b.los[CAST(k AS INT)] > 0 "
+    "THEN (CAST(e.embedding[CAST(k AS INT)] AS DOUBLE) - b.los[CAST(k AS INT)])"
+    " / (b.his[CAST(k AS INT)] - b.los[CAST(k AS INT)]) * 255.0 "
+    "ELSE CAST(0 AS DOUBLE) END + 0.5))) AS INT)"
+)
+_SQ8_TERM = (
+    "((CAST(q.qv[CAST(k AS INT)] AS DOUBLE) - b.los[CAST(k AS INT)]) "
+    f"- CAST({_SQ8_CODE} AS DOUBLE) * ((b.his[CAST(k AS INT)] - b.los[CAST(k AS INT)]) / 255.0))"
+)
+ORACLES["dq144_sq8_topk"] = f"""
+    WITH dims AS (SELECT CAST(i AS INT) AS i FROM range(1, {64 + 1}) t(i)),
+    perdim AS (SELECT d.i AS i,
+                      MIN(CAST(e.embedding[d.i] AS DOUBLE)) AS lo,
+                      MAX(CAST(e.embedding[d.i] AS DOUBLE)) AS hi
+               FROM embeddings e CROSS JOIN dims d GROUP BY d.i),
+    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM perdim),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    terms AS (SELECT e.vec_id,
+                     list_transform(range(1, {64 + 1}), k -> {_SQ8_TERM}) AS ts
+              FROM embeddings e CROSS JOIN b CROSS JOIN q),
+    scored AS (SELECT vec_id,
+                      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                  list_transform(ts, t -> t * t)),
+                                  (acc, v) -> acc + v) AS d
+               FROM terms)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           {portable.round4_duck('d')} AS adc_dist
+    FROM scored ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+
+
+def redact_pii_q(spark, sf_dir):
+    """dq145: PII scrubbing over a deterministically SEEDED corpus (one
+    e-mail / phone / IPv4 appended per doc so the regexes have real work
+    at every row) — one pure projection, three JVM regexp_replace +
+    three match counts; the oracle replays seeding, counting, and
+    sequential replacement with RE2 'g'."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.selectExpr(
+        "doc_id",
+        "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com or +1-555-', "
+        "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ip 10.0.', "
+        "CAST(doc_id % 256 AS STRING), '.7') AS text",
+    )
+    return (
+        text.redact_pii(seeded)
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+        .orderBy("doc_id")
+    )
+
+
+SPARK_QUERIES["dq145_redact_pii"] = redact_pii_q
+_PII_SEED_D = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+ORACLES["dq145_redact_pii"] = f"""
+    WITH s AS (SELECT doc_id, {_PII_SEED_D} AS text FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS['email'][0]}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS['phone'][0]}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS['ip'][0]}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{text.PII_PATTERNS['email'][0]}', '<EMAIL>', 'g'),
+               '{text.PII_PATTERNS['phone'][0]}', '<PHONE>', 'g'),
+               '{text.PII_PATTERNS['ip'][0]}', '<IP>', 'g') AS redacted
+    FROM s ORDER BY doc_id"""

@@ -640,3 +640,96 @@ def test_ivf_layout_probe_matches_inline(spark, sf_dir, tmp_path):
     )
     cells = {m.group(1) for r in probed if (m := re.search(r"cell=(\d+)", r[0]))}
     assert cells and len(cells) <= 2
+
+
+# --- round-4 session 2: paragraph dedup, SQ8, PII redaction -----------------
+
+
+def test_dedup_paragraphs_drops_cross_doc_repeats(spark):
+    from agile_lakehouse_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z w p q r s"),   # 2 windows, both first
+            (2, "a b c d e f g h only new tail here"),  # window 1 dupes doc 1
+            (3, ""),                                    # empty -> vanishes
+            (4, "tiny doc"),                            # sub-window -> 1 para
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_paragraphs(df, para_tokens=8).collect()}
+    assert rows[1]["n_paras"] == 2 and rows[1]["n_kept"] == 2
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[2]["cleaned"] == "only new tail here"
+    assert 3 not in rows  # no paragraphs at all
+    assert rows[4]["n_kept"] == 1 and rows[4]["cleaned"] == "tiny doc"
+
+
+def test_dedup_paragraphs_intra_doc_repeat(spark):
+    from agile_lakehouse_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(7, "w1 w2 w3 w4 w1 w2 w3 w4")], "doc_id int, text string"
+    )
+    r = dedup_paragraphs(df, para_tokens=4).collect()[0]
+    assert r["n_paras"] == 2 and r["n_kept"] == 1 and r["cleaned"] == "w1 w2 w3 w4"
+
+
+def test_sq8_roundtrip_bounds_and_recall(spark, sf_dir):
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = similarity.sq8_train(emb)
+    assert len(lo) == len(hi) == 64 and all(h >= l for l, h in zip(lo, hi))
+    codes = similarity.sq8_encode(emb, lo, hi)
+    row = codes.first()
+    assert len(row["codes"]) == 64
+    assert all(0 <= c <= 255 for c in row["codes"])
+    # ADC top-10 must substantially overlap the exact L2 top-10: SQ8 at
+    # 8 bits/dim is near-lossless for unit-scale embeddings
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = {r["vec_id"] for r in similarity.sq8_adc_topk(codes, lo, hi, qv, k=10).collect()}
+    dim = len(qv)
+    q_lit = "array(" + ",".join(repr(v) for v in qv) + ")"
+    exact = {
+        r["vec_id"]
+        for r in emb.selectExpr(
+            "vec_id",
+            f"aggregate(zip_with(embedding, {q_lit}, (a, b) -> "
+            "(CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d",
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(approx & exact) >= 8
+
+
+def test_sq8_plan_stays_jvm_topk(spark, sf_dir):
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = similarity.sq8_train(emb)
+    qv = [0.0] * 64
+    df = similarity.sq8_adc_topk(similarity.sq8_encode(emb, lo, hi), lo, hi, qv, k=5)
+    assert explain.is_top_k(df)
+    assert explain.num_shuffles(df) == 0
+    assert not explain.uses_python_udf(df)
+
+
+def test_redact_pii_counts_and_tokens(spark):
+    from agile_lakehouse_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org call +49-123-4567 host 10.0.0.1"),
+            (2, "clean text, no secrets at all"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_phones"] == 1 and rows[1]["n_ips"] == 1
+    assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> call <PHONE> host <IP>"
+    assert rows[2]["n_emails"] == rows[2]["n_phones"] == rows[2]["n_ips"] == 0
+    assert rows[2]["redacted"] == rows[2]["text"]
