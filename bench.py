@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "dq124_curate_corpus",
     "dq25_multimodal_features",  # real BMP decode via mapInPandas (round 4)
     "dq139_wav_frames",  # real WAV decode, 1->N frame expansion (round 4)
+    "dq143_dedup_paragraphs",  # span-level dedup, two bounded shuffles (round 4)
+    "dq144_sq8_topk",  # SQ8 train+encode+ADC, pure projections (round 4)
 ]
 
 
