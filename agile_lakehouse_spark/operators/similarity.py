@@ -481,9 +481,25 @@ def pq_adc_topk(
     ``TakeOrderedAndProject`` — no sort of the full relation, no shuffle
     of vectors.
     """
+    enc = pq_encode(df, codebook, vec_col, id_col)
+    return pq_adc_on_codes(enc, codebook, qvec, k, id_col)
+
+
+def pq_adc_on_codes(
+    codes_df: DataFrame,
+    codebook: list[list[list[float]]],
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PRE-ENCODED codes (columns ``code0..code{m-1}``) —
+    the production shape: encoding is a write-time layout job, queries
+    scan only the m-byte codes.  At 1M vectors the inline
+    encode-per-query path measured ~15× slower than ADC on stored codes
+    (scripts/scaling_ann.py) — the encode argmin (m·ksub·sub flops/row)
+    dwarfs the m lookups ADC actually needs."""
     m = len(codebook)
     sub = len(codebook[0][0])
-    enc = pq_encode(df, codebook, vec_col, id_col)
     lut: list[list[float]] = []
     for s in range(m):
         row = []
@@ -500,7 +516,7 @@ def pq_adc_topk(
         for s in range(m)
     )
     return (
-        enc.withColumn("adc_dist", F.expr(adc))
+        codes_df.withColumn("adc_dist", F.expr(adc))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
         .select(

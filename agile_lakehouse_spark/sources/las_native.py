@@ -1,4 +1,4 @@
-"""Dependency-free LAS reader/writer: uncompressed point formats 0-3.
+"""Dependency-free LAS reader/writer: uncompressed point formats 0-3 and 6-10.
 
 The reference's entire ingest front door is LAS (``pc-io/src/las/source.rs:
 49-138``, ``builder.rs:49-188``); this module makes that path REAL in this
@@ -34,6 +34,13 @@ Point record formats (core 20 bytes, then optional blocks):
 - 1: 0 + gps_time f64                                     (28 B)
 - 2: 0 + red,green,blue u16                               (26 B)
 - 3: 1 + red,green,blue u16                               (34 B)
+- 6: LAS-1.4 core: X,Y,Z i32 · intensity u16 · returns u8 · flags u8 ·
+     classification u8 (FULL byte) · user-data u8 · scan-angle i16 ·
+     point-source-id u16 · gps_time f64                   (30 B)
+- 7: 6 + red,green,blue u16                               (36 B)
+- 8: 7 + nir u16                                          (38 B)
+- 9: 6 + waveform packet (29 B)                           (59 B)
+- 10: 8 + waveform packet                                 (67 B)
 
 Real coordinates are ``X * scale + offset`` per axis; ``raw`` mode keeps
 the integer grid coordinates (reference ``--raw``, ``pc-io/src/las/
@@ -63,13 +70,47 @@ _CORE_FIELDS = [
 _GPS = [("gps_time", "<f8")]
 _RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
 
+# LAS 1.4 formats 6-10 (the modern PDRFs): 30-byte core — i16 scan
+# angle (0.006 deg units), FULL-byte classification, split returns/flags
+# bytes (returns: return# bits 0-3, count bits 4-7; flags: class-flags
+# 0-3, scanner channel 4-5, scan direction 6, edge 7), gps_time ALWAYS
+# present; then RGB (7/8/10), NIR (8/10), waveform packet (9/10).
+_CORE6_FIELDS = [
+    ("X", "<i4"),
+    ("Y", "<i4"),
+    ("Z", "<i4"),
+    ("intensity", "<u2"),
+    ("returns_byte", "u1"),
+    ("flags6", "u1"),
+    ("classification_full", "u1"),
+    ("user_data", "u1"),
+    ("scan_angle16", "<i2"),
+    ("point_source_id", "<u2"),
+    ("gps_time", "<f8"),
+]
+_NIR = [("nir", "<u2")]
+_WAVE = [
+    ("wave_desc", "u1"),
+    ("wave_offset", "<u8"),
+    ("wave_size", "<u4"),
+    ("wave_return_loc", "<f4"),
+    ("wave_xt", "<f4"),
+    ("wave_yt", "<f4"),
+    ("wave_zt", "<f4"),
+]
+
 POINT_FIELDS: dict[int, list[tuple[str, str]]] = {
     0: _CORE_FIELDS,
     1: _CORE_FIELDS + _GPS,
     2: _CORE_FIELDS + _RGB,
     3: _CORE_FIELDS + _GPS + _RGB,
+    6: _CORE6_FIELDS,
+    7: _CORE6_FIELDS + _RGB,
+    8: _CORE6_FIELDS + _RGB + _NIR,
+    9: _CORE6_FIELDS + _WAVE,
+    10: _CORE6_FIELDS + _RGB + _NIR + _WAVE,
 }
-POINT_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
+POINT_RECORD_LEN = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38, 9: 59, 10: 67}
 HEADER_SIZE = {(1, 2): 227, (1, 3): 235, (1, 4): 375}
 
 
@@ -121,8 +162,8 @@ def read_header(path: str) -> LasHeader:
 def _point_dtype(point_format: int, record_len: int) -> np.dtype:
     if point_format not in POINT_FIELDS:
         raise NotImplementedError(
-            f"LAS point format {point_format} (native decode covers 0-3; "
-            "4+ carry waveform packets — use laspy)"
+            f"LAS point format {point_format} (native decode covers 0-3 and 6-10; "
+            "4/5 are legacy waveform variants — use laspy)"
         )
     fields = list(POINT_FIELDS[point_format])
     base = POINT_RECORD_LEN[point_format]
@@ -172,13 +213,19 @@ def decode_points(
         out["y"] = rec["Y"] * h.scales[1] + h.offsets[1]
         out["z"] = rec["Z"] * h.scales[2] + h.offsets[2]
     out["intensity"] = rec["intensity"].astype(np.int64)
-    out["classification"] = (rec["classification_byte"] & 0x1F).astype(np.int64)
-    out["return_number"] = (rec["flags"] & 0x07).astype(np.int64)
+    if "classification_full" in dt.names:  # formats 6-10: full byte, split returns
+        out["classification"] = rec["classification_full"].astype(np.int64)
+        out["return_number"] = (rec["returns_byte"] & 0x0F).astype(np.int64)
+    else:  # formats 0-3: low 5 bits, packed return bits
+        out["classification"] = (rec["classification_byte"] & 0x1F).astype(np.int64)
+        out["return_number"] = (rec["flags"] & 0x07).astype(np.int64)
     if "gps_time" in dt.names:
         out["gps_time"] = rec["gps_time"]
     if "red" in dt.names:
         for c in ("red", "green", "blue"):
             out[c] = rec[c].astype(np.int64)
+    if "nir" in dt.names:
+        out["nir"] = rec["nir"].astype(np.int64)
     return out
 
 
@@ -191,12 +238,14 @@ def write_las(
     classification: np.ndarray | None = None,
     gps_time: np.ndarray | None = None,
     rgb: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    nir: np.ndarray | None = None,
     point_format: int = 0,
     scales: tuple[float, float, float] = (0.001, 0.001, 0.001),
     offsets: tuple[float, float, float] = (0.0, 0.0, 0.0),
     version: tuple[int, int] = (1, 2),
 ) -> LasHeader:
-    """Write an uncompressed LAS file (formats 0-3, versions 1.2/1.3/1.4).
+    """Write an uncompressed LAS file (formats 0-3 and 6-10, versions
+    1.2/1.3/1.4; formats 6-10 force 1.4 per the spec).
 
     The LAS *sink* counterpart of :func:`decode_points` — quantizes real
     coordinates to the integer grid (``round((v - offset) / scale)``),
@@ -208,6 +257,8 @@ def write_las(
     For 1.4 the legacy count is written only when it fits u32, mirroring
     large-file convention (readers must fall back to the u64 field).
     """
+    if point_format >= 6 and version < (1, 4):
+        version = (1, 4)  # the spec ties formats 6-10 to LAS 1.4
     if version not in HEADER_SIZE:
         raise ValueError(f"unsupported LAS version {version}")
     if point_format not in POINT_FIELDS:
@@ -227,9 +278,20 @@ def write_las(
         rec[name] = g.astype(np.int32)
         grid.append(g)
     rec["intensity"] = 0 if intensity is None else np.asarray(intensity, dtype=np.uint16)
-    if classification is not None:
-        rec["classification_byte"] = np.asarray(classification, dtype=np.uint8) & 0x1F
-    rec["flags"] = 1  # return number 1 of 1
+    if point_format >= 6:
+        if classification is not None:
+            rec["classification_full"] = np.asarray(classification, dtype=np.uint8)
+        rec["returns_byte"] = 0x11  # return number 1 of 1 (split nibbles)
+        if nir is not None:
+            if "nir" not in rec.dtype.names:
+                raise ValueError(f"format {point_format} has no NIR channel")
+            rec["nir"] = np.asarray(nir, dtype=np.uint16)
+    else:
+        if nir is not None:
+            raise ValueError("NIR needs point format 8 or 10")
+        if classification is not None:
+            rec["classification_byte"] = np.asarray(classification, dtype=np.uint8) & 0x1F
+        rec["flags"] = 1  # return number 1 of 1
     if "gps_time" in rec.dtype.names and gps_time is not None:
         rec["gps_time"] = np.asarray(gps_time, dtype=np.float64)
     if "red" in rec.dtype.names and rgb is not None:

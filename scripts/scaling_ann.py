@@ -78,8 +78,42 @@ def run_scale(spark, n: int) -> dict:
     similarity.pq_adc_topk(vecs, cb, qv, k=10).collect()
     out["pq_adc_topk_s"] = round(time.time() - t0, 2)
 
+    # PQ production shape: encode ONCE at write time, ADC over stored codes
+    tmp = tempfile.mkdtemp(prefix=f"pq_{n}_")
+    try:
+        t0 = time.time()
+        similarity.pq_encode(vecs, cb).write.parquet(f"{tmp}/codes")
+        out["pq_layout_write_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        codes = spark.read.parquet(f"{tmp}/codes")
+        similarity.pq_adc_on_codes(codes, cb, qv, k=10).collect()
+        out["pq_adc_on_codes_s"] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # SQ8 tier: bounds agg (train), fused encode+ADC over raw floats
+    # (inline shape), and ADC over a WRITTEN uint8-codes layout — the
+    # production shape, scanning 1/4 the bytes of float32
+    t0 = time.time()
+    lo, hi = similarity.sq8_train(vecs)
+    out["sq8_train_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    similarity.sq8_adc_topk(similarity.sq8_encode(vecs, lo, hi), lo, hi, qv, k=10).collect()
+    out["sq8_adc_inline_s"] = round(time.time() - t0, 2)
+    tmp = tempfile.mkdtemp(prefix=f"sq8_{n}_")
+    try:
+        t0 = time.time()
+        similarity.sq8_encode(vecs, lo, hi).write.parquet(f"{tmp}/codes")
+        out["sq8_layout_write_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        codes = spark.read.parquet(f"{tmp}/codes")
+        similarity.sq8_adc_topk(codes, lo, hi, qv, k=10).collect()
+        out["sq8_adc_on_codes_s"] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     vecs.unpersist()
-    for op in ("brute_topk", "ivf_probe", "pq_adc_topk"):
+    for op in ("brute_topk", "ivf_probe", "pq_adc_on_codes", "sq8_adc_on_codes"):
         out[f"{op}_vecs_per_s"] = round(n / out[f"{op}_s"], 0)
     return out
 

@@ -100,8 +100,16 @@ def run_scale(spark, n: int) -> dict:
     out["dupcov_s"] = round(time.time() - t0, 2)
     out["dupcov_docs"] = cov
 
+    # paragraph-level span dedup (round 4): explode to 8-token windows,
+    # first-occurrence window over the paragraph hash, reassemble
+    t0 = time.time()
+    para = dedup.dedup_paragraphs(docs, para_tokens=8)
+    touched = para.filter("n_kept < n_paras").count()
+    out["para_s"] = round(time.time() - t0, 2)
+    out["para_docs_touched"] = touched
+
     docs.unpersist()
-    for op in ("exact", "minhash", "simhash", "gopher", "dupcov"):
+    for op in ("exact", "minhash", "simhash", "gopher", "dupcov", "para"):
         out[f"{op}_docs_per_s"] = round(n / out[f"{op}_s"], 0)
     return out
 

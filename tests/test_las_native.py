@@ -176,3 +176,64 @@ def test_ingest_las_raw_mode(spark, tmp_path):
     a = sorted((round(r.x, 6), round(r.y, 6), round(r.z, 6)) for r in recon.collect())
     b = sorted((round(r.x, 6), round(r.y, 6), round(r.z, 6)) for r in real_df.collect())
     assert a == b
+
+
+# --- LAS 1.4 point formats 6-10 (round 4) -----------------------------------
+
+
+@pytest.mark.parametrize("point_format", [6, 7, 8, 9, 10])
+def test_round_trip_modern_formats(tmp_path, point_format):
+    x, y, z, inten, _ = _sample(400)
+    cls = np.arange(400) % 256  # formats 6+ carry the FULL classification byte
+    gps = np.linspace(3e5, 4e5, 400)
+    rgb = tuple(np.arange(400, dtype=np.uint16) * k % 65536 for k in (3, 5, 7))
+    nir = (np.arange(400, dtype=np.uint16) * 11) % 65536
+    p = str(tmp_path / f"f{point_format}.las")
+    hdr = las_native.write_las(
+        p, x, y, z, intensity=inten, classification=cls, gps_time=gps,
+        rgb=rgb, nir=nir if point_format in (8, 10) else None,
+        point_format=point_format,
+    )
+    assert hdr.point_format == point_format
+    assert hdr.version == (1, 4)  # spec ties 6-10 to LAS 1.4
+    assert hdr.record_len == las_native.POINT_RECORD_LEN[point_format]
+    cols = las_native.decode_points(p)
+    for got, want in ((cols["x"], x), (cols["y"], y), (cols["z"], z)):
+        assert np.abs(got - want).max() <= 0.0005 + 1e-9
+    assert (cols["intensity"] == inten).all()
+    assert (cols["classification"] == cls).all()  # full byte, not &0x1F
+    assert (cols["return_number"] == 1).all()
+    assert (cols["gps_time"] == gps).all()  # always present in 6-10
+    if point_format in (7, 8, 10):
+        for c, v in zip(("red", "green", "blue"), rgb):
+            assert (cols[c] == v).all()
+    if point_format in (8, 10):
+        assert (cols["nir"] == nir).all()
+    assert hdr.mins == (cols["x"].min(), cols["y"].min(), cols["z"].min())
+    assert hdr.maxs == (cols["x"].max(), cols["y"].max(), cols["z"].max())
+
+
+def test_modern_format_rejects_misplaced_nir(tmp_path):
+    x, y, z, _, _ = _sample(10)
+    with pytest.raises(ValueError, match="NIR"):
+        las_native.write_las(
+            str(tmp_path / "bad.las"), x, y, z,
+            nir=np.zeros(10, dtype=np.uint16), point_format=7,
+        )
+
+
+def test_modern_format_datasource_scan(tmp_path, spark):
+    """A format-7 (RGB + gps) LAS 1.4 file scans through
+    spark.read.format('las') with the same fixed core schema."""
+    x, y, z, inten, cls = _sample(800)
+    p = str(tmp_path / "modern.las")
+    las_native.write_las(
+        p, x, y, z, intensity=inten, classification=(cls % 256),
+        gps_time=np.linspace(0, 1, 800),
+        rgb=(np.zeros(800, np.uint16),) * 3, point_format=7,
+    )
+    df = spark.read.format("las").load(str(tmp_path))
+    assert df.count() == 800
+    hdr = las_native.read_header(p)
+    got = df.agg({"x": "min"}).collect()[0][0]
+    assert abs(got - hdr.mins[0]) < 1e-9
