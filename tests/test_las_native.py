@@ -232,6 +232,9 @@ def test_modern_format_datasource_scan(tmp_path, spark):
         gps_time=np.linspace(0, 1, 800),
         rgb=(np.zeros(800, np.uint16),) * 3, point_format=7,
     )
+    from agile_lakehouse_spark.sources.las_datasource import LasDataSource
+
+    spark.dataSource.register(LasDataSource)
     df = spark.read.format("las").load(str(tmp_path))
     assert df.count() == 800
     hdr = las_native.read_header(p)
