@@ -3341,3 +3341,47 @@ ORACLES["dq145_redact_pii"] = f"""
                '{text.PII_PATTERNS['phone'][0]}', '<PHONE>', 'g'),
                '{text.PII_PATTERNS['ip'][0]}', '<IP>', 'g') AS redacted
     FROM s ORDER BY doc_id"""
+
+
+def mor_delete_q(spark, sf_dir):
+    """dq146: merge-on-read DELETE end-to-end under the value gate —
+    load ``orders`` into a TransactionalTable, record deletion vectors
+    for one status (data files untouched; kilobytes written), then
+    aggregate the LIVE view.  The read is one scan + one broadcast
+    anti-join on (file, row position) — the Iceberg-v2 positional-delete
+    shape.  Sums are exact integer cents (floor(price*100)) so the
+    oracle, which replays the delete relationally, matches bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="dq146_mor_")
+    try:
+        t = TransactionalTable(f"{tmp}/orders")
+        t.append(orders.repartition(8))
+        t.delete_where_mor(spark, "o_orderstatus = 'F'")
+        out = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq146_mor_delete"] = mor_delete_q
+ORACLES["dq146_mor_delete"] = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders WHERE NOT (o_orderstatus = 'F')
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""

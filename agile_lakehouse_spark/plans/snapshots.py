@@ -40,6 +40,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
 
 
+def _localpath(p: str) -> str:
+    """file:///x, file:/x and /x all name the same local file."""
+    if p.startswith("file:"):
+        p = "/" + p[5:].lstrip("/")
+    return p
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed this version first — retry on latest."""
 
@@ -87,6 +94,7 @@ class TransactionalTable:
         txn: tuple[str, int] | None = None,
         base: int | None | object = _UNSET,
         schema: StructType | None = None,
+        deletes: list[str] | object = _UNSET,
     ) -> int:
         """Commit ``files`` as the snapshot SUCCEEDING version ``base``.
 
@@ -108,6 +116,12 @@ class TransactionalTable:
         prev_stats = self._stats(base) if base is not None else {}
         known = {**prev_stats, **self._pending_stats}
         stats = {f: known[f] for f in files if f in known}
+        if deletes is TransactionalTable._UNSET:
+            # ops that don't touch deletion vectors carry the base's
+            # forward; entries for files no longer in the manifest are
+            # dead weight (they anti-join against nothing) until a
+            # compact/overwrite clears them
+            deletes = self._read_manifest(base).get("deletes", []) if base is not None else []
         manifest = {
             "version": version,
             "op": op,
@@ -115,6 +129,8 @@ class TransactionalTable:
             "stats": stats,
             "committed_at": time.time(),
         }
+        if deletes:
+            manifest["deletes"] = deletes
         if schema is None and base is not None:
             # ops that don't change the schema carry the base's forward
             schema_json = self._read_manifest(base).get("schema")
@@ -389,7 +405,9 @@ class TransactionalTable:
         time travel still reads each old version under ITS schema.
         """
         base = self.latest_version()
-        return self._commit(self._stage(df), "overwrite", txn=txn, base=base, schema=df.schema)
+        return self._commit(
+            self._stage(df), "overwrite", txn=txn, base=base, schema=df.schema, deletes=[]
+        )
 
     def added_files(self, since_version: int | None, version: int | None = None) -> list[str]:
         """Data files present in ``version`` but not in ``since_version``
@@ -439,8 +457,9 @@ class TransactionalTable:
         """Physical files containing at least one row of ``marker``
         (a filtered view of the snapshot carrying ``_file``)."""
         rows = marker.select("_file").distinct().collect()
-        # input_file_name() yields URIs (file:///...); manifests store paths
-        found = {r._file.removeprefix("file://") for r in rows}
+        # scans yield URIs — file:///p (input_file_name) or file:/p
+        # (_metadata.file_path); manifests store plain local paths
+        found = {_localpath(r._file) for r in rows}
         return [f for f in files if f in found]
 
     def delete_where(self, spark: SparkSession, condition) -> int:
@@ -455,21 +474,127 @@ class TransactionalTable:
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
         latest = self.latest_version()
+        dvs = self._read_manifest(latest).get("deletes", [])
         files = self._read_manifest(latest)["files"]
         # version-schema reads: a post-evolution file set is heterogeneous,
         # and a bare parquet read would take one file's footer as THE schema
-        # (dropping newer columns from rewritten survivors)
-        tagged = self._read_files(spark, files, latest).withColumn("_file", F.input_file_name())
+        # (dropping newer columns from rewritten survivors); _live applies
+        # deletion vectors so MOR-deleted rows can't resurrect in a rewrite
+        tagged = self._live_tagged(spark, files, latest)
         affected = self._affected_files(spark, files, tagged.filter(cond))
         if not affected:
             return latest  # nothing to delete — no new version needed
         survivors = (
-            self._read_files(spark, affected, latest)
+            self._apply_deletes(spark, self._read_files(spark, affected, latest), dvs)
             .filter(~cond)
         )
         keep = [f for f in files if f not in set(affected)]
         new_files = self._stage(survivors) if survivors.limit(1).count() else []
         return self._commit(keep + new_files, "delete", base=latest)
+
+    # -- merge-on-read deletes (deletion vectors) ---------------------------
+
+    def _tag_pos(self, df: DataFrame) -> DataFrame:
+        """Append the physical row address (``_dv_file``, ``_dv_pos``)
+        from the parquet reader's hidden ``_metadata`` column — Spark's
+        native equivalent of Iceberg's (file, position) delete key."""
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "*",
+            F.col("_metadata.file_path").alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame, deletes: list[str]) -> DataFrame:
+        """Filter out rows addressed by the deletion-vector files: one
+        BROADCAST anti-join on (file path, row position) — deletion
+        vectors are tiny next to the data they mask, so the read stays a
+        single scan with a map-side filter, never a shuffle."""
+        from pyspark.sql import functions as F
+
+        if not deletes:
+            return df
+        dv = spark.read.parquet(*deletes).select("file_path", "row_index")
+        tagged = self._tag_pos(df)
+        cond = (F.col("_dv_file") == F.col("file_path")) & (
+            F.col("_dv_pos") == F.col("row_index")
+        )
+        return tagged.join(F.broadcast(dv), cond, "left_anti").drop("_dv_file", "_dv_pos")
+
+    def _live(self, spark: SparkSession, files: list[str], version: int) -> DataFrame:
+        """Version-schema read with that version's deletion vectors applied."""
+        return self._apply_deletes(
+            spark,
+            self._read_files(spark, files, version),
+            self._read_manifest(version).get("deletes", []),
+        )
+
+    def _live_tagged(self, spark: SparkSession, files: list[str], version: int) -> DataFrame:
+        """DV-applied read carrying ``_file`` (the physical source path).
+
+        Tagged from ``_metadata.file_path`` BEFORE the deletion-vector
+        anti-join: ``input_file_name()`` refuses multi-source plans (the
+        DV join adds a second parquet source), and the metadata column
+        binds to its scan regardless."""
+        from pyspark.sql import functions as F
+
+        df = self._read_files(spark, files, version).withColumn(
+            "_file", F.col("_metadata.file_path")
+        )
+        return self._apply_deletes(
+            spark, df, self._read_manifest(version).get("deletes", [])
+        )
+
+    def delete_where_mor(self, spark: SparkSession, condition) -> int:
+        """Merge-on-read DELETE (Iceberg-v2-style positional deletes):
+        instead of rewriting every file containing a matching row
+        (:meth:`delete_where`'s copy-on-write), record the matches'
+        (file, row position) pairs as a deletion-vector parquet and leave
+        all data files untouched.
+
+        The 100 TB trade: a predicate touching 1 row per file makes
+        copy-on-write rewrite the whole table; merge-on-read writes
+        kilobytes and defers the rewrite to :meth:`compact` / OPTIMIZE,
+        which read through :meth:`read` (vectors applied) and commit with
+        an empty vector list — materializing the deletes.  Reads pay one
+        broadcast anti-join until then.
+        """
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        latest = self.latest_version()
+        m = self._read_manifest(latest)
+        files = m["files"]
+        old = m.get("deletes", [])
+        live = self._tag_pos(self._read_files(spark, files, latest))
+        if old:
+            dv = self.spark_read_dv(spark, old)
+            live = live.join(
+                F.broadcast(dv),
+                (F.col("_dv_file") == F.col("file_path"))
+                & (F.col("_dv_pos") == F.col("row_index")),
+                "left_anti",
+            )
+        matched = live.filter(cond).select(
+            F.col("_dv_file").alias("file_path"), F.col("_dv_pos").alias("row_index")
+        )
+        stage_dir = os.path.join(self.path, f"deletes-{uuid.uuid4().hex}")
+        matched.write.parquet(stage_dir)
+        paths = [
+            os.path.join(stage_dir, f)
+            for f in sorted(os.listdir(stage_dir))
+            if f.endswith(".parquet")
+        ]
+        import pyarrow.parquet as pq
+
+        if sum(pq.ParquetFile(p).metadata.num_rows for p in paths) == 0:
+            return latest  # no matches — no new version needed
+        return self._commit(files, "delete-mor", base=latest, deletes=old + paths)
+
+    @staticmethod
+    def spark_read_dv(spark: SparkSession, deletes: list[str]) -> DataFrame:
+        return spark.read.parquet(*deletes).select("file_path", "row_index")
 
     def last_txn_batch(self, app: str) -> int:
         """Highest batch id committed by ``app``, or -1 (idempotence probe
@@ -498,13 +623,16 @@ class TransactionalTable:
             return self._commit(self._stage(source), "merge", txn=txn, base=latest, schema=source.schema)
         schema = self._evolved_schema(latest, source)
         files = self._read_manifest(latest)["files"]
+        dvs = self._read_manifest(latest).get("deletes", [])
         keys = source.select(key).distinct()
-        tagged = self._read_files(spark, files, latest).withColumn("_file", F.input_file_name())
+        tagged = self._live_tagged(spark, files, latest)
         affected = self._affected_files(spark, files, tagged.join(F.broadcast(keys), key, "left_semi"))
         keep = [f for f in files if f not in set(affected)]
         new_files = []
         if affected:
-            survivors = self._read_files(spark, affected, latest).join(F.broadcast(keys), key, "left_anti")
+            survivors = self._apply_deletes(
+                spark, self._read_files(spark, affected, latest), dvs
+            ).join(F.broadcast(keys), key, "left_anti")
             if survivors.limit(1).count():
                 new_files += self._stage(survivors)
         new_files += self._stage(source)
@@ -537,7 +665,7 @@ class TransactionalTable:
         files = self._read_manifest(v)["files"]
         if not files:
             raise FileNotFoundError("empty snapshot")
-        return self._read_files(spark, files, v)
+        return self._live(spark, files, v)
 
     def prune_files(self, ranges: dict[str, tuple[float, float]], version: int | None = None) -> list[str]:
         """Manifest-stats file skipping: the files a scan with the given
@@ -587,7 +715,7 @@ class TransactionalTable:
         files = self.prune_files(ranges, version)
         if not files:
             return self.read(spark, version).limit(0)
-        df = self._read_files(spark, files, v)
+        df = self._live(spark, files, v)
         pred = F.lit(True)
         for col, (lo, hi) in ranges.items():
             pred = pred & (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
@@ -650,10 +778,13 @@ class TransactionalTable:
         vs = self.versions()
         keep = set()
         for v in vs[-keep_versions:]:
-            keep.update(self._read_manifest(v)["files"])
+            m = self._read_manifest(v)
+            keep.update(m["files"])
+            keep.update(m.get("deletes", []))
         removed = []
         for v in vs[:-keep_versions] if keep_versions else vs:
-            for f in self._read_manifest(v)["files"]:
+            m = self._read_manifest(v)
+            for f in m["files"] + m.get("deletes", []):
                 if f not in keep and os.path.exists(f):
                     os.unlink(f)
                     removed.append(f)

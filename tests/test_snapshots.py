@@ -454,3 +454,75 @@ def test_bloom_probe_bool_column(spark, tmp_path):
     )
     assert t.lookup(spark, "flag", True).count() == 50
     assert t.lookup(spark, "flag", False).count() == 50
+
+
+# --- merge-on-read deletion vectors (round 4) --------------------------------
+
+
+def test_mor_delete_hides_rows_and_time_travels(spark, table):
+    table.append(_df(spark, 0, 100))
+    v = table.delete_where_mor(spark, "k < 20")
+    assert v == 1
+    assert table.read(spark).count() == 80
+    assert table.read(spark).agg(F.min("k")).collect()[0][0] == 20
+    # data files untouched: the new version lists the SAME files
+    h = table.history()
+    assert h[1]["files"] == h[0]["files"]
+    assert h[1].get("deletes")
+    # time travel to before the delete sees all rows
+    assert table.read(spark, version=0).count() == 100
+
+
+def test_mor_deletes_accumulate_and_scan_applies_them(spark, table):
+    table.append(_df(spark, 0, 50))
+    table.delete_where_mor(spark, "k < 10")
+    table.delete_where_mor(spark, "k >= 40")
+    assert table.read(spark).count() == 30
+    got = table.scan(spark, {"k": (0.0, 100.0)}).agg(F.count("*")).collect()[0][0]
+    assert got == 30
+    # no-match delete commits nothing new
+    v = table.latest_version()
+    assert table.delete_where_mor(spark, "k > 999") == v
+
+
+def test_mor_then_cow_delete_no_resurrection(spark, table):
+    table.append(_df(spark, 0, 40))
+    table.delete_where_mor(spark, "k < 10")        # rows 0-9 masked
+    table.delete_where(spark, "k >= 30")           # COW rewrite of the file
+    # the rewrite must NOT bring rows 0-9 back
+    ks = sorted(r.k for r in table.read(spark).collect())
+    assert ks == list(range(10, 30))
+
+
+def test_mor_then_merge_no_resurrection(spark, table):
+    table.append(_df(spark, 0, 20))
+    table.delete_where_mor(spark, "k < 5")
+    src = spark.range(18, 25).select(F.col("id").alias("k"), F.lit(-1).cast("bigint").alias("v"))
+    table.merge(spark, src, key="k")
+    ks = sorted(r.k for r in table.read(spark).collect())
+    assert ks == list(range(5, 25))
+    assert table.read(spark).filter("k = 18").collect()[0].v == -1
+
+
+def test_compact_materializes_mor_deletes(spark, table):
+    table.append(_df(spark, 0, 60))
+    table.delete_where_mor(spark, "k % 2 = 0")
+    assert table.read(spark).count() == 30
+    table.compact(spark)
+    m = table.history()[-1]
+    assert not m.get("deletes")  # vectors cleared by the rewrite
+    assert table.read(spark).count() == 30
+    assert all(r.k % 2 == 1 for r in table.read(spark).collect())
+
+
+def test_vacuum_reclaims_old_delete_vectors(spark, table):
+    import os
+
+    table.append(_df(spark, 0, 30))
+    table.delete_where_mor(spark, "k < 5")
+    dvs = table.history()[-1]["deletes"]
+    table.compact(spark)  # materialize -> DVs unreachable from latest
+    removed = table.vacuum(keep_versions=1)
+    assert all(not os.path.exists(p) for p in dvs)
+    assert any(p in set(removed) for p in dvs)
+    assert table.read(spark).count() == 25
