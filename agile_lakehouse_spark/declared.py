@@ -3385,3 +3385,105 @@ ORACLES["dq146_mor_delete"] = """
            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM orders WHERE NOT (o_orderstatus = 'F')
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+
+def ivfpq_topk_q(spark, sf_dir):
+    """dq147: the COMPOSED billion-scale ANN layout under the value gate —
+    IVF cell assignment + PQ codes written once (partitionBy(cell), m
+    bytes of payload per vector), then a probe that partition-prunes to
+    nprobe directories and runs ADC over stored codes only.  No raw
+    vector is read at query time.  The oracle replays centroid ranking,
+    argmax assignment, PQ encoding and the ADC sum relationally."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, IVF_M)
+    cb = similarity.pq_codebook(emb, m=PQ_M, ksub=PQ_KSUB)
+    qvec = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    tmp = tempfile.mkdtemp(prefix="dq147_ivfpq_")
+    try:
+        similarity.ivfpq_write_layout(emb, f"{tmp}/ivfpq", cents, cb)
+        out = similarity.ivfpq_topk_on_layout(
+            spark, f"{tmp}/ivfpq", qvec, cents, cb, k=ANN_K, nprobe=IVF_NPROBE
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq147_ivfpq_topk"] = ivfpq_topk_q
+ORACLES["dq147_ivfpq_topk"] = f"""
+    WITH cb AS (
+        SELECT row_number() OVER (ORDER BY {_PQ_HASH_ORDER}) - 1 AS code, embedding
+        FROM embeddings ORDER BY {_PQ_HASH_ORDER} LIMIT {PQ_KSUB}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_M}),
+    probe AS (SELECT cid FROM (SELECT cid, {vector.cosine_duck('cv', 'qv', EMB_DIM)} AS qcos
+                               FROM cents CROSS JOIN q)
+              ORDER BY qcos DESC, cid ASC LIMIT {IVF_NPROBE}),
+    cscored AS (SELECT e.vec_id AS vid, c.cid AS cid,
+                       {vector.cosine_duck('e.embedding', 'c.cv', EMB_DIM)} AS cos
+                FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vid, cid FROM
+                 (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn
+                  FROM cscored) WHERE rn = 1),
+    d AS (
+        SELECT e.vec_id, cb.code,
+               {_PQ_D_COLS}
+        FROM embeddings e CROSS JOIN cb),
+    codes AS (
+        SELECT vec_id,
+               {_PQ_CODE_COLS}
+        FROM d GROUP BY vec_id),
+    lut AS (
+        SELECT cb.code,
+               {_PQ_L_COLS}
+        FROM cb CROSS JOIN q)
+    SELECT c.vec_id, c.code0, c.code1, c.code2, c.code3,
+           (floor(({_PQ_ADC}) * 10000.0 + 0.5) / 10000.0) AS adc_dist
+    FROM codes c
+        JOIN assign ON c.vec_id = assign.vid
+        JOIN probe ON assign.cid = probe.cid
+        {_PQ_LUT_JOINS}
+    ORDER BY ({_PQ_ADC}) ASC, c.vec_id ASC LIMIT {ANN_K}"""
+
+
+def semantic_dedup_q(spark, sf_dir):
+    """dq148: SemDeDup end-to-end — IVF-cell clustering, within-cell
+    cosine near-dup pairs, connected-component grouping, min-id
+    representative per group.  Every row of the corpus comes back with
+    (cell, grp, kept); the oracle replays the cells, the round4-gated
+    pair predicate and the grouping via a recursive CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, IVF_M)
+    return similarity.semantic_dedup(emb, cents, threshold=EMB_COS_T).orderBy("vec_id")
+
+
+SPARK_QUERIES["dq148_semantic_dedup"] = semantic_dedup_q
+ORACLES["dq148_semantic_dedup"] = f"""
+    WITH RECURSIVE
+    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_M}),
+    cscored AS (SELECT e.vec_id AS vid, c.cid AS cid,
+                       {vector.cosine_duck('e.embedding', 'c.cv', EMB_DIM)} AS cos
+                FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vid, cid FROM
+                 (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn
+                  FROM cscored) WHERE rn = 1),
+    tagged AS (SELECT e.vec_id, e.embedding, a.cid AS cell
+               FROM embeddings e JOIN assign a ON e.vec_id = a.vid),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM tagged a JOIN tagged b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE (floor(({vector.cosine_duck('a.embedding', 'b.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) >= {EMB_COS_T}),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    walk(id, lbl) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.id),
+    comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)
+    SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+           CAST(t.cell AS BIGINT) AS cell,
+           CAST(coalesce(c.component, t.vec_id) AS BIGINT) AS grp,
+           coalesce(c.component, t.vec_id) = t.vec_id AS kept
+    FROM tagged t LEFT JOIN comp c ON c.id = t.vec_id
+    ORDER BY vec_id"""

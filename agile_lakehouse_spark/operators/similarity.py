@@ -676,3 +676,106 @@ def sq8_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- IVF-PQ composed layout --------------------------------------------------
+#
+# The standard billion-scale ANN shape (FAISS IVFPQ, Isenburg-free zone):
+# coarse quantizer prunes PARTITIONS, product quantizer shrinks the BYTES
+# scanned inside them.  Both halves already exist (ivf_write_layout,
+# pq_adc_on_codes); this composes them into one layout + one probe.
+
+
+def ivfpq_write_layout(
+    df: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """One-time layout: assign each vector's IVF cell AND its PQ codes,
+    write ``partitionBy(cell)`` keeping ONLY (id, codes) — m bytes of
+    payload per vector instead of 4·D.  At 100 TB this is the write half
+    of the split the ANN ladder measured: probes then read nprobe/m of
+    the partitions at m/(4·D) of the bytes.
+
+    One shuffle total (the groupBy in ivf_assign's argmax); PQ encode is
+    a pure projection joined back on the id — broadcast when the frame
+    is small, hash otherwise, both write-time-only costs.
+    """
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    codes = pq_encode(df, codebook, vec_col, id_col)
+    (
+        codes.join(assigned, id_col)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_topk_on_layout(
+    spark,
+    path: str,
+    qvec: list[float],
+    centroids: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an :func:`ivfpq_write_layout` table: rank centroids against
+    the query (tiny, driver-side), partition-prune to ``nprobe`` cell
+    directories, ADC over the stored codes — no raw vector is ever read
+    at query time."""
+    q = _query_array(qvec)
+    cells = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", vector.cosine(F.col("centroid_vec"), q).alias("qcos")
+        )
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cands = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return pq_adc_on_codes(cands, codebook, qvec, k, id_col)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (the public recipe of Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster embeddings into cells, find within-cell cosine near-dup
+    PAIRS, connect them into duplicate GROUPS, keep each group's minimum
+    id.  Returns every input id with (cell, grp, kept) — callers filter
+    ``kept`` for the pruned corpus or aggregate grp for dedup stats.
+
+    Composition of three operators that each hold at 100 TB: the cell
+    assignment is one broadcast projection + argmax (write-time layout at
+    scale), the pair join blocks on the cell key (never all-pairs — the
+    paper's own trick), and grouping is the O(diameter) min-label CC
+    engine.  Near-dup groups have tiny diameters (similarity is almost
+    transitive at high thresholds), so CC converges in 2-3 rounds.
+    """
+    from agile_lakehouse_spark.operators import graph
+
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    tagged = df.join(assigned, id_col)
+    pairs = embedding_near_dup(
+        tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
+    )
+    comps = graph.connected_components(pairs, src="id_a", dst="id_b", id_col=id_col)
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    return tagged.join(comps, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell").cast("bigint").alias("cell"),
+        rep.cast("bigint").alias("grp"),
+        (rep == F.col(id_col)).alias("kept"),
+    )

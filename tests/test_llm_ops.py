@@ -733,3 +733,72 @@ def test_redact_pii_counts_and_tokens(spark):
     assert rows[1]["redacted"] == "mail <EMAIL> and <EMAIL> call <PHONE> host <IP>"
     assert rows[2]["n_emails"] == rows[2]["n_phones"] == rows[2]["n_ips"] == 0
     assert rows[2]["redacted"] == rows[2]["text"]
+
+
+def test_ivfpq_layout_probe_matches_relational(spark, sf_dir, tmp_path):
+    """The composed IVF-PQ layout returns exactly the PQ-ADC ranking of
+    the vectors assigned to the probed cells, and the probe touches only
+    nprobe partition directories."""
+    import re
+
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, 8)
+    cb = similarity.pq_codebook(emb, m=4, ksub=16)
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    path = str(tmp_path / "ivfpq")
+    similarity.ivfpq_write_layout(emb, path, cents, cb)
+
+    got = similarity.ivfpq_topk_on_layout(spark, path, qv, cents, cb, k=10, nprobe=2)
+    rows = got.collect()
+    assert len(rows) == 10
+
+    # relational twin: assign + filter to the probed cells, ADC inline
+    from agile_lakehouse_spark.functions import vector
+
+    q_arr = F.array(*[F.lit(v) for v in qv])
+    probed = (
+        cents.select(
+            "centroid_id", vector.cosine(F.col("centroid_vec"), q_arr).alias("qcos")
+        )
+        .orderBy(F.desc("qcos"), F.asc("centroid_id"))
+        .limit(2)
+    )
+    cells = [r["centroid_id"] for r in probed.collect()]
+    assigned = similarity.ivf_assign(emb, cents)
+    cands = emb.join(assigned.filter(F.col("cell").isin(cells)), "vec_id")
+    want = similarity.pq_adc_topk(cands, cb, qv, k=10).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in rows] == [
+        (r["vec_id"], r["adc_dist"]) for r in want
+    ]
+
+    # layout payload is codes-only (no raw embedding column on disk)
+    on_disk = spark.read.parquet(path)
+    assert "embedding" not in on_disk.columns
+    # partition pruning: only the probed cell dirs are listed
+    files = (
+        on_disk.filter(F.col("cell").isin(cells))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    )
+    seen = {m.group(1) for r in files if (m := re.search(r"cell=(\d+)", r[0]))}
+    assert seen and len(seen) <= 2
+
+
+def test_semantic_dedup_groups_and_reps(spark):
+    """Two synthetic near-identical vectors must land in one group with
+    the lower id kept; an orthogonal vector stays a kept singleton."""
+    base = [1.0] + [0.0] * 7
+    near = [0.999] + [0.001] * 7
+    ortho = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = df.selectExpr("vec_id AS centroid_id", "embedding AS centroid_vec").limit(1)
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert out[0]["kept"] and out[0]["grp"] == 0
+    assert not out[1]["kept"] and out[1]["grp"] == 0
+    assert out[2]["kept"] and out[2]["grp"] == 2
