@@ -3487,3 +3487,87 @@ ORACLES["dq148_semantic_dedup"] = f"""
            coalesce(c.component, t.vec_id) = t.vec_id AS kept
     FROM tagged t LEFT JOIN comp c ON c.id = t.vec_id
     ORDER BY vec_id"""
+
+
+def resample_interpolate_q(spark, sf_dir):
+    """dq149: gap-filled hourly resampling with linear interpolation per
+    user over ``events`` — spine union + forward/backward ignore-nulls
+    window passes, interpolation as a pure projection (the TimescaleDB
+    time_bucket_gapfill + interpolate shape, O(events + slots), no
+    per-slot probe)."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.resample_interpolate(ev, step_s=3600)
+
+
+SPARK_QUERIES["dq149_resample_interpolate"] = resample_interpolate_q
+ORACLES["dq149_resample_interpolate"] = """
+    WITH e0 AS (
+        SELECT user_id, epoch_us(ts) AS t_us, avg(CAST(value AS DOUBLE)) AS v
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT user_id, min(t_us) AS lo, max(t_us) AS hi FROM e0 GROUP BY 1),
+    spine AS (SELECT user_id,
+                     unnest(generate_series((lo + 3599999999) // 3600000000,
+                                            hi // 3600000000)) AS slot
+              FROM b),
+    u AS (
+        SELECT user_id, t_us, v, 1 AS is_ev FROM e0
+        UNION ALL
+        SELECT user_id, slot * 3600000000, NULL, 0 FROM spine),
+    w AS (
+        SELECT user_id, t_us, is_ev,
+          last_value(CASE WHEN is_ev = 1 THEN v END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY t_us ASC, is_ev DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN is_ev = 1 THEN t_us END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY t_us ASC, is_ev DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          last_value(CASE WHEN is_ev = 1 THEN v END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY t_us DESC, is_ev DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+          last_value(CASE WHEN is_ev = 1 THEN t_us END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY t_us DESC, is_ev DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
+        FROM u)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(t_us // 1000000 AS BIGINT) AS slot_s,
+           (floor((CASE WHEN nt = pt THEN pv
+                        ELSE pv + (nv - pv) * (CAST(t_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                   END) * 10000.0 + 0.5) / 10000.0) AS v_interp
+    FROM w WHERE is_ev = 0 ORDER BY user_id, slot_s"""
+
+
+def profile_table_q(spark, sf_dir):
+    """dq150: one-pass data-profiling summary over ``orders`` — per
+    column: rows, nulls, exact distinct, type-portable min/max (numerics
+    as doubles, timestamps as epoch seconds, strings by length).  ONE
+    scan + one aggregate (multi-count-distinct via expand); output is
+    O(columns)."""
+    return relational.profile_table(load_table(spark, sf_dir, "orders"))
+
+
+SPARK_QUERIES["dq150_profile_table"] = profile_table_q
+_PROF_SPECS = [
+    ("o_orderkey", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "CAST(o_custkey AS DOUBLE)"),
+    ("o_orderstatus", "CAST(length(o_orderstatus) AS DOUBLE)"),
+    ("o_totalprice", "CAST(o_totalprice AS DOUBLE)"),
+    ("o_orderdate", "CAST(epoch_us(o_orderdate) AS DOUBLE) / 1000000.0"),
+    ("o_orderpriority", "CAST(length(o_orderpriority) AS DOUBLE)"),
+]
+ORACLES["dq150_profile_table"] = (
+    "WITH p AS ("
+    + " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min({e}) AS lo, max({e}) AS hi FROM orders"""
+        for c, e in _PROF_SPECS
+    )
+    + """)
+    SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           (floor(lo * 10000.0 + 0.5) / 10000.0) AS min_v,
+           (floor(hi * 10000.0 + 0.5) / 10000.0) AS max_v
+    FROM p ORDER BY "column" """
+)

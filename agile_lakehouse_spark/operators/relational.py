@@ -2322,3 +2322,162 @@ def scd2_history(spark: SparkSession, sf_dir: str, max_user: int = 20) -> DataFr
         .select("user_id", "version", "event_id", round4(F.col("attr_value")).alias("attr_value"), "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "version")
     )
+
+
+def resample_interpolate(
+    df,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    val_col: str = "value",
+    step_s: int = 3600,
+):
+    """Per-key time-series resampling with LINEAR interpolation: emit one
+    row per ``step_s``-second grid slot inside each key's [min(ts),
+    max(ts)] span, valued by interpolating between the bracketing events
+    (the TimescaleDB ``time_bucket_gapfill`` + ``interpolate`` shape).
+
+    One union (events + generated spine) and TWO windows per key — a
+    forward pass carrying the previous event's (t, v) and a reverse pass
+    carrying the next's — then a pure projection does the interpolation
+    arithmetic.  No asof join per grid point, no per-slot probe: cost is
+    O(events + slots) rows through two sorts on the key partition, the
+    shape that holds when keys number in the millions.
+
+    Numeric portability: timestamps become integer MICROS before any
+    arithmetic (exact in both engines; the fraction divides two integer
+    deltas cast to double), events at an identical (key, micro) collapse
+    by avg first so window tie order can't differ between engines.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.functions.portable import round4
+
+    step_us = step_s * 1_000_000
+    e0 = (
+        df.select(
+            F.col(key_col), F.unix_micros(F.col(ts_col)).alias("t_us"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy(key_col, "t_us")
+        .agg(F.avg("v").alias("v"))
+    )
+    bounds = e0.groupBy(key_col).agg(F.min("t_us").alias("lo"), F.max("t_us").alias("hi"))
+    # exact integer floor-div: double division of ~1e15 epochs can land a
+    # hair under an integer and truncate one slot off vs the oracle's //
+    spine = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                F.expr(f"(lo + {step_us - 1}) div {step_us}"),
+                F.expr(f"hi div {step_us}"),
+            )
+        ).alias("slot"),
+    )
+    u = e0.select(key_col, "t_us", "v", F.lit(1).alias("is_ev")).unionByName(
+        spine.select(
+            F.col(key_col),
+            (F.col("slot") * step_us).alias("t_us"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(0).alias("is_ev"),
+        )
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("t_us").asc(), F.col("is_ev").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("t_us").desc(), F.col("is_ev").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ev_v = F.when(F.col("is_ev") == 1, F.col("v"))
+    ev_t = F.when(F.col("is_ev") == 1, F.col("t_us"))
+    w = u.select(
+        key_col, "t_us", "is_ev",
+        F.last(ev_v, ignorenulls=True).over(fwd).alias("pv"),
+        F.last(ev_t, ignorenulls=True).over(fwd).alias("pt"),
+        F.last(ev_v, ignorenulls=True).over(bwd).alias("nv"),
+        F.last(ev_t, ignorenulls=True).over(bwd).alias("nt"),
+    )
+    frac = (F.col("t_us") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = F.when(F.col("nt") == F.col("pt"), F.col("pv")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return (
+        w.filter(F.col("is_ev") == 0)
+        .select(
+            F.col(key_col).cast("bigint").alias(key_col),
+            F.expr("t_us div 1000000").alias("slot_s"),
+            round4(interp).alias("v_interp"),
+        )
+        .orderBy(key_col, "slot_s")
+    )
+
+
+def profile_table(df):
+    """One-pass data-profiling summary: one OUTPUT row per column with
+    row count, null count, exact distinct count, and a type-portable
+    min/max (numerics as doubles, dates as days-since-epoch, strings by
+    LENGTH — engine-neutral, unlike string-rendering a double).
+
+    The whole profile is ONE aggregate over the table (Spark plans the
+    multi-count-distinct via expand, still a single scan + one shuffle),
+    then a driver-side pivot of the 1-row result into the per-column
+    frame — profile output is O(columns), never data-sized.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from agile_lakehouse_spark.functions.portable import round4
+
+    num = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+           T.FloatType, T.DoubleType, T.DecimalType)
+    aggs, cols = [], []
+    for f in df.schema.fields:
+        c = f.name
+        if isinstance(f.dataType, num):
+            lo, hi = F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))
+        elif isinstance(f.dataType, T.DateType):
+            lo = F.min(F.datediff(F.col(c), F.lit("1970-01-01")).cast("double"))
+            hi = F.max(F.datediff(F.col(c), F.lit("1970-01-01")).cast("double"))
+        elif isinstance(f.dataType, T.TimestampType):
+            lo = F.min(F.unix_micros(F.col(c)).cast("double") / 1_000_000.0)
+            hi = F.max(F.unix_micros(F.col(c)).cast("double") / 1_000_000.0)
+        elif isinstance(f.dataType, T.StringType):
+            lo, hi = F.min(F.length(c).cast("double")), F.max(F.length(c).cast("double"))
+        else:
+            continue
+        cols.append(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            lo.alias(f"{c}__lo"),
+            hi.alias(f"{c}__hi"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (
+            c,
+            int(row[f"{c}__n"]),
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__distinct"]),
+            float(row[f"{c}__lo"]) if row[f"{c}__lo"] is not None else None,
+            float(row[f"{c}__hi"]) if row[f"{c}__hi"] is not None else None,
+        )
+        for c in cols
+    ]
+    spark = df.sparkSession
+    res = spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
+        "min_v double, max_v double",
+    )
+    return res.select(
+        "column", "n_rows", "n_nulls", "n_distinct",
+        round4(F.col("min_v")).alias("min_v"), round4(F.col("max_v")).alias("max_v"),
+    ).orderBy("column")

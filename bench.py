@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "dq139_wav_frames",  # real WAV decode, 1->N frame expansion (round 4)
     "dq143_dedup_paragraphs",  # span-level dedup, two bounded shuffles (round 4)
     "dq144_sq8_topk",  # SQ8 train+encode+ADC, pure projections (round 4)
+    "dq148_semantic_dedup",  # SemDeDup: cells + pairs + CC grouping (round 4)
 ]
 
 

@@ -338,3 +338,42 @@ def test_keyset_pagination_is_top_k(spark, sf_dir):
     work, no global sort."""
     df = relational.keyset_pagination(spark, sf_dir)
     assert explain.is_top_k(df)
+
+
+# --- round-4: time-series resampling + table profiling ----------------------
+
+
+def test_resample_interpolate_exact_values(spark):
+    from datetime import datetime
+
+    from agile_lakehouse_spark.operators.relational import resample_interpolate
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), 10.0),
+            (1, datetime(2024, 1, 1, 2, 30), 30.0),   # linear: 01:00 -> 15, 02:00 -> 25
+            (2, datetime(2024, 1, 1, 5, 0), 7.0),     # single event ON a slot
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    rows = {(r.user_id, r.slot_s): r.v_interp for r in resample_interpolate(df).collect()}
+    h = 3600
+    base = int(datetime(2024, 1, 1).timestamp())  # conftest pins UTC
+    assert rows[(1, base + 1 * h)] == 15.0
+    assert rows[(1, base + 2 * h)] == 25.0
+    assert rows[(2, base + 5 * h)] == 7.0
+    assert len(rows) == 3  # spine spans [ceil(min), floor(max)] only
+
+
+def test_profile_table_counts_and_bounds(spark):
+    from agile_lakehouse_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "ab", 2.5), (2, None, -1.0), (3, "wxyz", None)],
+        "k bigint, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 3 and (out["k"]["min_v"], out["k"]["max_v"]) == (1.0, 3.0)
+    assert out["s"]["n_nulls"] == 1 and (out["s"]["min_v"], out["s"]["max_v"]) == (2.0, 4.0)
+    assert out["v"]["n_nulls"] == 1 and out["v"]["min_v"] == -1.0 and out["v"]["max_v"] == 2.5
