@@ -3571,3 +3571,60 @@ ORACLES["dq150_profile_table"] = (
            (floor(hi * 10000.0 + 0.5) / 10000.0) AS max_v
     FROM p ORDER BY "column" """
 )
+
+
+def sessionize_capped_q(spark, sf_dir):
+    """dq151: sessionization with max-gap AND max-duration rules — gap
+    islands split at anchored cap_s offsets from island start.  Three
+    windows over ONE (user, ts) exchange; bounds per-session state at
+    any scale (the unbounded-bot-session guard)."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.sessionize_capped(ev, gap_s=1800, cap_s=7200)
+
+
+def retention_cohorts_q(spark, sf_dir):
+    """dq152: retention-cohort triangle over 6-hour periods — first-seen
+    cohort per user joined to distinct (user, period) activity, counted
+    by (cohort, age).  Two hash aggs + one key join; no self-join on
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    return relational.retention_cohorts(ev, period_s=21600)
+
+
+SPARK_QUERIES["dq151_sessionize_capped"] = sessionize_capped_q
+SPARK_QUERIES["dq152_retention_cohorts"] = retention_cohorts_q
+
+ORACLES["dq151_sessionize_capped"] = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS t_ms,
+               lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        FROM events),
+    isl AS (
+        SELECT user_id, event_id, t_ms,
+               sum(CASE WHEN prev_ms IS NULL OR t_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM e),
+    sub AS (
+        SELECT user_id, island, t_ms,
+               (t_ms - min(t_ms) OVER (PARTITION BY user_id, island)) // 7200000 AS sub_session
+        FROM isl)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(island AS BIGINT) AS island,
+           CAST(sub_session AS BIGINT) AS sub_session,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(t_ms) AS BIGINT) AS start_ms,
+           CAST(max(t_ms) AS BIGINT) AS end_ms
+    FROM sub GROUP BY user_id, island, sub_session
+    ORDER BY user_id, island, sub_session"""
+
+ORACLES["dq152_retention_cohorts"] = """
+    WITH ev AS (SELECT user_id, epoch_ms(ts) // 21600000 AS slot FROM events),
+    first AS (SELECT user_id, min(slot) AS cohort FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, slot FROM ev)
+    SELECT CAST(f.cohort AS BIGINT) AS cohort,
+           CAST(a.slot - f.cohort AS BIGINT) AS age,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY f.cohort, a.slot - f.cohort
+    ORDER BY cohort, age"""

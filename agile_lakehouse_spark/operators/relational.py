@@ -2481,3 +2481,88 @@ def profile_table(df):
         "column", "n_rows", "n_nulls", "n_distinct",
         round4(F.col("min_v")).alias("min_v"), round4(F.col("max_v")).alias("max_v"),
     ).orderBy("column")
+
+
+def sessionize_capped(
+    df,
+    gap_s: int = 1800,
+    cap_s: int = 7200,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    seq_col: str = "event_id",
+):
+    """Sessionization with BOTH a max-gap rule and a max-DURATION cap —
+    the production nuance plain gaps-and-islands misses (a bot emitting
+    one event a minute forever would otherwise make one unbounded
+    session, unbounded per-session state at 100 TB).
+
+    Gap islands form as usual (lag + running sum); each island is then
+    split at absolute ``cap_s``-sized offsets from ITS start
+    (``floor((ts - island_start) / cap)``) — a deterministic, windowed
+    rule (the last-reset variant is inherently sequential; the anchored
+    split is the portable, parallelizable formulation and bounds every
+    session's duration by cap_s all the same).
+
+    Three window passes over one (key, ts) partitioning — Catalyst
+    reuses a single Exchange for all of them.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    order = W.partitionBy(key_col).orderBy(ts_col, seq_col)
+    running = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag(ts_ms).over(order)
+    new_island = F.when(prev.isNull() | ((ts_ms - prev) > gap_s * 1000), 1).otherwise(0)
+    with_isl = df.withColumn("t_ms", ts_ms).withColumn(
+        "island", F.sum(new_island).over(running)
+    )
+    isl_start = F.min("t_ms").over(W.partitionBy(key_col, "island"))
+    with_sub = with_isl.withColumn("isl_start", isl_start).withColumn(
+        "sub", F.expr(f"(t_ms - isl_start) div {cap_s * 1000}")
+    )
+    return (
+        with_sub.groupBy(
+            F.col(key_col).cast("bigint").alias(key_col),
+            F.col("island").cast("bigint").alias("island"),
+            F.col("sub").cast("bigint").alias("sub_session"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("t_ms").alias("start_ms"),
+            F.max("t_ms").alias("end_ms"),
+        )
+        .orderBy(key_col, "island", "sub_session")
+    )
+
+
+def retention_cohorts(
+    df,
+    period_s: int = 21600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+):
+    """Retention-cohort matrix: users grouped by the period of their FIRST
+    event, counted in every later period they were active — the classic
+    product-analytics triangle.
+
+    Two hash aggregations (first-seen per user; distinct activity per
+    user-period) joined on the user key and re-aggregated — no window, no
+    self-join on events; every shuffle is on the user id or the
+    (cohort, age) pair.
+    """
+    from pyspark.sql import functions as F
+
+    slot = F.expr(f"unix_millis(CAST({ts_col} AS TIMESTAMP)) div {period_s * 1000}")
+    ev = df.select(F.col(key_col), slot.alias("slot"))
+    first = ev.groupBy(key_col).agg(F.min("slot").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, key_col)
+        .groupBy(
+            F.col("cohort").cast("bigint").alias("cohort"),
+            (F.col("slot") - F.col("cohort")).cast("bigint").alias("age"),
+        )
+        .agg(F.countDistinct(key_col).cast("bigint").alias("n_users"))
+        .orderBy("cohort", "age")
+    )

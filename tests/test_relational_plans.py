@@ -377,3 +377,22 @@ def test_profile_table_counts_and_bounds(spark):
     assert out["k"]["n_distinct"] == 3 and (out["k"]["min_v"], out["k"]["max_v"]) == (1.0, 3.0)
     assert out["s"]["n_nulls"] == 1 and (out["s"]["min_v"], out["s"]["max_v"]) == (2.0, 4.0)
     assert out["v"]["n_nulls"] == 1 and out["v"]["min_v"] == -1.0 and out["v"]["max_v"] == 2.5
+
+
+def test_sessionize_capped_splits_long_island(spark):
+    from datetime import datetime, timedelta
+
+    from agile_lakehouse_spark.operators.relational import sessionize_capped
+
+    t0 = datetime(2024, 3, 1, 12, 0)
+    rows = [(1, i, t0 + timedelta(minutes=20 * i)) for i in range(12)]  # one 220-min island
+    rows.append((1, 99, t0 + timedelta(hours=10)))  # gap -> new island
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp")
+    out = sessionize_capped(df, gap_s=1800, cap_s=7200).collect()
+    # island 1 spans 220 min -> split at the 120-min anchor into two subs
+    subs = {(r.island, r.sub_session): r.n_events for r in out}
+    assert subs[(1, 0)] == 6   # minutes 0..100
+    assert subs[(1, 1)] == 6   # minutes 120..220
+    assert subs[(2, 0)] == 1   # the gapped event
+    # every sub-session's duration is bounded by the cap
+    assert all(r.end_ms - r.start_ms <= 7200 * 1000 for r in out)
