@@ -3582,17 +3582,8 @@ def sessionize_capped_q(spark, sf_dir):
     return relational.sessionize_capped(ev, gap_s=1800, cap_s=7200)
 
 
-def retention_cohorts_q(spark, sf_dir):
-    """dq152: retention-cohort triangle over 6-hour periods — first-seen
-    cohort per user joined to distinct (user, period) activity, counted
-    by (cohort, age).  Two hash aggs + one key join; no self-join on
-    events."""
-    ev = load_table(spark, sf_dir, "events")
-    return relational.retention_cohorts(ev, period_s=21600)
-
 
 SPARK_QUERIES["dq151_sessionize_capped"] = sessionize_capped_q
-SPARK_QUERIES["dq152_retention_cohorts"] = retention_cohorts_q
 
 ORACLES["dq151_sessionize_capped"] = """
     WITH e AS (
@@ -3618,13 +3609,4 @@ ORACLES["dq151_sessionize_capped"] = """
     FROM sub GROUP BY user_id, island, sub_session
     ORDER BY user_id, island, sub_session"""
 
-ORACLES["dq152_retention_cohorts"] = """
-    WITH ev AS (SELECT user_id, epoch_ms(ts) // 21600000 AS slot FROM events),
-    first AS (SELECT user_id, min(slot) AS cohort FROM ev GROUP BY user_id),
-    active AS (SELECT DISTINCT user_id, slot FROM ev)
-    SELECT CAST(f.cohort AS BIGINT) AS cohort,
-           CAST(a.slot - f.cohort AS BIGINT) AS age,
-           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
-    FROM active a JOIN first f USING (user_id)
-    GROUP BY f.cohort, a.slot - f.cohort
-    ORDER BY cohort, age"""
+

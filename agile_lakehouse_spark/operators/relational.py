@@ -2535,34 +2535,3 @@ def sessionize_capped(
         .orderBy(key_col, "island", "sub_session")
     )
 
-
-def retention_cohorts(
-    df,
-    period_s: int = 21600,
-    ts_col: str = "ts",
-    key_col: str = "user_id",
-):
-    """Retention-cohort matrix: users grouped by the period of their FIRST
-    event, counted in every later period they were active — the classic
-    product-analytics triangle.
-
-    Two hash aggregations (first-seen per user; distinct activity per
-    user-period) joined on the user key and re-aggregated — no window, no
-    self-join on events; every shuffle is on the user id or the
-    (cohort, age) pair.
-    """
-    from pyspark.sql import functions as F
-
-    slot = F.expr(f"unix_millis(CAST({ts_col} AS TIMESTAMP)) div {period_s * 1000}")
-    ev = df.select(F.col(key_col), slot.alias("slot"))
-    first = ev.groupBy(key_col).agg(F.min("slot").alias("cohort"))
-    active = ev.distinct()
-    return (
-        active.join(first, key_col)
-        .groupBy(
-            F.col("cohort").cast("bigint").alias("cohort"),
-            (F.col("slot") - F.col("cohort")).cast("bigint").alias("age"),
-        )
-        .agg(F.countDistinct(key_col).cast("bigint").alias("n_users"))
-        .orderBy("cohort", "age")
-    )

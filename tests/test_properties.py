@@ -422,3 +422,67 @@ def test_pq_codes_minimize_subspace_distance(spark, seed):
             ]
             best = min(range(8), key=lambda j: (dists[j], j))
             assert enc[i][s] == best, (i, s)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    w=st.integers(min_value=2, max_value=4),
+)
+def test_dedup_paragraphs_matches_python_model(spark, docs, w):
+    """First-global-occurrence window dedup against a plain-Python model."""
+    from agile_lakehouse_spark.operators.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_paras, r.n_kept, r.cleaned)
+           for r in dedup_paragraphs(df, para_tokens=w).collect()}
+
+    seen: set[str] = set()
+    want = {}
+    for i, toks in enumerate(docs):
+        paras = [" ".join(toks[j * w:(j + 1) * w])
+                 for j in range((len(toks) + w - 1) // w)]
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        if paras:
+            want[i] = (len(paras), len(kept), " ".join(kept))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7200),
+                  st.floats(min_value=-100, max_value=100, allow_nan=False, width=16)),
+        min_size=1, max_size=15, unique_by=lambda t: t[0],
+    )
+)
+def test_resample_interpolate_bounds_property(spark, vals):
+    """Every interpolated value lies within [min, max] of the bracketing
+    events' values, and the slot grid covers exactly [ceil(lo), floor(hi)]."""
+    from datetime import datetime, timedelta
+
+    from agile_lakehouse_spark.operators.relational import resample_interpolate
+
+    t0 = datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [(1, t0 + timedelta(seconds=s), float(v)) for s, v in vals],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = resample_interpolate(df, step_s=600).collect()
+    lo, hi = min(v for _, v in vals), max(v for _, v in vals)
+    for r in out:
+        assert lo - 1e-6 <= r.v_interp <= hi + 1e-6
+    secs = sorted(s for s, _ in vals)
+    base = int(t0.timestamp())
+    n_slots = len(range(-((-(base + secs[0])) // 600), (base + secs[-1]) // 600 + 1))
+    assert len(out) == n_slots
