@@ -60,8 +60,14 @@ def ivf_assign(
     At scale this runs once at ingest and the result is written
     ``partitionBy(cell)`` so probes prune partitions.
     """
-    joined = df.crossJoin(F.broadcast(centroids))
-    cos = vector.cosine(F.col(vec_col), F.col(centroid_vec))
+    # hoist both self-norms out of the m-way comparison (bit-identical
+    # cos — same op sequence — at 1/3 the flops; see embedding_near_dup)
+    left = df.withColumn("_nv", vector.norm(F.col(vec_col)))
+    cents = centroids.withColumn("_nc", vector.norm(F.col(centroid_vec)))
+    joined = left.crossJoin(F.broadcast(cents))
+    cos = vector.dot(F.col(vec_col), F.col(centroid_vec)) / (
+        F.col("_nv") * F.col("_nc")
+    )
     scored = joined.select(
         F.col(id_col),
         F.col(centroid_id),
