@@ -3610,3 +3610,40 @@ ORACLES["dq151_sessionize_capped"] = """
     ORDER BY user_id, island, sub_session"""
 
 
+
+
+_BUDGETS_153 = {"src0": 700, "src1": 2000, "src2": 500, "src3": 900}
+
+
+def fill_token_budget_q(spark, sf_dir):
+    """dq153: token-budget mixture fill — each source's docs ordered by a
+    portable id hash, kept while the cumulative token count fits the
+    source's budget (src1's budget exceeds its corpus: whole-source
+    branch).  Two-phase at scale: per-(source, hash-prefix-bucket) sums
+    let the driver place the cut, and ONLY the cut bucket runs the exact
+    cumsum window — no low-cardinality-key window over a whole source.
+    The oracle replays the equivalent single global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fill_token_budget(docs, _BUDGETS_153)
+
+
+SPARK_QUERIES["dq153_fill_token_budget"] = fill_token_budget_q
+_B153_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {b}" for s, b in _BUDGETS_153.items()
+)
+_B153_IN = ", ".join(f"'{s}'" for s in _BUDGETS_153)
+ORACLES["dq153_fill_token_budget"] = f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS n_tokens,
+             {portable.hex15_duck("CAST(doc_id AS VARCHAR)")} AS h
+      FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE source IN ({_B153_IN}))),
+    w AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM w WHERE cum <= CASE {_B153_CASE} END
+    ORDER BY doc_id"""

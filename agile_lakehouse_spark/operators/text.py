@@ -678,3 +678,105 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         )
         redacted = F.regexp_replace(redacted, pat, token)
     return out.withColumn("redacted", redacted)
+
+
+# --- token-budget mixture fill ----------------------------------------------
+
+
+def fill_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    n_buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fill each source's TOKEN budget deterministically: order each
+    source's documents by a portable hash of their id (a seedless,
+    engine-reproducible shuffle) and keep the prefix whose cumulative
+    token count stays within the budget — how a training mixture's
+    "300 B tokens of web, 50 B of code" spec becomes a concrete document
+    set.
+
+    Semantics == one global window per source (cumsum over hash order,
+    keep ``cum <= budget``), but computed in TWO PHASES so no window ever
+    sees a whole source (a per-source window shuffles 100 TB onto a
+    handful of partitions — the classic low-cardinality-key skew):
+
+    1. bucket = top bits of the hash (a PREFIX of the order key, so
+       buckets are contiguous runs of the order); per-(source, bucket)
+       token sums — a tiny aggregate (sources x n_buckets rows) — let the
+       driver prefix-sum to find each source's CUT bucket and the budget
+       remaining inside it.
+    2. buckets before the cut are kept whole (no window at all); ONLY the
+       cut bucket runs the exact cumsum window, over ~1/n_buckets of one
+       source.
+
+    Raise ``n_buckets`` (power of two) as sources grow: the windowed
+    fraction shrinks as 1/n_buckets while phase 1 stays tiny.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    assert n_buckets & (n_buckets - 1) == 0 and 0 < n_buckets <= 2**30
+    shift = 2 ** (60 - int(math.log2(n_buckets)))  # hex15 yields 60 bits
+    h = F.expr(portable.hex15_spark(f"CAST({id_col} AS STRING)"))
+    toks = F.expr(portable.tokens_spark(text_col))
+    n_tok = F.when(
+        (F.size(toks) == 1) & (F.element_at(toks, 1) == ""), F.lit(0)
+    ).otherwise(F.size(toks)).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tokens"),
+        h.alias("_h"),
+    ).withColumn("_bucket", F.expr(f"_h div {shift}"))
+
+    sums = {
+        (r["source"], r["_bucket"]): r["tok_sum"]
+        for r in base.groupBy("source", "_bucket")
+        .agg(F.sum("n_tokens").alias("tok_sum"))
+        .collect()
+    }
+    full_pred, cut_info = F.lit(False), []
+    for src, budget in budgets.items():
+        acc = 0
+        for b in range(n_buckets):
+            s = sums.get((src, b), 0)
+            if acc + s <= budget:
+                acc += s
+                continue
+            # b is the cut bucket; budget remaining inside it: budget - acc
+            full_pred = full_pred | (
+                (F.col("source") == src) & (F.col("_bucket") < b)
+            )
+            cut_info.append((src, b, budget - acc))
+            break
+        else:  # whole source fits
+            full_pred = full_pred | (F.col("source") == src)
+
+    kept_full = base.filter(full_pred)
+    parts = [kept_full]
+    if cut_info:
+        cut_pred = F.lit(False)
+        rem_map = F.lit(None).cast("bigint")
+        for src, b, rem in cut_info:
+            cut_pred = cut_pred | ((F.col("source") == src) & (F.col("_bucket") == b))
+            rem_map = F.when((F.col("source") == src), F.lit(rem)).otherwise(rem_map)
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        in_cut = base.filter(cut_pred).withColumn("_cum", F.sum("n_tokens").over(w))
+        parts.append(in_cut.filter(F.col("_cum") <= rem_map).drop("_cum"))
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return (
+        out.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            "source",
+            F.col("n_tokens"),
+        )
+        .orderBy(id_col)
+    )

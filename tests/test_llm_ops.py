@@ -802,3 +802,36 @@ def test_semantic_dedup_groups_and_reps(spark):
     assert out[0]["kept"] and out[0]["grp"] == 0
     assert not out[1]["kept"] and out[1]["grp"] == 0
     assert out[2]["kept"] and out[2]["grp"] == 2
+
+
+def test_fill_token_budget_two_phase_equals_global_window(spark):
+    """The bucket-decomposed fill must equal the single global-window rule,
+    including the whole-source and zero-budget edges."""
+    from pyspark.sql import Window
+
+    from agile_lakehouse_spark.operators.text import fill_token_budget
+
+    rows = [(i, f"s{i % 3}", "tok " * (1 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    budgets = {"s0": 25, "s1": 10_000, "s2": 0}
+    got = sorted((r.doc_id, r.source, r.n_tokens)
+                 for r in fill_token_budget(df, budgets, n_buckets=4).collect())
+
+    h = F.expr(portable.hex15_spark("CAST(doc_id AS STRING)"))
+    toks = F.expr(portable.tokens_spark("text"))
+    base = df.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"), h.alias("h")
+    ).filter(F.col("source").isin(list(budgets)))
+    w = (Window.partitionBy("source").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    budget = F.when(F.col("source") == "s0", 25).when(
+        F.col("source") == "s1", 10_000).otherwise(0)
+    want = sorted((r.doc_id, r.source, r.n_tokens)
+                  for r in base.withColumn("cum", F.sum("n_tokens").over(w))
+                  .filter(F.col("cum") <= budget).collect())
+    assert got == want
+    assert {s for _, s, _ in got} == {"s0", "s1"}  # s2's zero budget keeps nothing
+    assert sum(n for _, s, n in got if s == "s0") <= 25
+    assert len([1 for _, s, _ in got if s == "s1"]) == 20  # whole source fits
