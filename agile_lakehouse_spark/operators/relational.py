@@ -2364,13 +2364,19 @@ def resample_interpolate(
     )
     bounds = e0.groupBy(key_col).agg(F.min("t_us").alias("lo"), F.max("t_us").alias("hi"))
     # exact integer floor-div: double division of ~1e15 epochs can land a
-    # hair under an integer and truncate one slot off vs the oracle's //
+    # hair under an integer and truncate one slot off vs the oracle's //.
+    # The start > end case (a key's whole span inside one step) MUST
+    # short-circuit to an empty spine: Spark's sequence(a, b) with a > b
+    # yields a DESCENDING sequence (two phantom slots outside the span,
+    # NULL interpolation), where the oracle's generate_series is empty —
+    # the same descending-sequence pitfall as the round-3 n-gram crash.
     spine = bounds.select(
         F.col(key_col),
         F.explode(
-            F.sequence(
-                F.expr(f"(lo + {step_us - 1}) div {step_us}"),
-                F.expr(f"hi div {step_us}"),
+            F.expr(
+                f"CASE WHEN (lo + {step_us - 1}) div {step_us} <= hi div {step_us} "
+                f"THEN sequence((lo + {step_us - 1}) div {step_us}, hi div {step_us}) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
             )
         ).alias("slot"),
     )
