@@ -3668,3 +3668,68 @@ _names = list(SPARK_QUERIES)
 _head = [n for n in _names[:50] if n not in set(_SWAP_OUT)] + _SWAP_IN
 _head_set = set(_head)
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head + [m for m in _names if m not in _head_set]}
+
+
+def apply_cdc_q(spark, sf_dir):
+    """dq154: CDC apply under the value gate — a deterministic change
+    batch (every 5th order re-priced at seq 1, every 10th deleted at
+    seq 2 — the later delete must win; every 100th spawning a new 'Z'
+    order) applied to a TransactionalTable as ONE merge + ONE
+    deletion-vector commit, then the LIVE state aggregated.  The oracle
+    replays latest-change-wins relationally."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = orders.filter("o_orderkey % 5 = 0").selectExpr(
+        "o_orderkey", "o_orderstatus",
+        "o_totalprice + 1000 AS o_totalprice", "'U' AS op", "CAST(1 AS BIGINT) AS seq",
+    )
+    dels = orders.filter("o_orderkey % 10 = 0").selectExpr(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "'D' AS op", "CAST(2 AS BIGINT) AS seq"
+    )
+    news = orders.filter("o_orderkey % 100 = 0").selectExpr(
+        "o_orderkey + 10000000 AS o_orderkey", "'Z' AS o_orderstatus",
+        "CAST(o_orderkey AS DOUBLE) / 100.0 AS o_totalprice", "'I' AS op",
+        "CAST(1 AS BIGINT) AS seq",
+    )
+    changes = upd.unionByName(dels).unionByName(news)
+    tmp = tempfile.mkdtemp(prefix="dq154_cdc_")
+    try:
+        t = TransactionalTable(f"{tmp}/orders")
+        t.append(orders.repartition(8))
+        t.apply_cdc(spark, changes, key="o_orderkey", seq_col="seq")
+        out = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq154_apply_cdc"] = apply_cdc_q
+ORACLES["dq154_apply_cdc"] = """
+    WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p FROM orders),
+    survivors AS (
+        SELECT k, s, CASE WHEN k % 5 = 0 THEN p + 1000 ELSE p END AS p
+        FROM base WHERE k % 10 <> 0),
+    newr AS (
+        SELECT k + 10000000 AS k, 'Z' AS s, CAST(k AS DOUBLE) / 100.0 AS p
+        FROM base WHERE k % 100 = 0),
+    live AS (SELECT * FROM survivors UNION ALL SELECT * FROM newr)
+    SELECT s AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM live GROUP BY s ORDER BY s"""

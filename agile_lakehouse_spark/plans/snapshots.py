@@ -596,6 +596,79 @@ class TransactionalTable:
     def spark_read_dv(spark: SparkSession, deletes: list[str]) -> DataFrame:
         return spark.read.parquet(*deletes).select("file_path", "row_index")
 
+    def delete_keys_mor(self, spark: SparkSession, keys: DataFrame, key: str) -> int:
+        """Merge-on-read DELETE by KEY SET: deletion vectors for every
+        live row whose ``key`` appears in ``keys`` — the CDC-delete shape
+        (:func:`apply_cdc`).  Unlike a collected IN-list predicate this
+        is a semi-join, so the key set can be arbitrarily large; it is
+        broadcast when small and shuffles otherwise (AQE's call).
+        """
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        m = self._read_manifest(latest)
+        files, old = m["files"], m.get("deletes", [])
+        live = self._tag_pos(self._read_files(spark, files, latest))
+        if old:
+            dv = self.spark_read_dv(spark, old)
+            live = live.join(
+                F.broadcast(dv),
+                (F.col("_dv_file") == F.col("file_path"))
+                & (F.col("_dv_pos") == F.col("row_index")),
+                "left_anti",
+            )
+        matched = live.join(keys.select(key).distinct(), key, "left_semi").select(
+            F.col("_dv_file").alias("file_path"), F.col("_dv_pos").alias("row_index")
+        )
+        stage_dir = os.path.join(self.path, f"deletes-{uuid.uuid4().hex}")
+        matched.write.parquet(stage_dir)
+        paths = [
+            os.path.join(stage_dir, f)
+            for f in sorted(os.listdir(stage_dir))
+            if f.endswith(".parquet")
+        ]
+        import pyarrow.parquet as pq
+
+        if sum(pq.ParquetFile(p).metadata.num_rows for p in paths) == 0:
+            return latest
+        return self._commit(files, "delete-mor", base=latest, deletes=old + paths)
+
+    def apply_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key: str,
+        seq_col: str,
+        op_col: str = "op",
+    ) -> int:
+        """Apply a change-data-capture batch: rows carry an op ('I'/'U'
+        emit the new image, 'D' deletes the key) and a sequence column;
+        only each key's LATEST change applies (CDC feeds replay history).
+
+        Upserts land as ONE copy-on-write merge; deletes as ONE
+        merge-on-read vector commit — two commits per batch regardless of
+        change volume, both key-join-shaped (no collect, no per-row op).
+        Keys whose latest change is D are deleted even if earlier changes
+        in the same batch upserted them.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        latest = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        ups = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+        dels = latest.filter(F.col(op_col) == "D").select(key)
+        v = self.latest_version()
+        if ups.limit(1).count():
+            v = self.merge(spark, ups, key)
+        if dels.limit(1).count():
+            v = self.delete_keys_mor(spark, dels, key)
+        return v
+
     def last_txn_batch(self, app: str) -> int:
         """Highest batch id committed by ``app``, or -1 (idempotence probe
         for streaming writers — see streaming/ingest.stream_upsert)."""

@@ -526,3 +526,32 @@ def test_vacuum_reclaims_old_delete_vectors(spark, table):
     assert all(not os.path.exists(p) for p in dvs)
     assert any(p in set(removed) for p in dvs)
     assert table.read(spark).count() == 25
+
+
+def test_delete_keys_mor_semi_join(spark, table):
+    table.append(_df(spark, 0, 30))
+    keys = spark.range(5, 12).select(F.col("id").alias("k"))
+    table.delete_keys_mor(spark, keys, "k")
+    ks = sorted(r.k for r in table.read(spark).collect())
+    assert ks == list(range(0, 5)) + list(range(12, 30))
+
+
+def test_apply_cdc_latest_change_wins(spark, table):
+    table.append(_df(spark, 0, 10))  # (k, v=2k)
+    changes = spark.createDataFrame(
+        [
+            (3, 100, "U", 1),
+            (3, 999, "D", 2),    # later delete wins over the update
+            (4, 400, "D", 1),
+            (4, 444, "U", 2),    # later upsert wins over the delete
+            (20, 200, "I", 1),   # brand-new key
+        ],
+        "k bigint, v bigint, op string, seq bigint",
+    )
+    table.apply_cdc(spark, changes, key="k", seq_col="seq")
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert 3 not in got
+    assert got[4] == 444
+    assert got[20] == 200
+    assert got[5] == 10  # untouched rows intact
+    assert len(got) == 10  # 10 - deleted 3 + new 20
