@@ -486,3 +486,43 @@ def test_resample_interpolate_bounds_property(spark, vals):
     base = int(t0.timestamp())
     n_slots = len(range(-((-(base + secs[0])) // 600), (base + secs[-1]) // 600 + 1))
     assert len(out) == n_slots
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    offsets=st.lists(st.integers(min_value=0, max_value=20000), min_size=1, max_size=25, unique=True)
+)
+def test_sessionize_capped_matches_python_model(spark, offsets):
+    """Gap islands + anchored duration split against a plain-Python model
+    (gap 600 s, cap 1800 s over arbitrary event offsets)."""
+    from datetime import datetime, timedelta
+
+    from agile_lakehouse_spark.operators.relational import sessionize_capped
+
+    t0 = datetime(2024, 7, 1)
+    df = spark.createDataFrame(
+        [(1, i, t0 + timedelta(seconds=s)) for i, s in enumerate(sorted(offsets))],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    got = sorted(
+        (r.island, r.sub_session, r.n_events, r.start_ms, r.end_ms)
+        for r in sessionize_capped(df, gap_s=600, cap_s=1800).collect()
+    )
+
+    base_ms = int(t0.timestamp()) * 1000
+    secs = sorted(offsets)
+    sessions = {}
+    island, isl_start = 0, None
+    prev = None
+    for s in secs:
+        ms = base_ms + s * 1000
+        if prev is None or ms - prev > 600_000:
+            island += 1
+            isl_start = ms
+        sub = (ms - isl_start) // 1_800_000
+        k = (island, sub)
+        n, lo, hi = sessions.get(k, (0, ms, ms))
+        sessions[k] = (n + 1, min(lo, ms), max(hi, ms))
+        prev = ms
+    want = sorted((i, sub, n, lo, hi) for (i, sub), (n, lo, hi) in sessions.items())
+    assert got == want
