@@ -526,3 +526,31 @@ def test_sessionize_capped_matches_python_model(spark, offsets):
         prev = ms
     want = sorted((i, sub, n, lo, hi) for (i, sub), (n, lo, hi) in sessions.items())
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False, width=16),
+                 min_size=4, max_size=4),
+        min_size=2, max_size=12,
+    )
+)
+def test_sq8_quantization_error_bound(spark, vecs):
+    """Half-up uint8 quantization must reconstruct every coordinate within
+    span/510 (half a code step), degenerate dimensions exactly."""
+    from agile_lakehouse_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    lo, hi = similarity.sq8_train(df)
+    codes = {r.vec_id: r.codes for r in similarity.sq8_encode(df, lo, hi).collect()}
+    raw = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
+    for vid, cs in codes.items():
+        for d, c in enumerate(cs):
+            span = hi[d] - lo[d]
+            decoded = lo[d] + c * span / 255.0
+            tol = span / 510.0 + 1e-9 if span > 0 else 1e-9
+            assert abs(decoded - raw[vid][d]) <= tol
