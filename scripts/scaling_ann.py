@@ -91,6 +91,20 @@ def run_scale(spark, n: int) -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # composed IVF-PQ: partition pruning x code compression in one layout
+    tmp = tempfile.mkdtemp(prefix=f"ivfpq_{n}_")
+    try:
+        t0 = time.time()
+        similarity.ivfpq_write_layout(vecs, f"{tmp}/ivfpq", cents, cb)
+        out["ivfpq_layout_write_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        similarity.ivfpq_topk_on_layout(
+            spark, f"{tmp}/ivfpq", qv, cents, cb, k=10, nprobe=2
+        ).collect()
+        out["ivfpq_probe_s"] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # SQ8 tier: bounds agg (train), fused encode+ADC over raw floats
     # (inline shape), and ADC over a WRITTEN uint8-codes layout — the
     # production shape, scanning 1/4 the bytes of float32
