@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dq148_semantic_dedup",  # SemDeDup: cells + pairs + CC grouping (round 4)
     "dq149_resample_interpolate",  # spine union + two window passes (round 4)
     "dq153_fill_token_budget",  # two-phase budget cut, windowless bulk (round 4)
+    "dq54_stream_time_bucket",  # REAL streaming engine, availableNow (round 4)
 ]
 
 
