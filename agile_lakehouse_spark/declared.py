@@ -3733,3 +3733,234 @@ ORACLES["dq154_apply_cdc"] = """
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM live GROUP BY s ORDER BY s"""
+
+
+def orc_roundtrip_q(spark, sf_dir):
+    """dq155: ORC as an interchange format — write ``lineitem``'s core
+    columns to ORC (Spark's second bundled columnar format; zlib
+    default), scan it back with predicate pushdown available, aggregate.
+    The oracle aggregates the parquet original — any loss or type drift
+    through the ORC round-trip breaks the hash."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq155_orc_")
+    try:
+        li.write.mode("overwrite").orc(f"{tmp}/li")
+        back = spark.read.orc(f"{tmp}/li").filter(F.col("l_quantity") > 10)
+        out = (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("l_returnflag")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq155_orc_roundtrip"] = orc_roundtrip_q
+ORACLES["dq155_orc_roundtrip"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem WHERE l_quantity > 10
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+def time_travel_q(spark, sf_dir):
+    """dq156: snapshot time travel under the value gate — two appends and
+    one copy-on-write DELETE build three versions of an orders table
+    (``plans/snapshots.py::TransactionalTable.read(version=...)``; the
+    reference's commit-log surface, Iceberg/Delta ``VERSION AS OF``), then
+    every historical version is aggregated THROUGH the time-travel read.
+    The oracle replays the three version states relationally, so a commit
+    that mutated history — or a read that resolved the wrong manifest —
+    breaks the hash, not just the row count."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="dq156_tt_")
+    try:
+        t = TransactionalTable(f"{tmp}/orders")
+        v0 = t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+        v1 = t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+        v2 = t.delete_where(spark, "o_orderstatus = 'O'")
+        steps = []
+        for step, v in enumerate((v0, v1, v2)):
+            steps.append(
+                t.read(spark, version=v).agg(
+                    F.lit(step).cast("int").alias("step"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                    F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                    .cast("bigint")
+                    .alias("sum_cents"),
+                )
+            )
+        out = steps[0].unionByName(steps[1]).unionByName(steps[2]).orderBy("step")
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq156_time_travel"] = time_travel_q
+ORACLES["dq156_time_travel"] = """
+    WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+         v2 AS (SELECT * FROM v1 WHERE NOT (o_orderstatus = 'O'))
+    SELECT CAST(0 AS INTEGER) AS step,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM v0
+    UNION ALL
+    SELECT CAST(1 AS INTEGER),
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER),
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM v2
+    ORDER BY step"""
+
+
+def salted_join_q(spark, sf_dir):
+    """dq157: the skew-resistant salted join under the value gate —
+    ``plans/skew.py::salted_join`` scatters the big side's keys over an
+    8-way salt space and replicates the (unique-key) small side, so every
+    shuffle partition receives ~1/8 of any hot key.  Declared with the
+    lineitem-to-part join: correctness must be IDENTICAL to the plain
+    equi-join the oracle runs — salting is a physical rewrite, never a
+    semantic one."""
+    from agile_lakehouse_spark.plans.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, part, "l_partkey", "p_partkey", salt=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SPARK_QUERIES["dq157_salted_join"] = salted_join_q
+ORACLES["dq157_salted_join"] = """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand"""
+
+
+def jsonl_roundtrip_q(spark, sf_dir):
+    """dq158: JSON-lines as an interchange format — the raw shape web-scrape
+    corpora actually arrive in.  ``documents`` is written as JSONL and read
+    back with an EXPLICIT schema (schema inference is a full extra pass at
+    100 TB — never pay it), then aggregated per (source, lang) over the
+    round-tripped TEXT itself (sum of character lengths), so any escaping
+    or unicode loss through the JSON codec breaks the hash against the
+    oracle's aggregate of the parquet original."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq158_jsonl_")
+    try:
+        docs.write.mode("overwrite").json(f"{tmp}/docs")
+        back = spark.read.schema(
+            "doc_id bigint, text string, lang string, source string"
+        ).json(f"{tmp}/docs")
+        out = (
+            back.groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.length("text").cast("bigint")).cast("bigint").alias("sum_chars"),
+            )
+            .orderBy("source", "lang")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq158_jsonl_roundtrip"] = jsonl_roundtrip_q
+ORACLES["dq158_jsonl_roundtrip"] = """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang"""
+
+
+def csv_roundtrip_q(spark, sf_dir):
+    """dq159: CSV as an interchange format — quoted/escaped text columns and
+    doubles through their shortest-round-trip decimal rendering.  ``orders``
+    is written with headers and read back with an EXPLICIT schema (no
+    inference pass), then filtered and aggregated in integer cents; the
+    oracle runs the same filter+aggregate on the parquet original, so any
+    quoting, type-drift or precision loss through the CSV codec breaks the
+    hash."""
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq159_csv_")
+    try:
+        orders.write.mode("overwrite").option("header", True).csv(f"{tmp}/orders")
+        back = (
+            spark.read.option("header", True)
+            .schema(
+                "o_orderkey bigint, o_orderstatus string, "
+                "o_totalprice double, o_orderpriority string"
+            )
+            .csv(f"{tmp}/orders")
+        )
+        out = (
+            back.filter(F.col("o_totalprice") > 1000)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq159_csv_roundtrip"] = csv_roundtrip_q
+ORACLES["dq159_csv_roundtrip"] = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
