@@ -3964,3 +3964,21 @@ ORACLES["dq159_csv_roundtrip"] = """
            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM orders WHERE o_totalprice > 1000
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+# Last round-4 head adjustment: the driver samples the FIRST ~50 entries.
+# Pull the four families added after the previous rotation (CDC apply,
+# snapshot time travel, the salted skew join, and the JSONL interchange
+# round-trip — representing the ORC/CSV/JSONL trio) into the sample by
+# swapping out four anchors the round-3 sample already verified directly
+# (dq12b/dq16/dq19c/dq20b — all stay in the registry and full reruns).
+
+_SWAP_OUT_2 = ["dq12b_join_anti", "dq16_window_running",
+               "dq19c_grouping_sets", "dq20b_session_islands"]
+_SWAP_IN_2 = ["dq154_apply_cdc", "dq156_time_travel",
+              "dq157_salted_join", "dq158_jsonl_roundtrip"]
+assert set(_SWAP_IN_2) <= set(SPARK_QUERIES), sorted(set(_SWAP_IN_2) - set(SPARK_QUERIES))
+_names2 = list(SPARK_QUERIES)
+_head2 = [n for n in _names2[:50] if n not in set(_SWAP_OUT_2)] + _SWAP_IN_2
+_head2_set = set(_head2)
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head2 + [m for m in _names2 if m not in _head2_set]}
