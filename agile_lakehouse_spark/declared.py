@@ -3982,3 +3982,113 @@ _names2 = list(SPARK_QUERIES)
 _head2 = [n for n in _names2[:50] if n not in set(_SWAP_OUT_2)] + _SWAP_IN_2
 _head2_set = set(_head2)
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head2 + [m for m in _names2 if m not in _head2_set]}
+
+
+def bucketed_join_q(spark, sf_dir):
+    """dq160: the write-once-join-forever layout under the value gate —
+    both fact tables persisted bucketed on the join key
+    (``plans/bucketing.py::write_bucketed``, 8 buckets), then joined
+    co-located: Spark's bucketing rule reports compatible output
+    partitioning for both scans, so the SortMergeJoin plans with ZERO
+    Exchange (plan-asserted in tests/test_relational_plans.py).  At
+    100 TB this is the difference between shuffling both sides on every
+    join and paying the shuffle once at ingest.  The oracle runs the
+    plain equi-join — the layout must never change the answer."""
+    from agile_lakehouse_spark.plans.bucketing import co_located_join, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    try:
+        write_bucketed(li, "dq160_li", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+        write_bucketed(orders, "dq160_ord", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+        j = co_located_join(
+            spark, "dq160_li", "dq160_ord", "l_orderkey", "o_orderkey",
+            force_sort_merge=True,
+        )
+        out = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dq160_li")
+        spark.sql("DROP TABLE IF EXISTS dq160_ord")
+
+
+SPARK_QUERIES["dq160_bucketed_join"] = bucketed_join_q
+ORACLES["dq160_bucketed_join"] = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+def schema_evolution_q(spark, sf_dir):
+    """dq161: additive schema evolution under the value gate — half of
+    ``orders`` lands BEFORE the table gains a column, half after
+    (``plans/snapshots.py::TransactionalTable._evolved_schema``); the
+    latest read widens old files with NULLs (Iceberg/Delta mergeSchema
+    semantics).  Aggregating by the evolved column with a sentinel for
+    pre-evolution rows pins both the NULL-projection of old files and
+    the values of new ones; the oracle replays the evolution
+    relationally."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="dq161_evo_")
+    try:
+        t = TransactionalTable(f"{tmp}/orders")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        t.append(
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+            )
+        )
+        out = (
+            t.read(spark)
+            .groupBy(
+                F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("priority")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq161_schema_evolution"] = schema_evolution_q
+ORACLES["dq161_schema_evolution"] = """
+    WITH evolved AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        FROM orders)
+    SELECT coalesce(o_orderpriority, '(pre-evolution)') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM evolved GROUP BY priority ORDER BY priority"""
