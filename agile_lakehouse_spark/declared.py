@@ -4092,3 +4092,52 @@ ORACLES["dq161_schema_evolution"] = """
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM evolved GROUP BY priority ORDER BY priority"""
+
+
+def filtered_ann_q(spark, sf_dir):
+    """dq162: metadata-filtered ANN — exact cosine top-k restricted to a
+    label predicate (the filtered-vector-search shape every retrieval
+    stack needs: "nearest neighbours WHERE lang = 'en'").  The filter is
+    a plain Catalyst predicate BEFORE the scoring projection, so it
+    reaches the parquet scan (and, on the IVF layout, composes with
+    partition pruning); the oracle applies the same WHERE to the same
+    brute-force ranking."""
+    qv = _query_vec(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") == 1)
+    return similarity.cosine_topk(emb, qv, k=ANN_K)
+
+
+SPARK_QUERIES["dq162_filtered_ann"] = filtered_ann_q
+ORACLES["dq162_filtered_ann"] = f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, (floor(({vector.cosine_duck('embedding', 'qv', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+    FROM embeddings CROSS JOIN q WHERE label = 1
+    ORDER BY cos DESC, vec_id ASC LIMIT {ANN_K}"""
+
+
+def ann_join_q(spark, sf_dir):
+    """dq163: batched exact ANN join — 8 query vectors against the whole
+    corpus, top-5 each, through similarity.cosine_topk_join's two-phase
+    per-query cut (partition-local slice, then a k x n_partitions merge —
+    no per-query shuffle skew).  The oracle ranks the full cross product
+    with a window; both sides rank on the ROUNDED cosine with id
+    tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.cosine_topk_join(qs, emb, k=5)
+
+
+SPARK_QUERIES["dq163_ann_join"] = ann_join_q
+ORACLES["dq163_ann_join"] = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT q.q_id, e.vec_id,
+                      (floor(({vector.cosine_duck('e.embedding', 'q.qv', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+               FROM embeddings e CROSS JOIN q),
+    r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored)
+    SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS INTEGER) AS rank,
+           CAST(vec_id AS BIGINT) AS vec_id, cos
+    FROM r WHERE rank <= 5 ORDER BY q_id, rank"""

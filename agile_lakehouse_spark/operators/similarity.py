@@ -804,3 +804,74 @@ def semantic_dedup(
         rep.cast("bigint").alias("grp"),
         (rep == F.col(id_col)).alias("kept"),
     )
+
+
+def cosine_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Batched exact ANN join: the k nearest corpus vectors per QUERY
+    vector (the retrieval shape — a batch of queries against one corpus),
+    ref semantics pc-format/src/index (nearest-neighbour queries) batched
+    over the relational axis.
+
+    The query side broadcasts (a batch is thousands of rows, never
+    corpus-sized), every (query, vector) pair is scored in one projection
+    with pre-hoisted norms, and the per-query top-k is taken with a
+    TWO-PHASE cut: phase 1 groups on (query, physical partition) so
+    groups are uniform and partition-local — no query's candidate list
+    ever concentrates on one task — and slices each local list to k;
+    phase 2 merges at most k x n_partitions rows per query.  The
+    single-window alternative (row_number over q_id) funnels the whole
+    scored table into n_queries partitions — per-query skew this shape
+    avoids.  At 100 TB the N x n_queries scoring term itself is the
+    bottleneck; compose with the IVF layout (ivfpq_topk_on_layout) to
+    prune candidates before this exact kernel.
+
+    Ranking is on the ROUNDED cosine (portable.round4) with id
+    tie-breaks, the registry-wide discipline that keeps cross-engine
+    order deterministic.
+    """
+    qs = queries.select(
+        F.col(q_id), F.col(q_vec), vector.norm(F.col(q_vec)).alias("_nq")
+    )
+    scored = (
+        corpus.withColumn("_nv", vector.norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(qs))
+        .select(
+            F.col(q_id),
+            F.col(id_col),
+            round4(
+                vector.dot(F.col(vec_col), F.col(q_vec)) / (F.col("_nv") * F.col("_nq"))
+            ).alias("cos"),
+        )
+    )
+    pair = F.struct((-F.col("cos")).alias("nc"), F.col(id_col).alias("vid"))
+    topk = F.slice(F.sort_array(F.collect_list(pair)), 1, k)
+    local = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .groupBy(q_id, "_p")
+        .agg(topk.alias("cand"))
+        .select(q_id, F.explode("cand").alias("c"))
+        .select(q_id, F.col("c.nc").alias("nc"), F.col("c.vid").alias("vid"))
+    )
+    merge_pair = F.struct(F.col("nc"), F.col("vid"))
+    merged = (
+        local.groupBy(q_id)
+        .agg(F.slice(F.sort_array(F.collect_list(merge_pair)), 1, k).alias("top"))
+        .select(q_id, F.posexplode("top").alias("rank0", "c"))
+        .select(
+            F.col(q_id).cast("bigint").alias(q_id),
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            F.col("c.vid").cast("bigint").alias(id_col),
+            # + 0.0 canonicalizes the IEEE -0.0 a double negation can
+            # produce for an exactly-zero cosine (the oracle emits +0.0)
+            (-F.col("c.nc") + F.lit(0.0)).alias("cos"),
+        )
+    )
+    return merged.orderBy(q_id, "rank")

@@ -835,3 +835,39 @@ def test_fill_token_budget_two_phase_equals_global_window(spark):
     assert {s for _, s, _ in got} == {"s0", "s1"}  # s2's zero budget keeps nothing
     assert sum(n for _, s, n in got if s == "s0") <= 25
     assert len([1 for _, s, _ in got if s == "s1"]) == 20  # whole source fits
+
+
+def test_cosine_topk_join_matches_window_formulation(spark, sf_dir):
+    """The two-phase per-query cut must return exactly what the naive
+    window (row_number over q_id on rounded cos, id tie-break) returns —
+    for every query, every rank — regardless of input partitioning."""
+    from pyspark.sql import Window
+
+    from agile_lakehouse_spark.functions import vector
+    from agile_lakehouse_spark.functions.portable import round4
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = {
+        (r.q_id, r.rank): (r.vec_id, r.cos)
+        for r in similarity.cosine_topk_join(qs, emb.repartition(7), k=5).collect()
+    }
+    scored = emb.crossJoin(F.broadcast(qs)).select(
+        "q_id", "vec_id",
+        round4(vector.cosine(F.col("embedding"), F.col("q_vec"))).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    want = {
+        (r.q_id, r.rn): (r.vec_id, r.cos)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert got == want
+    # each query's own vector is its best match at cos ~= 1
+    for q in range(4):
+        vid, cos = got[(q, 1)]
+        assert vid == q and cos == 1.0
