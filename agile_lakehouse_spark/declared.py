@@ -3882,19 +3882,23 @@ def jsonl_roundtrip_q(spark, sf_dir):
     100 TB — never pay it), then aggregated per (source, lang) over the
     round-tripped TEXT itself (sum of character lengths), so any escaping
     or unicode loss through the JSON codec breaks the hash against the
-    oracle's aggregate of the parquet original."""
+    oracle's aggregate of the parquet original.  Routed through
+    ``sources/textio.py`` — explicit schema, FAILFAST on malformed rows
+    (a corrupt line should fail ingest, not become NULLs)."""
     import shutil
     import tempfile
+
+    from agile_lakehouse_spark.sources import textio
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
     tmp = tempfile.mkdtemp(prefix="dq158_jsonl_")
     try:
-        docs.write.mode("overwrite").json(f"{tmp}/docs")
-        back = spark.read.schema(
-            "doc_id bigint, text string, lang string, source string"
-        ).json(f"{tmp}/docs")
+        textio.write_jsonl(docs, f"{tmp}/docs")
+        back = textio.read_jsonl(
+            spark, f"{tmp}/docs", "doc_id bigint, text string, lang string, source string"
+        )
         out = (
             back.groupBy("source", "lang")
             .agg(
@@ -3923,23 +3927,24 @@ def csv_roundtrip_q(spark, sf_dir):
     inference pass), then filtered and aggregated in integer cents; the
     oracle runs the same filter+aggregate on the parquet original, so any
     quoting, type-drift or precision loss through the CSV codec breaks the
-    hash."""
+    hash.  Routed through ``sources/textio.py`` — explicit schema,
+    FAILFAST on malformed rows."""
     import shutil
     import tempfile
+
+    from agile_lakehouse_spark.sources import textio
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
     tmp = tempfile.mkdtemp(prefix="dq159_csv_")
     try:
-        orders.write.mode("overwrite").option("header", True).csv(f"{tmp}/orders")
-        back = (
-            spark.read.option("header", True)
-            .schema(
-                "o_orderkey bigint, o_orderstatus string, "
-                "o_totalprice double, o_orderpriority string"
-            )
-            .csv(f"{tmp}/orders")
+        textio.write_csv(orders, f"{tmp}/orders")
+        back = textio.read_csv(
+            spark,
+            f"{tmp}/orders",
+            "o_orderkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderpriority string",
         )
         out = (
             back.filter(F.col("o_totalprice") > 1000)

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "dq149_resample_interpolate",  # spine union + two window passes (round 4)
     "dq153_fill_token_budget",  # two-phase budget cut, windowless bulk (round 4)
     "dq54_stream_time_bucket",  # REAL streaming engine, availableNow (round 4)
+    "dq157_salted_join",  # skew-resistant salted equi-join (round 4)
+    "dq163_ann_join",  # batched ANN join, two-phase per-query top-k (round 4)
 ]
 
 
