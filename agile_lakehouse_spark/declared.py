@@ -4146,3 +4146,55 @@ ORACLES["dq163_ann_join"] = f"""
     SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS INTEGER) AS rank,
            CAST(vec_id AS BIGINT) AS vec_id, cos
     FROM r WHERE rank <= 5 ORDER BY q_id, rank"""
+
+
+def optimize_zorder_q(spark, sf_dir):
+    """dq164: OPTIMIZE ZORDER under the value gate — a fragmented table
+    (three appends) with merge-on-read deletion vectors is compacted and
+    z-ordered (`plans/snapshots.py::TransactionalTable.optimize`): the
+    rewrite must MATERIALIZE the vectors (deleted rows gone from the new
+    files, never resurrected) and reorder rows without losing or
+    duplicating any.  The aggregate after the rewrite hash-matches the
+    oracle's relational replay of appends-minus-deletes; the layout
+    benefit itself (tight per-file min/max) is plan/prune-tested in
+    tests/test_snapshots.py."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq164_opt_")
+    try:
+        t = TransactionalTable(f"{tmp}/li")
+        for m in range(3):  # fragment: three appends of interleaved thirds
+            t.append(li.filter(F.col("l_orderkey") % 3 == m).repartition(4))
+        t.delete_where_mor(spark, "l_returnflag = 'R'")
+        t.optimize(spark, zorder_by=("l_orderkey", "l_partkey"))
+        out = (
+            t.read(spark)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("l_returnflag")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq164_optimize_zorder"] = optimize_zorder_q
+ORACLES["dq164_optimize_zorder"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem WHERE NOT (l_returnflag = 'R')
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
