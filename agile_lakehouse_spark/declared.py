@@ -4198,3 +4198,20 @@ ORACLES["dq164_optimize_zorder"] = """
            CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM lineitem WHERE NOT (l_returnflag = 'R')
     GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+# Head adjustment for the post-close-out additions: pull the five newest
+# families (bucketed co-located join, schema evolution, filtered ANN,
+# batched ANN join, OPTIMIZE ZORDER) into the driver's ~50-entry sample,
+# swapping out five round-3-sampled point-cloud/join anchors
+# (dq05/dq06/dq07/dq24b/dq10 — all stay in the registry and full reruns).
+
+_SWAP_OUT_3 = ["dq05_pc_rect_count", "dq06_pc_circle", "dq07_pc_sample",
+               "dq24b_pc_quadtree_cells", "dq10_join_broadcast"]
+_SWAP_IN_3 = ["dq160_bucketed_join", "dq161_schema_evolution",
+              "dq162_filtered_ann", "dq163_ann_join", "dq164_optimize_zorder"]
+assert set(_SWAP_IN_3) <= set(SPARK_QUERIES), sorted(set(_SWAP_IN_3) - set(SPARK_QUERIES))
+_names3 = list(SPARK_QUERIES)
+_head3 = [n for n in _names3[:50] if n not in set(_SWAP_OUT_3)] + _SWAP_IN_3
+_head3_set = set(_head3)
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head3 + [m for m in _names3 if m not in _head3_set]}
