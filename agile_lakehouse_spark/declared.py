@@ -4215,3 +4215,62 @@ _names3 = list(SPARK_QUERIES)
 _head3 = [n for n in _names3[:50] if n not in set(_SWAP_OUT_3)] + _SWAP_IN_3
 _head3_set = set(_head3)
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head3 + [m for m in _names3 if m not in _head3_set]}
+
+
+def stream_acid_upsert_q(spark, sf_dir):
+    """dq165: exactly-once streaming UPSERT into the ACID snapshot layer
+    (`streaming/ingest.py::stream_upsert` — the Delta txnAppId sink
+    pattern), end-to-end under the value gate.  The table is pre-seeded
+    with CORRUPTED rows (price −1) for a fifth of the keys; the whole
+    orders fixture then streams in as a bounded FileStreamSource and
+    MERGEs per micro-batch.  The final state must equal the clean batch
+    table exactly: a lost upsert leaves a −1 price in the sums, a
+    replayed/duplicated batch doubles seeded keys — either breaks the
+    hash against the oracle's plain aggregate of ``orders``."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+    from agile_lakehouse_spark.streaming.ingest import stream_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq165_su_")
+    try:
+        t = TransactionalTable(f"{tmp}/orders")
+        t.append(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.lit(-1.0)
+            )
+        )
+        raw_schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "orders.parquet")
+            .parquet(sf_dir)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        )
+        stream_upsert(stream, t, "o_orderkey", f"{tmp}/ckpt", app_id="dq165")
+        out = (
+            t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq165_stream_acid_upsert"] = stream_acid_upsert_q
+ORACLES["dq165_stream_acid_upsert"] = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
