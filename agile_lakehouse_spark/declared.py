@@ -4274,3 +4274,13 @@ ORACLES["dq165_stream_acid_upsert"] = """
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+
+# Sample the streaming-ACID upsert family too: dq165 replaces the
+# round-3-sampled dq04 (mean — its family stays covered by dq03 bounds
+# in the sample and by the full reruns).
+
+_names4 = list(SPARK_QUERIES)
+_head4 = [n for n in _names4[:50] if n != "dq04_pc_mean"] + ["dq165_stream_acid_upsert"]
+_head4_set = set(_head4)
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head4 + [m for m in _names4 if m not in _head4_set]}
