@@ -4284,3 +4284,126 @@ _names4 = list(SPARK_QUERIES)
 _head4 = [n for n in _names4[:50] if n != "dq04_pc_mean"] + ["dq165_stream_acid_upsert"]
 _head4_set = set(_head4)
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head4 + [m for m in _names4 if m not in _head4_set]}
+
+
+def incremental_view_q(spark, sf_dir):
+    """dq166: incrementally-maintained materialized aggregate under the
+    value gate (`plans/incremental.py::IncrementalAggregate` — the
+    commit-log file-diff as free CDC).  Three refreshes: the first is a
+    full build, the second must take the INCREMENTAL path (append-only
+    delta, scans only the new files), and a copy-on-write DELETE then
+    forces the FULL-recompute fallback.  The refresh modes are emitted as
+    literal columns so the oracle pins that the fast path actually
+    engaged and the fallback actually triggered — plus the final state
+    hash-matching a relational replay proves merged partials equal the
+    from-scratch aggregate."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.plans.incremental import IncrementalAggregate
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dq166_iv_")
+    try:
+        t = TransactionalTable(f"{tmp}/orders")
+        view = IncrementalAggregate(
+            t,
+            f"{tmp}/view",
+            keys=["o_orderstatus"],
+            aggs={"n_orders": ("count", "o_orderstatus"), "sum_cents": ("sum", "cents")},
+        )
+        t.append(src.filter(F.col("o_orderkey") % 3 == 0))
+        view.refresh(spark)
+        t.append(src.filter(F.col("o_orderkey") % 3 == 1))
+        r2 = view.refresh(spark)
+        t.delete_where(spark, "o_orderstatus = 'F'")
+        r3 = view.refresh(spark)
+        out = (
+            view.read(spark)
+            .select(
+                "o_orderstatus",
+                F.col("n_orders").cast("bigint").alias("n_orders"),
+                F.col("sum_cents").cast("bigint").alias("sum_cents"),
+                F.lit(r2["mode"]).alias("r2_mode"),
+                F.lit(r3["mode"]).alias("r3_mode"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq166_incremental_view"] = incremental_view_q
+ORACLES["dq166_incremental_view"] = """
+    WITH src AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+          AND NOT (o_orderstatus = 'F'))
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           'incremental' AS r2_mode,
+           'full' AS r3_mode
+    FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+
+def arrow_ipc_roundtrip_q(spark, sf_dir):
+    """dq167: Arrow IPC (Feather v2) as the interchange toward ML training
+    loaders — `sources/arrow_ipc.py` writes one `.arrow` file per
+    partition executor-side via mapInArrow (no driver funnel; ref
+    semantics pc-format/src/chunk.rs:61-128 spill/read), and the read
+    path decodes one task per file WITH reader-side column projection.
+    The aggregate over the projected round-trip must hash-match the
+    oracle's aggregate of the parquet original — any batch loss,
+    truncation or type drift through the IPC codec breaks it."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.sources import arrow_ipc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq167_ipc_")
+    try:
+        arrow_ipc.write_ipc(li.repartition(4), f"{tmp}/li")
+        back = arrow_ipc.read_ipc(
+            spark, f"{tmp}/li", columns=["l_quantity", "l_returnflag"]
+        )
+        out = (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq167_arrow_ipc_roundtrip"] = arrow_ipc_roundtrip_q
+ORACLES["dq167_arrow_ipc_roundtrip"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+# Sample the incremental-view and Arrow-IPC families as well: they
+# replace the round-3-sampled dq02/dq03 (range/bounds — the point-cloud
+# family keeps dq01/dq08/dq24 anchors in the sample and full reruns).
+
+_names5 = list(SPARK_QUERIES)
+_head5 = [n for n in _names5[:50] if n not in ("dq02_pc_range", "dq03_pc_bounds")] + [
+    "dq166_incremental_view", "dq167_arrow_ipc_roundtrip"]
+_head5_set = set(_head5)
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head5 + [m for m in _names5 if m not in _head5_set]}
