@@ -4407,3 +4407,62 @@ _head5 = [n for n in _names5[:50] if n not in ("dq02_pc_range", "dq03_pc_bounds"
     "dq166_incremental_view", "dq167_arrow_ipc_roundtrip"]
 _head5_set = set(_head5)
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head5 + [m for m in _names5 if m not in _head5_set]}
+
+
+def ply_roundtrip_q(spark, sf_dir):
+    """dq168: PLY round-trip under the value gate — the reference's
+    point-cloud exchange format (pc-io/src/ply, ref reader slices at
+    524,288 rows) as `sources/ply.py`'s dependency-free binary LE
+    writer + reader.  The derived points view is written to binary PLY
+    (doubles stay float64 — no narrowing; the int bounds check is loud)
+    and read back; integer-exact aggregates per classification must
+    hash-match the oracle computing straight from the points CTE, so any
+    row loss, column drift or binary mis-pack breaks the gate."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.sources.catalog import points_view
+    from agile_lakehouse_spark.sources.ply import read_ply, write_ply
+
+    pts = points_view(spark, sf_dir).select(
+        "pid", "x", "y", "z", "classification", "intensity"
+    )
+    tmp = tempfile.mkdtemp(prefix="dq168_ply_")
+    try:
+        write_ply(pts, f"{tmp}/pts.ply", binary=True)
+        back = read_ply(spark, f"{tmp}/pts.ply")
+        out = (
+            back.groupBy((F.col("classification") % 16).alias("cls_bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                F.sum(F.col("pid").cast("bigint")).cast("bigint").alias("sum_pid"),
+                F.sum(F.floor(F.col("x") * 100).cast("bigint")).cast("bigint").alias("sum_x100"),
+                F.sum(F.floor(F.col("z") * 10).cast("bigint")).cast("bigint").alias("sum_z10"),
+                F.sum(F.col("intensity").cast("bigint")).cast("bigint").alias("sum_int"),
+            )
+            .orderBy("cls_bucket")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SPARK_QUERIES["dq168_ply_roundtrip"] = ply_roundtrip_q
+ORACLES["dq168_ply_roundtrip"] = f"""
+    {POINTS_CTE}
+    SELECT classification % 16 AS cls_bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(pid AS BIGINT)) AS BIGINT) AS sum_pid,
+           CAST(SUM(CAST(floor(x * 100) AS BIGINT)) AS BIGINT) AS sum_x100,
+           CAST(SUM(CAST(floor(z * 10) AS BIGINT)) AS BIGINT) AS sum_z10,
+           CAST(SUM(CAST(intensity AS BIGINT)) AS BIGINT) AS sum_int
+    FROM points GROUP BY cls_bucket ORDER BY cls_bucket"""
+
+
+# And the PLY format gate: dq168 replaces the round-3-sampled window-rank
+# anchor (windows stay covered in the sample by dq149/dq151 and full reruns).
+
+_names6 = list(SPARK_QUERIES)
+_head6 = [n for n in _names6[:50] if n != "dq15_window_rank"] + ["dq168_ply_roundtrip"]
+_head6_set = set(_head6)
+SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head6 + [m for m in _names6 if m not in _head6_set]}
