@@ -2370,12 +2370,20 @@ def resample_interpolate(
     # yields a DESCENDING sequence (two phantom slots outside the span,
     # NULL interpolation), where the oracle's generate_series is empty —
     # the same descending-sequence pitfall as the round-3 n-gram crash.
+    # TRUE floor division, not Spark's `div` (truncation toward zero):
+    # the DuckDB oracle's `//` floors, and for pre-1970 timestamps
+    # (negative epoch micros) trunc and floor disagree by one slot.
+    # floor_div(a, b) for b > 0 == (a - pmod(a, b)) div b — pmod is
+    # non-negative, the subtraction lands on an exact multiple, and div
+    # of an exact multiple is floor.  All-integer, exact at 1e15.
+    first = f"((lo + {step_us - 1}) - pmod(lo + {step_us - 1}, {step_us})) div {step_us}"
+    last = f"(hi - pmod(hi, {step_us})) div {step_us}"
     spine = bounds.select(
         F.col(key_col),
         F.explode(
             F.expr(
-                f"CASE WHEN (lo + {step_us - 1}) div {step_us} <= hi div {step_us} "
-                f"THEN sequence((lo + {step_us - 1}) div {step_us}, hi div {step_us}) "
+                f"CASE WHEN {first} <= {last} "
+                f"THEN sequence({first}, {last}) "
                 f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
             )
         ).alias("slot"),
@@ -2417,7 +2425,8 @@ def resample_interpolate(
         w.filter(F.col("is_ev") == 0)
         .select(
             F.col(key_col).cast("bigint").alias(key_col),
-            F.expr("t_us div 1000000").alias("slot_s"),
+            # floor, like the oracle's `//` (negative t_us = pre-1970)
+            F.expr("(t_us - pmod(t_us, 1000000)) div 1000000").alias("slot_s"),
             round4(interp).alias("v_interp"),
         )
         .orderBy(key_col, "slot_s")

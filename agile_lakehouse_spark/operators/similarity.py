@@ -840,9 +840,15 @@ def cosine_topk_join(
     qs = queries.select(
         F.col(q_id), F.col(q_vec), vector.norm(F.col(q_vec)).alias("_nq")
     )
+    # zero-norm guard: cos would be NaN, and Spark's total order puts NaN
+    # LARGEST — sort_array(-cos) would rank it last while the documented
+    # row_number(cos DESC) window equivalent ranks it first.  A zero-norm
+    # vector has no direction, so its cosine is undefined; excluding the
+    # pair keeps the two formulations identical on every input.
     scored = (
         corpus.withColumn("_nv", vector.norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(qs))
+        .filter(F.col("_nv") > 0)
+        .crossJoin(F.broadcast(qs.filter(F.col("_nq") > 0)))
         .select(
             F.col(q_id),
             F.col(id_col),

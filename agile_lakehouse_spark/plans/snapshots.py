@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -579,6 +580,13 @@ class TransactionalTable:
         matched = live.filter(cond).select(
             F.col("_dv_file").alias("file_path"), F.col("_dv_pos").alias("row_index")
         )
+        return self._commit_dv(matched, files, old, latest)
+
+    def _commit_dv(self, matched: DataFrame, files, old, latest) -> int:
+        """Stage a deletion-vector DataFrame and commit it; on the
+        no-match path and on commit failure the staged directory is
+        removed so nothing unreferenced (and vacuum-invisible) leaks
+        inside the table path."""
         stage_dir = os.path.join(self.path, f"deletes-{uuid.uuid4().hex}")
         matched.write.parquet(stage_dir)
         paths = [
@@ -589,8 +597,13 @@ class TransactionalTable:
         import pyarrow.parquet as pq
 
         if sum(pq.ParquetFile(p).metadata.num_rows for p in paths) == 0:
+            shutil.rmtree(stage_dir, ignore_errors=True)
             return latest  # no matches — no new version needed
-        return self._commit(files, "delete-mor", base=latest, deletes=old + paths)
+        try:
+            return self._commit(files, "delete-mor", base=latest, deletes=old + paths)
+        except BaseException:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            raise
 
     @staticmethod
     def spark_read_dv(spark: SparkSession, deletes: list[str]) -> DataFrame:
@@ -620,18 +633,7 @@ class TransactionalTable:
         matched = live.join(keys.select(key).distinct(), key, "left_semi").select(
             F.col("_dv_file").alias("file_path"), F.col("_dv_pos").alias("row_index")
         )
-        stage_dir = os.path.join(self.path, f"deletes-{uuid.uuid4().hex}")
-        matched.write.parquet(stage_dir)
-        paths = [
-            os.path.join(stage_dir, f)
-            for f in sorted(os.listdir(stage_dir))
-            if f.endswith(".parquet")
-        ]
-        import pyarrow.parquet as pq
-
-        if sum(pq.ParquetFile(p).metadata.num_rows for p in paths) == 0:
-            return latest
-        return self._commit(files, "delete-mor", base=latest, deletes=old + paths)
+        return self._commit_dv(matched, files, old, latest)
 
     def apply_cdc(
         self,
@@ -654,7 +656,13 @@ class TransactionalTable:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        # deterministic tie-break on equal seq: op DESC ('U' > 'I' > 'D'),
+        # so a same-seq upsert beats a same-seq delete identically on every
+        # run — without it row_number resolves ties by arrival order and a
+        # (key, seq) collision could apply U or D nondeterministically
+        w = Window.partitionBy(key).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
         latest = (
             changes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -306,7 +306,10 @@ def write_las(
     struct.pack_into("<I", hdr, 100, 0)
     hdr[104] = point_format
     struct.pack_into("<H", hdr, 105, record_len)
-    legacy = n if (version < (1, 4) or n < 2**32) else 0
+    # LAS 1.4 spec: for point formats 6-10 the legacy point-count and
+    # legacy by-return fields MUST be zero (readers use the u64 1.4
+    # fields); strict validators reject or double-count otherwise
+    legacy = 0 if point_format >= 6 else (n if (version < (1, 4) or n < 2**32) else 0)
     struct.pack_into("<I", hdr, 107, legacy)
     struct.pack_into("<I", hdr, 111, legacy)  # by-return[0]
     struct.pack_into("<6d", hdr, 131, *scales, *offsets)

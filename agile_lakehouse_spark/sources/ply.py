@@ -170,7 +170,9 @@ def _ply_header(df: DataFrame, n_rows: int, fmt: str) -> tuple[list[tuple[str, s
     return cols, "\n".join(header) + "\n"
 
 
-def write_ply(df: DataFrame, path: str, binary: bool = False) -> None:
+def write_ply(
+    df: DataFrame, path: str, binary: bool = False, max_rows: int = 10_000_000
+) -> None:
     """Write a DataFrame as PLY — ascii (default) or binary_little_endian.
 
     Ascii: rows become text JVM-side (``concat_ws``), only the final file
@@ -178,10 +180,23 @@ def write_ply(df: DataFrame, path: str, binary: bool = False) -> None:
     into one structured array (PLY is a single-file format — inherently a
     collect point, same as the reference's writer); narrowing integer
     casts are bounds-checked so overflow is loud, never silent.
+
+    The binary path funnels through the driver (``toPandas``), so it is
+    guarded by ``max_rows`` (default 10 M ≈ hundreds of MB): a bigger
+    DataFrame raises with a pointer at the ascii/streaming path instead
+    of OOM-ing the driver.  Raise the limit explicitly if you mean it.
     """
     from pyspark.sql import functions as F
 
     if binary:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"write_ply(binary=True) collects all rows on the driver; "
+                f"{n} rows > max_rows={max_rows}. Use binary for exports "
+                f"only — for large tables use the ascii path (streamed via "
+                f"toLocalIterator) or pass an explicit max_rows."
+            )
         pdf = df.toPandas()
         cols, header = _ply_header(df, len(pdf), "binary_little_endian")
         dt = np.dtype([(n, "<" + _PLY_TO_NP[_SPARK_TO_PLY[t]]) for n, t in cols])

@@ -172,17 +172,22 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
         def run_layout(name, job):
             # timing = MEAN of reps (comparable to prior rounds' single
             # run), stddev recorded alongside — write jobs rewrite the
-            # same dir, last rep's output survives for the on-layout reads
+            # same dir, last rep's output survives for the on-layout reads.
+            # Adaptive: up to reps+2 runs while std > 15% of mean (write
+            # jobs are the suite's noisiest — disk cache + GC pressure).
             per = []
-            for _ in range(reps):
+            while True:
                 t0 = time.time()
                 job()
                 per.append(time.time() - t0)
-            timings[name] = round(sum(per) / len(per), 3)
+                n = len(per)
+                mean = sum(per) / n
+                std = (sum((t - mean) ** 2 for t in per) / n) ** 0.5
+                if n >= reps + 2 or (n >= reps and std <= 0.15 * mean):
+                    break
+            timings[name] = round(mean, 3)
             if stats is not None:
-                mean = sum(per) / len(per)
-                var = sum((t - mean) ** 2 for t in per) / len(per)
-                stats[name] = {"mean": round(mean, 4), "std": round(var**0.5, 4), "n": len(per)}
+                stats[name] = {"mean": round(mean, 4), "std": round(std, 4), "n": n}
 
         run_layout("layout_convert", lambda: pts.write.mode("overwrite").parquet(f"{tmp}/convert"))
         run_layout("layout_grid1", lambda: layout.write_grid_layout(pts, f"{tmp}/grid1", 100.0, 100.0))
@@ -250,45 +255,50 @@ def main() -> None:
     stats: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = declared.SPARK_QUERIES[name]
-        # two timed runs, record the mean: single-run numbers drift ±40%
-        # under a 55-entry suite's JVM pressure (GC, codegen cache churn)
-        # and read as phantom regressions round-over-round
+        # ADAPTIVE runs: start at 2 (single-run numbers drift ±40% under
+        # a 70-entry suite's JVM pressure) and keep rerunning while the
+        # sample stddev exceeds 15% of the mean, up to 4 runs — round 4's
+        # noisiest entries (dq21c ±25%, dq21b ±24%) made regression
+        # detection unreliable at fixed mean-of-2
         per = []
-        for _ in range(2):
+        while True:
             t0 = time.time()
             execute_fully(fn(spark, sf_dir))
             per.append(time.time() - t0)
-        mean = sum(per) / len(per)
+            n = len(per)
+            mean = sum(per) / n
+            std = (sum((t - mean) ** 2 for t in per) / n) ** 0.5
+            if n >= 4 or (n >= 2 and (std <= 0.15 * mean or mean < 0.05)):
+                break
         # MEAN, not sum, so entries stay comparable with earlier rounds'
         # single-run values (the w_*/layout entries keep their run-total
         # convention — their stats row carries the per-run mean)
         timings[name] = round(mean, 3)
-        var = sum((t - mean) ** 2 for t in per) / len(per)
-        stats[name] = {"mean": round(mean, 4), "std": round(var**0.5, 4), "n": len(per)}
+        stats[name] = {"mean": round(mean, 4), "std": round(std, 4), "n": n}
 
     seeded_workload(spark, sf_dir, timings, stats)
     layout_jobs(spark, sf_dir, timings, stats)
 
     total = round(sum(timings.values()), 3)
-    payload = {
+    # stdout gets the COMPACT line (no per-entry stats): the driver's
+    # bounded stdout capture truncated the stats-bearing line four rounds
+    # running ("parsed": null in BENCH_r01-r04).  The full payload, stats
+    # included, goes to the sidecar file.
+    compact = {
         "metric": "bench_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "stats": stats,
         "sf": sf,
     }
-    line = json.dumps(payload)
-    # ALSO write the JSON to a file: the driver captures a bounded stdout
-    # tail, and at 60+ entries the one-line summary can overflow it
-    # (BENCH_r03.json recorded "parsed": null for exactly this reason)
+    full = dict(compact, stats=stats)
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try:
         with open(out_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(full) + "\n")
     except OSError:
         pass  # stdout line below is still the contract
-    print(line)
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 

@@ -240,3 +240,28 @@ def test_modern_format_datasource_scan(tmp_path, spark):
     hdr = las_native.read_header(p)
     got = df.agg({"x": "min"}).collect()[0][0]
     assert abs(got - hdr.mins[0]) < 1e-9
+
+
+def test_modern_format_legacy_fields_zero(tmp_path):
+    """LAS 1.4 spec: for point formats 6-10 the legacy point-count and
+    legacy by-return header fields MUST be 0 (u64 1.4 fields carry the
+    truth) — strict validators reject or double-count otherwise."""
+    import struct
+
+    x, y, z, inten, cls = _sample(100)
+    p = str(tmp_path / "legacy0.las")
+    las_native.write_las(p, x, y, z, point_format=6)
+    with open(p, "rb") as f:
+        raw = f.read(400)
+    assert struct.unpack_from("<I", raw, 107)[0] == 0  # legacy count
+    assert struct.unpack_from("<I", raw, 111)[0] == 0  # legacy by-return[0]
+    assert struct.unpack_from("<Q", raw, 247)[0] == 100  # 1.4 u64 count
+    hdr = las_native.read_header(p)
+    assert hdr.n_points == 100
+    assert len(las_native.decode_points(p)["x"]) == 100
+    # legacy formats keep the legacy count for pre-1.4 readers
+    p2 = str(tmp_path / "legacy_f1.las")
+    las_native.write_las(p2, x, y, z, point_format=1, version=(1, 4))
+    with open(p2, "rb") as f:
+        raw2 = f.read(400)
+    assert struct.unpack_from("<I", raw2, 107)[0] == 100

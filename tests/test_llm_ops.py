@@ -871,3 +871,28 @@ def test_cosine_topk_join_matches_window_formulation(spark, sf_dir):
     for q in range(4):
         vid, cos = got[(q, 1)]
         assert vid == q and cos == 1.0
+
+
+def test_cosine_topk_join_zero_norm_excluded(spark):
+    """A zero-norm vector has no direction (cos = NaN); Spark's total
+    order puts NaN LARGEST, so without the guard the two-phase cut
+    (sort_array over -cos) ranks it last while the window formulation
+    (row_number over cos DESC) ranks it first.  The guard drops the
+    pair on both sides, keeping the formulations identical."""
+    from agile_lakehouse_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id bigint, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])],
+        "q_id bigint, q_vec array<double>",
+    )
+    rows = similarity.cosine_topk_join(qs, corpus, k=4).collect()
+    # zero-norm corpus vector 2 never appears as a neighbour
+    assert all(r.vec_id != 2 for r in rows)
+    # zero-norm QUERY 1 yields no rows at all
+    assert all(r.q_id == 0 for r in rows)
+    got = [(r.rank, r.vec_id) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == [(1, 0), (2, 3), (3, 1)]

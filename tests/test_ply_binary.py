@@ -164,3 +164,15 @@ def test_ply_datasource_empty_dir_raises_clear_error(spark, tmp_path):
     ds = PlyDataSource(options={"path": str(empty)})
     with pytest.raises(ValueError, match="no .ply files"):
         ds.schema()
+
+
+def test_binary_max_rows_guard_refuses_driver_funnel(spark, tmp_path):
+    """binary=True collects on the driver (single-file format); a frame
+    over max_rows must refuse loudly instead of OOM-ing the driver."""
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS x")
+    with pytest.raises(ValueError, match="max_rows"):
+        ply.write_ply(df, str(tmp_path / "big.ply"), binary=True, max_rows=50)
+    assert not (tmp_path / "big.ply").exists()
+    p = str(tmp_path / "ok.ply")
+    ply.write_ply(df, p, binary=True, max_rows=100)  # at the limit: fine
+    assert ply.read_ply(spark, p).count() == 100

@@ -396,3 +396,24 @@ def test_sessionize_capped_splits_long_island(spark):
     assert subs[(2, 0)] == 1   # the gapped event
     # every sub-session's duration is bounded by the cap
     assert all(r.end_ms - r.start_ms <= 7200 * 1000 for r in out)
+
+
+def test_resample_interpolate_pre_1970_floor_division(spark):
+    """Negative epoch micros: Spark's `div` truncates toward zero while
+    the oracle's `//` floors — the slot arithmetic must FLOOR on both
+    sides.  Events at 22:30 and 23:30 on 1969-12-31 span exactly one
+    hourly slot (23:00, slot_s = -3600); trunc semantics would instead
+    produce slot 0 (outside the span)."""
+    from datetime import datetime
+
+    from agile_lakehouse_spark.operators.relational import resample_interpolate
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(1969, 12, 31, 22, 30), 10.0),
+            (1, datetime(1969, 12, 31, 23, 30), 20.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    rows = {(r.user_id, r.slot_s): r.v_interp for r in resample_interpolate(df).collect()}
+    assert rows == {(1, -3600): 15.0}

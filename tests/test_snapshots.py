@@ -555,3 +555,31 @@ def test_apply_cdc_latest_change_wins(spark, table):
     assert got[20] == 200
     assert got[5] == 10  # untouched rows intact
     assert len(got) == 10  # 10 - deleted 3 + new 20
+
+
+def test_mor_no_match_leaves_no_staged_dir(spark, table):
+    """The no-match MOR delete must not leak an unreferenced (and
+    vacuum-invisible) deletes-<uuid> directory inside the table path."""
+    import os
+
+    table.append(_df(spark, 0, 10))
+    v = table.latest_version()
+    assert table.delete_where_mor(spark, "k > 999") == v
+    keys = spark.range(500, 510).select(F.col("id").alias("k"))
+    assert table.delete_keys_mor(spark, keys, "k") == v
+    leaked = [d for d in os.listdir(table.path) if d.startswith("deletes-")]
+    assert leaked == []
+
+
+def test_apply_cdc_equal_seq_tie_deterministic(spark, table):
+    """Two changes with the SAME (key, seq) resolve by op DESC
+    ('U' > 'I' > 'D'): the upsert wins, identically on every run."""
+    table.append(_df(spark, 0, 10))
+    changes = spark.createDataFrame(
+        [(7, 700, "U", 5), (7, 0, "D", 5)],
+        "k bigint, v bigint, op string, seq bigint",
+    )
+    table.apply_cdc(spark, changes, key="k", seq_col="seq")
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got[7] == 700
+    assert len(got) == 10
