@@ -2258,7 +2258,15 @@ CONTAM_TEST_SOURCE = "src0"
 
 
 def gopher_quality_q(spark, sf_dir):
-    return text.gopher_quality(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    # range-partition on the id BEFORE the projection, sort within after:
+    # a plain orderBy() on the scored output range-SAMPLES its child,
+    # evaluating the tokenize/stopword/distinct projection twice
+    # (measured 0.67 s vs 0.30 s at sf0.1).  Here the sampling pass sees
+    # only the cheap scan; the projection runs once, order-preserving,
+    # and sortWithinPartitions completes the same global doc_id order.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, sf_dir, "documents").repartitionByRange(n, "doc_id")
+    return text.gopher_quality(docs).sortWithinPartitions("doc_id")
 
 
 def dup_ngram_coverage_q(spark, sf_dir):

@@ -481,6 +481,13 @@ def gopher_quality(
     All ratios are single IEEE divisions of exact integers, so the DuckDB
     oracle reproduces them bit-for-bit.
     """
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    # the per-doc expressions (tokenize + stopword filter + distinct) are
+    # the cost; on a narrow input (one small file) they'd run on one core.
+    # spread() is a no-op on already-wide inputs, so at cluster scale this
+    # adds nothing while a 1-partition local read gains full parallelism.
+    df = spread(df)
     toks = _tokens(text_col)
     n_tok = F.size(toks).cast("bigint")
     # total non-whitespace chars / token count = mean token length
