@@ -4474,3 +4474,47 @@ _names6 = list(SPARK_QUERIES)
 _head6 = [n for n in _names6[:50] if n != "dq15_window_rank"] + ["dq168_ply_roundtrip"]
 _head6_set = set(_head6)
 SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in _head6 + [m for m in _names6 if m not in _head6_set]}
+
+
+# --- round 5: viz.rs progressive-LOD sweep (the reference's last uncovered
+# workload shape, pc-cli/examples/viz.rs:85-273) --------------------------------
+
+_LOD_DEPTH = 3
+_LOD_TOTAL = sum(4**lv for lv in range(_LOD_DEPTH + 1))  # 85
+_LOD_CUTS = [
+    sum(4**k for k in range(lv + 1)) / _LOD_TOTAL for lv in range(_LOD_DEPTH)
+]
+
+
+def lod_sweep_q(spark, sf_dir):
+    """dq169: progressive-LOD sweep over the importance-stratified
+    quadtree (viz.rs:85-273) — per level, the per-cell point populations
+    a renderer would stream, probed on viz.rs's deterministic M=16
+    stride.  One plan: cell assignment (floor/CASE), one per-cell hash
+    agg, stride filter ON the aggregate, tiny per-level rollup."""
+    return pointcloud.lod_sweep(_q(spark, sf_dir), depth=_LOD_DEPTH, side=QT_SIDE)
+
+
+SPARK_QUERIES["dq169_lod_sweep"] = lod_sweep_q
+ORACLES["dq169_lod_sweep"] = f"""
+    {POINTS_CTE},
+    lv AS (SELECT x, y,
+             CASE WHEN i < {_LOD_CUTS[0]!r} THEN 0
+                  WHEN i < {_LOD_CUTS[1]!r} THEN 1
+                  WHEN i < {_LOD_CUTS[2]!r} THEN 2 ELSE 3 END AS level
+           FROM points),
+    cells AS (SELECT level,
+                CAST(floor((x - 0.0) / ({QT_SIDE} / power(2.0, CAST(level AS DOUBLE)))) AS BIGINT) AS qx,
+                CAST(floor((y - 0.0) / ({QT_SIDE} / power(2.0, CAST(level AS DOUBLE)))) AS BIGINT) AS qy,
+                CAST(count(*) AS BIGINT) AS n
+              FROM lv GROUP BY 1, 2, 3),
+    probed AS (SELECT * FROM cells
+               WHERE (qy * CAST(power(2.0, CAST(level AS DOUBLE)) AS BIGINT) + qx)
+                     % GREATEST(CAST(power(4.0, CAST(level AS DOUBLE)) AS BIGINT) // 16, 1) = 0)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_points,
+           CAST(min(n) AS BIGINT) AS min_cell_points,
+           CAST(max(n) AS BIGINT) AS max_cell_points,
+           (floor((avg(n)) * 10000.0 + 0.5) / 10000.0) AS avg_cell_points
+    FROM probed GROUP BY level ORDER BY level"""

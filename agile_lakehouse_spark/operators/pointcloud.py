@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from agile_lakehouse_spark.functions.portable import round4
+
 
 def count(df: DataFrame) -> DataFrame:
     """Exact row count (benchmark.rs:100-104) as a 1-row DataFrame."""
@@ -285,6 +287,67 @@ def quadtree_cells(
     out = out.withColumn("qx", F.floor((F.col(x) - origin[0]) / cell_size).cast("bigint"))
     out = out.withColumn("qy", F.floor((F.col(y) - origin[1]) / cell_size).cast("bigint"))
     return out
+
+
+def lod_sweep(
+    df: DataFrame,
+    depth: int,
+    side: float,
+    probes_per_level: int = 16,
+    x: str = "x",
+    y: str = "y",
+    importance_col: str = "i",
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> DataFrame:
+    """Progressive-LOD sweep — the reference's viz driver workload
+    (``pc-cli/examples/viz.rs:85-273``): per quadtree level, the per-cell
+    point populations a renderer would stream, probed on a deterministic
+    stride of the level's cell grid (viz.rs probes M=16 cells per level,
+    ``i % max(n/M, 1) == 0`` over the cell enumeration).
+
+    Output per level: probed nonempty cells, their total points, the
+    min/max/mean per-cell count (viz.rs logs mean±std per level).  The
+    whole sweep is ONE plan — cell assignment is pure floor/CASE
+    arithmetic, the per-cell counts one hash aggregate, the stride a
+    filter ON THE AGGREGATE (4^ℓ cells per level, never data-sized), and
+    the per-level rollup a second tiny aggregate.  No per-cell query
+    loop: a 1000-executor sweep reads the table once, where the
+    reference issues one query per probed cell.
+
+    The pruning benefit the layout exists for (each probe touching ~1
+    file under the quadtree layout) is asserted separately in
+    tests/test_layout.py over parquet footer stats.
+    """
+    cells = quadtree_cells(
+        df, depth, side, x=x, y=y, importance_col=importance_col, origin=origin
+    )
+    per_cell = cells.groupBy("level", "qx", "qy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # viz.rs's deterministic probe stride over each level's cell grid:
+    # ordinal = qy * 2^ℓ + qx, stride = max(4^ℓ div M, 1).  Integer
+    # arithmetic only (powers of 2/4 up to depth are exact in double,
+    # cast to bigint); % follows the dividend's sign identically in
+    # Spark and DuckDB, so out-of-grid cells select identically too.
+    ordinal = F.col("qy") * F.pow(F.lit(2.0), F.col("level").cast("double")).cast(
+        "bigint"
+    ) + F.col("qx")
+    stride = F.greatest(
+        (F.pow(F.lit(4.0), F.col("level").cast("double")).cast("bigint") / F.lit(probes_per_level)).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    probed = per_cell.filter(ordinal % stride == 0)
+    return (
+        probed.groupBy(F.col("level").cast("bigint").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.min("n").cast("bigint").alias("min_cell_points"),
+            F.max("n").cast("bigint").alias("max_cell_points"),
+            round4(F.avg("n")).alias("avg_cell_points"),
+        )
+        .orderBy("level")
+    )
 
 
 def knn_join(

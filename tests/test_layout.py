@@ -254,3 +254,92 @@ def test_grid_layout_hilbert_curve_prunes(points, spark, tmp_path):
     assert hit.count() == pc.range_query(points, box).count()
     hit_files = hit.select(F.input_file_name()).distinct().count()
     assert hit_files < total_files * 0.5, (hit_files, total_files)
+
+
+def test_lod_sweep_matches_naive_and_levels_complete(points, spark):
+    """lod_sweep's one-plan aggregate must equal the naive per-level
+    recomputation, and every level 0..depth must appear."""
+    out = {r.level: r for r in pc.lod_sweep(points, depth=2, side=1024.0).collect()}
+    assert sorted(out) == [0, 1, 2]
+    cells = pc.quadtree_cells(points, 2, 1024.0)
+    per_cell = cells.groupBy("level", "qx", "qy").count()
+    for lv in (0, 1, 2):
+        rows = per_cell.filter(F.col("level") == lv).collect()
+        # depth 2: stride = max(4^l // 16, 1) = 1 -> every nonempty cell probed
+        assert out[lv].n_cells == len(rows)
+        assert out[lv].n_points == sum(r["count"] for r in rows)
+        assert out[lv].max_cell_points == max(r["count"] for r in rows)
+
+
+def test_lod_render_pruning_per_level(points, spark, tmp_path):
+    """The layout's whole point (viz.rs:85-273): under the quadtree
+    layout, a viewport render at level ℓ reads only the level-ℓ files
+    whose footprint intersects the viewport — files-touched shrinks as
+    the level drops, and every per-level probe touches a minority of
+    that level's files; a flat convert layout forces every probe to
+    read (nearly) every file."""
+    import collections
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    depth, side = 2, 1024.0
+    dest = str(tmp_path / "qt_lod")
+    layout.write_quadtree_layout(points, dest, depth=depth, side=side, max_records_per_file=400)
+
+    # per-level parquet footer stats: (file, x_min, x_max, y_min, y_max)
+    stats = collections.defaultdict(list)
+    for f in glob.glob(os.path.join(dest, "level=*", "*.parquet")):
+        lv = int(f.split("level=")[1].split(os.sep)[0])
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        xmn = min(md.row_group(g).column(cols["x"]).statistics.min for g in range(md.num_row_groups))
+        xmx = max(md.row_group(g).column(cols["x"]).statistics.max for g in range(md.num_row_groups))
+        ymn = min(md.row_group(g).column(cols["y"]).statistics.min for g in range(md.num_row_groups))
+        ymx = max(md.row_group(g).column(cols["y"]).statistics.max for g in range(md.num_row_groups))
+        stats[lv].append((xmn, xmx, ymn, ymx))
+
+    assert sorted(stats) == list(range(depth + 1))
+
+    # viewport = one deepest-level cell around the data centroid
+    cx, cy = points.agg(F.avg("x"), F.avg("y")).collect()[0]
+    cell = side / 2**depth
+    vx_lo, vy_lo = (cx // cell) * cell, (cy // cell) * cell
+    vx_hi, vy_hi = vx_lo + cell, vy_lo + cell
+
+    def touched(lv):
+        return sum(
+            1
+            for (xmn, xmx, ymn, ymx) in stats[lv]
+            if xmn < vx_hi and xmx >= vx_lo and ymn < vy_hi and ymx >= vy_lo
+        )
+
+    per_level = {lv: touched(lv) for lv in stats}
+    totals = {lv: len(stats[lv]) for lv in stats}
+    # each level's probe touches a minority of that level's files (levels
+    # with a single file trivially touch it — require >1 file to assert)
+    for lv in stats:
+        if totals[lv] > 2:
+            assert per_level[lv] < totals[lv], (lv, per_level, totals)
+    # files-touched shrinks as the level drops: the cumulative render
+    # cost of level ℓ (levels 0..ℓ over the viewport) is monotone in ℓ
+    cum = [sum(per_level[k] for k in range(lv + 1)) for lv in range(depth + 1)]
+    assert cum == sorted(cum)
+    # and the FULL deepest render touches a minority of all files, while
+    # the flat convert layout intersects the viewport with ~every file
+    flat = str(tmp_path / "flat")
+    points.repartition(8).write.parquet(flat)
+    flat_touched = flat_total = 0
+    for f in glob.glob(os.path.join(flat, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        xmn = min(md.row_group(g).column(cols["x"]).statistics.min for g in range(md.num_row_groups))
+        xmx = max(md.row_group(g).column(cols["x"]).statistics.max for g in range(md.num_row_groups))
+        ymn = min(md.row_group(g).column(cols["y"]).statistics.min for g in range(md.num_row_groups))
+        ymx = max(md.row_group(g).column(cols["y"]).statistics.max for g in range(md.num_row_groups))
+        flat_total += 1
+        if xmn < vx_hi and xmx >= vx_lo and ymn < vy_hi and ymx >= vy_lo:
+            flat_touched += 1
+    assert flat_touched == flat_total  # random layout: no pruning at all
+    assert cum[-1] / sum(totals.values()) < flat_touched / flat_total, (cum, totals)
