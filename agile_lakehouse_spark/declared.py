@@ -4518,3 +4518,37 @@ ORACLES["dq169_lod_sweep"] = f"""
            CAST(max(n) AS BIGINT) AS max_cell_points,
            (floor((avg(n)) * 10000.0 + 0.5) / 10000.0) AS avg_cell_points
     FROM probed GROUP BY level ORDER BY level"""
+
+
+# --- round-5 head rotation ----------------------------------------------------
+# The driver samples the FIRST ~50 entries.  84 entries had never been
+# driver-sampled by round 4; rotate 14 never-sampled families in (codec
+# chain, SemDeDup, PII, ORC/CSV round-trips, capped sessions, TPC-H long
+# tail, streaming tail, recursive CTE, the new LOD sweep) and rotate out
+# the anchors sampled in 2-4 prior rounds (they stay covered by the full
+# 186-query rerun and the bench suite).
+
+_ROT5_OUT = {
+    "dq01_pc_scan_count", "dq08_pc_knn", "dq24_pc_grid_cells",
+    "dq09_groupby_agg", "dq11_multiway_join", "dq20_time_bucket",
+    "dq21_dedup_exact", "dq22_ann_topk", "dq23_text_stats",
+    "dq25_multimodal_features", "dq54_stream_time_bucket",
+    "dq55_stream_dedup", "dq56_stream_static_join",
+    "dq57_stream_interval_join",
+}
+_ROT5_IN = [
+    "dq138_wav_decode", "dq141_image_resize", "dq142_ppm_decode",
+    "dq148_semantic_dedup", "dq145_redact_pii", "dq155_orc_roundtrip",
+    "dq159_csv_roundtrip", "dq151_sessionize_capped", "dq169_lod_sweep",
+    "dq94_tpch_q9", "dq68_tpch_q22", "dq63_stream_session_window",
+    "dq72_stream_sliding_window", "dq43_recursive_cte",
+]
+_names7 = list(SPARK_QUERIES)
+assert all(n in SPARK_QUERIES for n in _ROT5_IN), "rotation names must exist"
+assert all(n in SPARK_QUERIES for n in _ROT5_OUT)
+_head7 = [n for n in _names7[:50] if n not in _ROT5_OUT] + _ROT5_IN
+assert len(_head7) == 50, len(_head7)
+_head7_set = set(_head7)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n] for n in _head7 + [m for m in _names7 if m not in _head7_set]
+}

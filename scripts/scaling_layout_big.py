@@ -88,12 +88,98 @@ def run_scale(spark, n: int) -> dict:
     return out
 
 
+def run_scale_banded(spark, n: int) -> dict:
+    """The 1 B-point decade via the reference's own windowed discipline
+    (``pc-cli/src/partition.rs:249-374``): generate -> layout -> validate
+    -> delete one BAND at a time, so peak disk is one band's convert +
+    one band's layout (~2 x n/bands x 40 B) instead of 2 x n x 40 B.
+
+    Bands are chosen so cells NEVER straddle a band, which makes the
+    union of the band outputs exactly the layout a single job would
+    write (no post-merge compact needed):
+
+    - grid(100): five x-bands aligned to the 100 m cell edge
+      ([0,200), [200,400), ... — every cell lies wholly in one band);
+    - quadtree(depth 3, side 1024): levels 0-2 as one band (their
+      importance slabs are disjoint from level 3's), then level 3 split
+      into four x-bands aligned to its 128-unit cells.
+
+    Per-band times are summed — the honest cost of laying out n points
+    on this disk; a 1000-executor cluster runs the bands concurrently.
+    """
+    out: dict[str, object] = {"n_points": n, "mode": "banded"}
+    tmp = tempfile.mkdtemp(prefix=f"big_layout_banded_{n}_")
+    pts = synth_points(spark, n)
+    try:
+        # --- grid(100) in five x-aligned bands ---------------------------
+        grid_s = convert_s = 0.0
+        total_rows = 0
+        band_times = []
+        for lo in (0.0, 200.0, 400.0, 600.0, 800.0):
+            band = pts.filter((F.col("x") >= lo) & (F.col("x") < lo + 200.0))
+            t0 = time.time()
+            band.write.mode("overwrite").parquet(f"{tmp}/bconv")
+            convert_s += time.time() - t0
+            stored = spark.read.parquet(f"{tmp}/bconv")
+            t0 = time.time()
+            layout.write_grid_layout(stored, f"{tmp}/bgrid", 100.0, 100.0)
+            dt = time.time() - t0
+            grid_s += dt
+            band_times.append(round(dt, 2))
+            total_rows += spark.read.parquet(f"{tmp}/bgrid").count()
+            shutil.rmtree(f"{tmp}/bgrid", ignore_errors=True)
+            shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
+        assert total_rows == n, f"grid bands lost rows: {total_rows} != {n}"
+        out["convert_s"] = round(convert_s, 2)
+        out["grid_s"] = round(grid_s, 2)
+        out["grid_band_s"] = band_times
+        out["grid_pts_per_s"] = round(n / grid_s)
+
+        # --- quadtree(depth 3) in five cell-aligned bands ----------------
+        # importance cuts (framework.rs:169-219): levels 0-2 hold
+        # i < 21/85 of the mass; level 3 the rest, x-banded at 256
+        # (a multiple of the level-3 cell edge 1024/8 = 128).
+        cut = 21.0 / 85.0
+        qt_s = 0.0
+        total_rows = 0
+        band_times = []
+        bands = [pts.filter(F.col("i") < cut)] + [
+            pts.filter(
+                (F.col("i") >= cut) & (F.col("x") >= lo) & (F.col("x") < lo + 256.0)
+            )
+            for lo in (0.0, 256.0, 512.0, 768.0)
+        ]
+        for band in bands:
+            t0 = time.time()
+            band.write.mode("overwrite").parquet(f"{tmp}/bconv")
+            convert_dt = time.time() - t0
+            stored = spark.read.parquet(f"{tmp}/bconv")
+            t0 = time.time()
+            layout.write_quadtree_layout(stored, f"{tmp}/bqt", depth=3, side=1024.0)
+            dt = time.time() - t0
+            qt_s += dt
+            band_times.append(round(dt + convert_dt, 2))
+            total_rows += spark.read.parquet(f"{tmp}/bqt").count()
+            shutil.rmtree(f"{tmp}/bqt", ignore_errors=True)
+            shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
+        assert total_rows == n, f"quadtree bands lost rows: {total_rows} != {n}"
+        out["quadtree_s"] = round(qt_s, 2)
+        out["quadtree_band_s"] = band_times
+        out["quadtree_pts_per_s"] = round(n / qt_s)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [500_000_000]
+    args = [a for a in sys.argv[1:] if a != "--banded"]
+    banded = "--banded" in sys.argv[1:]
+    sizes = [int(a) for a in args] or [500_000_000]
     spark = get_session("scaling-big-layout")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        print(json.dumps(run_scale(spark, n)), flush=True)
+        run = run_scale_banded if banded else run_scale
+        print(json.dumps(run(spark, n)), flush=True)
     spark.stop()
 
 
