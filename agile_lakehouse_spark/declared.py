@@ -4552,3 +4552,88 @@ _head7_set = set(_head7)
 SPARK_QUERIES = {
     n: SPARK_QUERIES[n] for n in _head7 + [m for m in _names7 if m not in _head7_set]
 }
+
+
+# --- round 5: exact duplicated-substring spans (Lee et al. 2022) -------------
+
+DUPSPAN_L = 12
+
+
+def duplicate_spans_q(spark, sf_dir):
+    """dq170: exact duplicated-substring spans over ``documents`` — the
+    Lee et al. 2022 exact-substring dedup output ("remove these token
+    ranges") via overlapping L-token windows, a global window-string
+    count, and per-doc island merging.  Three bounded shuffles, no
+    suffix array, no all-pairs."""
+    return dedup.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), window_tokens=DUPSPAN_L
+    )
+
+
+SPARK_QUERIES["dq170_duplicate_spans"] = duplicate_spans_q
+ORACLES["dq170_duplicate_spans"] = rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    w0 AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= {DUPSPAN_L} THEN
+          list_transform(range(1, len(toks) - {DUPSPAN_L} + 2),
+            p -> {{'pos': CAST(p - 1 AS BIGINT),
+                   'gram': array_to_string(toks[p : p + {DUPSPAN_L} - 1], ' ')}})
+        ELSE CAST([] AS STRUCT(pos BIGINT, gram VARCHAR)[]) END AS ws
+      FROM t),
+    w AS (SELECT doc_id, unnest(ws, recursive := true) FROM w0),
+    c AS (SELECT gram FROM w GROUP BY gram HAVING count(*) > 1),
+    d AS (SELECT doc_id, pos FROM w WHERE gram IN (SELECT gram FROM c)),
+    i AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 > {DUPSPAN_L} THEN 1 ELSE 0 END AS nw
+          FROM d),
+    s AS (SELECT doc_id, pos,
+            sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM i)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {DUPSPAN_L} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start"""
+
+
+# --- round 5: streaming content-fingerprint dedup (13th streaming path) ------
+
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def stream_fp_dedup_q(spark, sf_dir):
+    """dq171: streaming corpus-ingest dedup by CONTENT fingerprint — the
+    thirteenth oracle-gated streaming engine path.  Documents arrive as
+    a file stream; each is normalized + fingerprinted JVM-side (the
+    dq107 canonicalization, so trivial case/punctuation variants
+    collapse); the stateful dropDuplicates operator keeps each
+    fingerprint's FIRST arrival.  Only the fingerprint is emitted, so
+    which physical row survived (arrival-order dependent) cannot leak
+    into the result.  At scale this is the streaming ingest front of the
+    curation pipeline: dedup-at-arrival with watermarked state instead
+    of a nightly batch distinct."""
+    load_table(spark, sf_dir, "documents")  # self-defends session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select(
+        F.expr(portable.hex15_spark(_NORM_SPARK)).cast("bigint").alias("norm_fp")
+    ).dropDuplicates(["norm_fp"])
+    return _run_stream(deduped, "append").orderBy("norm_fp")
+
+
+SPARK_QUERIES["dq171_stream_fp_dedup"] = stream_fp_dedup_q
+ORACLES["dq171_stream_fp_dedup"] = f"""
+    SELECT DISTINCT CAST({_h15d(_NORM_DUCK)} AS BIGINT) AS norm_fp
+    FROM documents ORDER BY norm_fp"""

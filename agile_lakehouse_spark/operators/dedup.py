@@ -786,3 +786,78 @@ def dedup_paragraphs(
             "cleaned",
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    window_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring recipe, arXiv:2107.06499 §4): every maximal token
+    span covered by an L-token window that occurs MORE THAN ONCE in the
+    corpus (in another document, or at another position of the same
+    one).  The suffix-array tool's output — "remove these ranges" —
+    re-expressed as three bounded shuffles.
+
+    Correctness rests on the classic window argument: any duplicated
+    substring of >= L tokens contains a duplicated L-window at every
+    start position, so the union of [pos, pos+L) over duplicated
+    windows is exactly the set of positions inside duplicated runs, and
+    merging overlapping-or-touching windows (gap <= L) reconstructs the
+    maximal spans without a suffix array.
+
+    Plan: spread raw rows -> posexplode the OVERLAPPING L-windows
+    (unlike :func:`dedup_paragraphs`'s disjoint surrogates — overlap is
+    what buys the >= L guarantee) -> global per-window-string counts
+    (ONE hash agg, map-side combined) -> join back on the window string
+    (AQE reuses the exchange) -> per-doc island merge (one window over
+    doc id).  The group key is the window STRING for cross-engine
+    exactness; a production deployment would key on a 128-bit hash to
+    shrink the two gram-keyed exchanges — same plan shape, collision
+    odds ~2^-64.  Returns (doc_id, span_start, span_end, n_windows),
+    token positions 0-based, end exclusive.
+    """
+    from pyspark.sql import Window
+
+    L = int(window_tokens)
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_toks"),
+    )
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_toks) >= {L} THEN "
+                f"transform(sequence(1, size(_toks) - {L - 1}), "
+                f"p -> concat_ws(' ', slice(_toks, p, {L}))) "
+                f"ELSE cast(array() as array<string>) END"
+            )
+        ).alias("pos", "gram"),
+    )
+    counts = wins.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
+    dup = (
+        wins.join(counts, "gram")
+        .filter(F.col("_n") > 1)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > F.lit(L), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy(F.col(id_col).cast("bigint").alias(id_col), "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(L)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .drop("_isl")
+        .orderBy(id_col, "span_start")
+    )

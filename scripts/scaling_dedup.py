@@ -108,8 +108,15 @@ def run_scale(spark, n: int) -> dict:
     out["para_s"] = round(time.time() - t0, 2)
     out["para_docs_touched"] = touched
 
+    # exact duplicated-substring spans (round 5, Lee et al. 2022 shape):
+    # overlapping 12-token windows, global window count, island merge
+    t0 = time.time()
+    spans = dedup.duplicate_spans(docs, window_tokens=12).count()
+    out["spans_s"] = round(time.time() - t0, 2)
+    out["spans_found"] = spans
+
     docs.unpersist()
-    for op in ("exact", "minhash", "simhash", "gopher", "dupcov", "para"):
+    for op in ("exact", "minhash", "simhash", "gopher", "dupcov", "para", "spans"):
         out[f"{op}_docs_per_s"] = round(n / out[f"{op}_s"], 0)
     return out
 

@@ -896,3 +896,32 @@ def test_cosine_topk_join_zero_norm_excluded(spark):
     assert all(r.q_id == 0 for r in rows)
     got = [(r.rank, r.vec_id) for r in sorted(rows, key=lambda r: r.rank)]
     assert got == [(1, 0), (2, 3), (3, 1)]
+
+
+def test_duplicate_spans_exact_reconstruction(spark):
+    """Lee-et-al exact-substring spans, hand-computed: cross-doc dup,
+    same-doc dup with an island break (gap > L), and a touching pair
+    (gap == L) that must merge into one maximal span."""
+    from agile_lakehouse_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),          # shares "b c d","c d e" with doc 1
+            (1, "x x b c d e y"),
+            (2, "p q r"),                # all-unique and sub-L windows
+            (3, "m n o z m n o"),        # same-doc dup, gap 4 > L -> 2 spans
+            (4, "g h i g h i"),          # same-doc dup, gap 3 == L -> 1 span
+        ],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(docs, window_tokens=3).collect()
+    ]
+    assert got == [
+        (0, 1, 5, 2),
+        (1, 2, 6, 2),
+        (3, 0, 3, 1),
+        (3, 4, 7, 1),
+        (4, 0, 6, 2),
+    ]

@@ -306,3 +306,23 @@ def test_checkpoint_crash_resume_exactly_once(spark, tmp_path):
     q2.awaitTermination()
     got = sorted(r.k for r in table.read(spark).collect())
     assert got == list(range(20)), "exactly-once across crash-resume"
+
+
+def test_stream_fp_dedup_matches_batch_distinct(spark, sf_dir):
+    """dq171: the streaming content-fingerprint dedup must emit exactly
+    the batch DISTINCT of the normalized fingerprint — same multiset,
+    independent of arrival order (only the fp is emitted)."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark import declared
+
+    got = sorted(
+        r.norm_fp for r in declared.stream_fp_dedup_q(spark, sf_dir).collect()
+    )
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(
+            declared.portable.hex15_spark(declared._NORM_SPARK)
+        ).cast("bigint").alias("fp")
+    )
+    want = sorted(r.fp for r in batch.distinct().collect())
+    assert got == want and len(got) > 0
