@@ -185,11 +185,15 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
                 n = len(per)
                 mean = sum(per) / n
                 std = (sum((t - mean) ** 2 for t in per) / n) ** 0.5
-                if n >= reps + 2 or (n >= reps and std <= 0.15 * mean):
+                sem = std / n**0.5
+                if n >= reps + 3 or (n >= reps and sem <= 0.075 * mean):
                     break
             timings[name] = round(mean, 3)
             if stats is not None:
-                stats[name] = {"mean": round(mean, 4), "std": round(std, 4), "n": n}
+                stats[name] = {
+                    "mean": round(mean, 4), "std": round(std, 4),
+                    "sem": round(sem, 4), "n": n,
+                }
 
         run_layout("layout_convert", lambda: pts.write.mode("overwrite").parquet(f"{tmp}/convert"))
         run_layout("layout_grid1", lambda: layout.write_grid_layout(pts, f"{tmp}/grid1", 100.0, 100.0))
@@ -258,10 +262,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = declared.SPARK_QUERIES[name]
         # ADAPTIVE runs: start at 2 (single-run numbers drift ±40% under
-        # a 70-entry suite's JVM pressure) and keep rerunning while the
-        # sample stddev exceeds 15% of the mean, up to 4 runs — round 4's
-        # noisiest entries (dq21c ±25%, dq21b ±24%) made regression
-        # detection unreliable at fixed mean-of-2
+        # a 70-entry suite's JVM pressure) and keep rerunning until the
+        # STANDARD ERROR of the recorded mean is <= 7.5% of the mean
+        # (cap 6).  Per-run stddev is intrinsic GC/codegen noise that
+        # extra runs don't shrink; what regression detection needs is a
+        # stable MEAN, and sem = std/sqrt(n) is its noise floor —
+        # round 4's noisiest entries (dq21c ±25% per-run) made
+        # round-over-round comparison unreliable at fixed mean-of-2.
         per = []
         while True:
             t0 = time.time()
@@ -270,13 +277,17 @@ def main() -> None:
             n = len(per)
             mean = sum(per) / n
             std = (sum((t - mean) ** 2 for t in per) / n) ** 0.5
-            if n >= 4 or (n >= 2 and (std <= 0.15 * mean or mean < 0.05)):
+            sem = std / n**0.5
+            if n >= 6 or (n >= 2 and (sem <= 0.075 * mean or mean < 0.05)):
                 break
         # MEAN, not sum, so entries stay comparable with earlier rounds'
         # single-run values (the w_*/layout entries keep their run-total
         # convention — their stats row carries the per-run mean)
         timings[name] = round(mean, 3)
-        stats[name] = {"mean": round(mean, 4), "std": round(std, 4), "n": n}
+        stats[name] = {
+            "mean": round(mean, 4), "std": round(std, 4),
+            "sem": round(sem, 4), "n": n,
+        }
 
     seeded_workload(spark, sf_dir, timings, stats)
     layout_jobs(spark, sf_dir, timings, stats)
