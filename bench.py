@@ -231,6 +231,21 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
             cx, cy = 150.0 + 150 * k, 120.0 + 140 * k
             execute_fully(pc.knn(g, cx, cy, 1000))
         timings["w_knn_1000_on_layout"] = round(time.time() - t0, 3)
+
+        # the viz.rs per-level render over the quadtree layout
+        # (viz.rs:160-200): one viewport cell per level, level= hits the
+        # partition dir (pruned before listing), qx/qy hit footer stats
+        qt = spark.read.parquet(f"{tmp}/qt")
+        t0 = time.time()
+        for lv in range(3):
+            cell = 1024.0 / 2**lv
+            qx, qy = int(300.0 // cell), int(200.0 // cell)
+            execute_fully(
+                qt.filter(
+                    (F.col("level") == lv) & (F.col("qx") == qx) & (F.col("qy") == qy)
+                )
+            )
+        timings["w_lod_render_on_layout"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
