@@ -76,8 +76,24 @@ def spread(
     if current is None:
         try:
             plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
-            if _SHUFFLE_NODE.search(plan):
-                current = int(sess.conf.get("spark.sql.shuffle.partitions"))
+            m = _SHUFFLE_NODE.search(plan)
+            if m:
+                # an explicit Repartition/RepartitionByExpression COUNT on
+                # the topmost shuffle node overrides the conf width: a
+                # caller's coalesce(1)/repartition(2) prints as
+                # "Repartition 1, false" / "RepartitionByExpression [...], 2"
+                # and is genuinely narrow — treating it as
+                # shuffle-partitions wide would skip the rebalance and
+                # single-thread the downstream explode
+                node = plan[m.start():].split("\n", 1)[0]
+                m2 = re.search(r"^[\s:+\-]*Repartition (\d+)\b", node) or re.search(
+                    r"^[\s:+\-]*RepartitionByExpression \[.*\], (\d+)\s*$", node
+                )
+                current = (
+                    int(m2.group(1))
+                    if m2
+                    else int(sess.conf.get("spark.sql.shuffle.partitions"))
+                )
             else:
                 current = len(df.inputFiles())  # 0 for local relations -> spread
         except Exception:  # noqa: BLE001 — private-API guard: public fallback

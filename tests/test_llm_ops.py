@@ -925,3 +925,24 @@ def test_duplicate_spans_exact_reconstruction(spark):
         (3, 4, 7, 1),
         (4, 0, 6, 2),
     ]
+
+
+def test_spread_width_check_sees_explicit_repartition_counts(spark):
+    """spread()'s analyzed-plan width probe must treat an upstream
+    coalesce(1)/repartition(2) as NARROW (their node prints the explicit
+    count) and an un-counted range repartition as conf-wide."""
+    from agile_lakehouse_spark.operators.dedup import spread
+
+    base = spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS text")
+    # narrow explicit counts -> spread must rebalance
+    for narrow in (base.coalesce(1), base.repartition(2), base.repartitionByRange(2, "id")):
+        assert spread(narrow).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    # wide explicit count -> untouched (same plan object back)
+    wide = base.repartition(64)
+    assert spread(wide) is wide
+    # conf-width shuffle (groupBy): seen as shuffle.partitions wide
+    # (8 in this test session), so it's untouched at target <= 8 and
+    # rebalanced toward defaultParallelism otherwise
+    agg = base.groupBy("text").count()
+    assert spread(agg, min_partitions=8) is agg
+    assert spread(agg).rdd.getNumPartitions() >= 32
