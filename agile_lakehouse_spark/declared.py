@@ -4637,3 +4637,31 @@ SPARK_QUERIES["dq171_stream_fp_dedup"] = stream_fp_dedup_q
 ORACLES["dq171_stream_fp_dedup"] = f"""
     SELECT DISTINCT CAST({_h15d(_NORM_DUCK)} AS BIGINT) AS norm_fp
     FROM documents ORDER BY norm_fp"""
+
+
+# --- round 5: PNG — the first COMPRESSED image container under the gate ------
+
+
+def png_decode_stats_q(spark, sf_dir):
+    """dq172: PNG branch of the decoded-values gate (dq25 BMP / dq142
+    PPM family) — now through a real COMPRESSED container: zlib inflate,
+    CRC-verified chunk walk, scanline un-filtering, all executor-side in
+    the mapInPandas codec stage.  A single wrong byte anywhere in the
+    deflate/filter pipeline changes the channel sums and fails the
+    DuckDB hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, "doc_id", container="png")
+    return multimodal.image_stats(media).orderBy("media_id")
+
+
+SPARK_QUERIES["dq172_png_decode"] = png_decode_stats_q
+ORACLES["dq172_png_decode"] = """
+    SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 0)*7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 1)*7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id*31 + (p.j*3 + 2)*7) % 256) AS BIGINT) AS sum_b
+    FROM documents d CROSS JOIN range(64) p(j)
+    GROUP BY d.doc_id ORDER BY media_id"""

@@ -9,7 +9,10 @@ binary PPM ``P6`` (the Netpbm interchange format), and RIFF/WAVE with
 specifications; all pixel/sample work is vectorized numpy — no per-pixel
 Python anywhere.
 
-Compressed formats (PNG/JPEG/MP3/H.264) stay behind
+PNG decodes/encodes for real too (round 5): zlib is Python stdlib, so
+the chunk walk + inflate + all five scanline filters are implementable
+from the public spec with no external library.  The remaining
+compressed formats (JPEG/MP3/H.264) stay behind
 ``multimodal.decode_stub`` — their codecs are C libraries absent from
 this environment.
 
@@ -134,17 +137,24 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def sniff_image(data: bytes) -> str:
-    """'bmp' | 'ppm' from magic bytes; raises on anything else."""
+    """'bmp' | 'ppm' | 'png' from magic bytes; raises on anything else."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     raise ValueError(f"unrecognized image magic {data[:2]!r}")
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffed decode: BMP or PPM -> HxWx3 uint8 RGB."""
-    return decode_bmp(data) if sniff_image(data) == "bmp" else decode_ppm(data)
+    """Magic-sniffed decode: BMP, PPM, or PNG -> HxWx3 uint8 RGB."""
+    kind = sniff_image(data)
+    if kind == "bmp":
+        return decode_bmp(data)
+    if kind == "ppm":
+        return decode_ppm(data)
+    return decode_png(data)
 
 
 # --- WAV (RIFF/WAVE, PCM 16-bit LE) ----------------------------------------
@@ -190,3 +200,128 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_channels > 1:  # interleaved -> take channel 0 (mono analysis path)
         samples = samples[::n_channels]
     return samples.copy(), sample_rate
+
+
+# --- PNG (RFC 2083 / W3C PNG spec; zlib is Python stdlib) -------------------
+#
+# The first COMPRESSED container in the codec set: chunk walk with CRC-32
+# verification, concatenated-IDAT inflate, and all five scanline filters
+# (None/Sub/Up/Average/Paeth) on decode — the parts a real PNG reader
+# cannot skip, implemented from the public specification.  The encoder
+# writes filter-0 scanlines (every conforming reader must accept them);
+# the decoder accepts whatever filters a foreign encoder chose.  Bit
+# depth 8, color types 0 (grey -> RGB), 2 (RGB), 6 (RGBA -> alpha
+# dropped); palette/16-bit/interlaced images raise loudly rather than
+# mis-decode.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB array -> truecolor 8-bit PNG bytes."""
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected HxWx3 uint8 array, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 RGB (grey expanded, alpha dropped).
+
+    Filters 3/4 (Average/Paeth) carry an intra-row serial dependency, so
+    those rows decode pixel-at-a-time; filters 0/1/2 are vectorized
+    (Sub is a per-channel-phase cumsum mod 256).  CRC failures, palette
+    images, 16-bit depth, and Adam7 interlace raise — never a silently
+    wrong pixel.
+    """
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
+    if color_type not in (0, 2, 6):
+        raise ValueError(f"unsupported PNG color type {color_type} (grey/RGB/RGBA)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG pixel payload {len(raw)} != {h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: cumsum per channel phase, mod 256
+            recon = line.copy()
+            for ph in range(channels):
+                recon[ph::channels] = np.cumsum(recon[ph::channels]) & 0xFF
+        elif ft == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: serial in x
+            recon = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(recon[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                if ft == 3:
+                    recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    recon[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif channels == 4:
+        px = px[:, :, :3]
+    return np.ascontiguousarray(px)

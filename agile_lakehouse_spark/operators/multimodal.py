@@ -61,11 +61,12 @@ FEATURE_SCHEMA = StructType(
 
 def decode_stub(payload: bytes, modality: str):
     """Codec hook for formats whose decoders are NOT in this environment
-    (PNG/JPEG/MP3/H.264 ... — C libraries).  BMP/PPM images and PCM WAV
-    audio decode for real via ``functions/codecs.py``."""
+    (JPEG/MP3/H.264 ... — C libraries).  BMP/PPM/PNG images and PCM WAV
+    audio decode for real via ``functions/codecs.py`` (PNG included:
+    zlib is stdlib, so its inflate + filter pipeline needs no C lib)."""
     raise NotImplementedError(
         f"no compressed-{modality} codec in this container; wire Pillow/librosa/pyav "
-        "here (BMP/PPM/WAV decode natively via agile_lakehouse_spark.functions.codecs)"
+        "here (BMP/PPM/PNG/WAV decode natively via agile_lakehouse_spark.functions.codecs)"
     )
 
 
@@ -139,9 +140,10 @@ def synthesize_image_media(
     height: int = 8,
     container: str = "bmp",
 ) -> DataFrame:
-    """Media table with REAL image payloads (``container`` = "bmp" or
-    "ppm") whose pixel bytes are a deterministic function of the row id:
-    flat RGB byte j of image ``id`` is ``(id * 31 + j * 7) % 256``.
+    """Media table with REAL image payloads (``container`` = "bmp",
+    "ppm", or "png" — png is COMPRESSED: zlib deflate + scanline
+    filters) whose pixel bytes are a deterministic function of the row
+    id: flat RGB byte j of image ``id`` is ``(id * 31 + j * 7) % 256``.
 
     The generation rule is pure integer arithmetic so a SQL oracle can
     recompute any decoded aggregate without ever seeing the container —
@@ -150,10 +152,15 @@ def synthesize_image_media(
     BGR order, bottom-up rows; PPM header walk) changes the channel sums
     and fails the hash gate.
     """
-    if container not in ("bmp", "ppm"):
-        raise ValueError(f"container must be 'bmp' or 'ppm', got {container!r}")
+    encoders = {
+        "bmp": codecs.encode_bmp,
+        "ppm": codecs.encode_ppm,
+        "png": codecs.encode_png,
+    }
+    if container not in encoders:
+        raise ValueError(f"container must be one of {sorted(encoders)}, got {container!r}")
     n = width * height * 3
-    enc = codecs.encode_bmp if container == "bmp" else codecs.encode_ppm
+    enc = encoders[container]
     mime = f"image/{container}"
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -139,3 +139,136 @@ def test_audio_stats_matches_generation(spark):
         assert out[m].n_samples == 100 and out[m].sample_rate == 8000
         assert out[m].energy == int((s * s).sum())
         assert out[m].max_abs == int(np.abs(s).max())
+
+
+# --- PNG (round 5: first COMPRESSED container) ------------------------------
+
+
+def _png_chunk(tag, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _build_png(w, h, color_type, rows_filtered, split_idat=False):
+    """Assemble a PNG from pre-filtered scanlines — INDEPENDENT of the
+    encoder under test (spec arithmetic lives in the test)."""
+    import struct
+    import zlib
+
+    raw = b"".join(rows_filtered)
+    comp = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if split_idat:
+        mid = len(comp) // 2
+        idat = _png_chunk(b"IDAT", comp[:mid]) + _png_chunk(b"IDAT", comp[mid:])
+    else:
+        idat = _png_chunk(b"IDAT", comp)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + idat
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip_exact():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (codecs.decode_png(codecs.encode_png(arr)) == arr).all()
+    # magic sniff routes through decode_image too
+    assert codecs.sniff_image(codecs.encode_png(arr)) == "png"
+    assert (codecs.decode_image(codecs.encode_png(arr)) == arr).all()
+
+
+def test_png_all_five_filters_decode():
+    """Foreign-encoder filters: rows filtered per the spec's own
+    definitions (computed here, not by the codec) must reconstruct the
+    original pixels exactly — Sub, Up, Average, Paeth and None."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    bpp = 3
+    rows = []
+    prev = np.zeros(4 * 3, dtype=np.int64)
+    for r, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = arr[r].reshape(-1).astype(np.int64)
+        filt = np.empty_like(cur)
+        for x in range(cur.size):
+            a = int(cur[x - bpp]) if x >= bpp else 0  # recon left (cur IS recon)
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                filt[x] = cur[x]
+            elif ft == 1:
+                filt[x] = (cur[x] - a) % 256
+            elif ft == 2:
+                filt[x] = (cur[x] - b) % 256
+            elif ft == 3:
+                filt[x] = (cur[x] - ((a + b) >> 1)) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pr) % 256
+        rows.append(bytes([ft]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    png = _build_png(4, 5, 2, rows, split_idat=True)  # + multi-IDAT reassembly
+    assert (codecs.decode_png(png) == arr).all()
+
+
+def test_png_gray_and_rgba_color_types():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    rows = [b"\x00" + bytes(g[r]) for r in range(3)]
+    out = codecs.decode_png(_build_png(4, 3, 0, rows))
+    assert out.shape == (3, 4, 3) and (out[:, :, 0] == g).all() and (out[:, :, 2] == g).all()
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    rows = [b"\x00" + bytes(rgba[r].reshape(-1)) for r in range(3)]
+    out = codecs.decode_png(_build_png(4, 3, 6, rows))
+    assert out.shape == (3, 4, 3) and (out == rgba[:, :, :3]).all()
+
+
+def test_png_adversarial_payloads():
+    import struct
+    import zlib
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = codecs.encode_png(arr)
+    # corrupt one IDAT payload byte -> CRC check must catch it
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        codecs.decode_png(b"\x89PNX" + good[4:])
+    # interlaced header must raise, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        codecs.decode_png(png)
+    # palette color type must raise
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        codecs.decode_png(png)
+    # truncated pixel payload must raise, not wrap
+    rows = [b"\x00" + b"\x01" * 6]
+    png = _build_png(2, 2, 2, rows)  # h=2 declared, 1 row supplied
+    with pytest.raises(ValueError, match="payload"):
+        codecs.decode_png(png)
