@@ -809,6 +809,7 @@ def duplicate_spans(
     window_tokens: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring spans (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -824,6 +825,14 @@ def duplicate_spans(
     windows is exactly the set of positions inside duplicated runs, and
     merging overlapping-or-touching windows (gap <= L) reconstructs the
     maximal spans without a suffix array.
+
+    ``hash_grams=True`` is the 100 TB path: the count/join key becomes
+    ``xxhash64(gram)`` (8 bytes) instead of the ~L-word string, shrinking
+    the two gram-keyed exchanges ~30x at L=50.  False-positive odds per
+    colliding pair are ~2^-64 — acceptable for corpus curation, not for
+    the cross-engine oracle (DuckDB has no xxhash64), so the declared
+    query keeps the exact string key.  Both paths share every other
+    plan node and are equivalence-tested on the fixture.
 
     Plan: spread raw rows -> posexplode the OVERLAPPING L-windows
     (unlike :func:`dedup_paragraphs`'s disjoint surrogates — overlap is
@@ -854,6 +863,8 @@ def duplicate_spans(
             )
         ).alias("pos", "gram"),
     )
+    if hash_grams:
+        wins = wins.select(id_col, "pos", F.xxhash64("gram").alias("gram"))
     counts = wins.groupBy("gram").agg(F.count(F.lit(1)).alias("_n"))
     dup = (
         wins.join(counts, "gram")

@@ -53,6 +53,20 @@ def main() -> None:
     frame_s = round(time.time() - t0, 2)
 
     media.unpersist()
+
+    # REAL compressed decode throughput (round 5): encode -> decode PNG
+    # 16x16 images through the mapInPandas codec stage — zlib inflate +
+    # un-filter per row, the pipeline a real image corpus pays
+    docs = spark.range(n // 10 or 1).select(F.col("id").alias("doc_id"))
+    png_media = multimodal.synthesize_image_media(
+        docs, "doc_id", width=16, height=16, container="png"
+    ).persist()
+    png_media.count()  # materialize: encode cost excluded from decode timing
+    t0 = time.time()
+    n_png = multimodal.image_stats(png_media).count()
+    png_s = round(time.time() - t0, 2)
+    assert n_png == (n // 10 or 1)
+    png_media.unpersist()
     print(
         json.dumps(
             {
@@ -64,6 +78,9 @@ def main() -> None:
                 "frames_s": frame_s,
                 "n_frames": n_frames,
                 "frames_rows_per_s": round(n / frame_s),
+                "png_decode_s": png_s,
+                "png_images": n_png,
+                "png_decode_imgs_per_s": round(n_png / png_s),
             }
         )
     )

@@ -946,3 +946,17 @@ def test_spread_width_check_sees_explicit_repartition_counts(spark):
     agg = base.groupBy("text").count()
     assert spread(agg, min_partitions=8) is agg
     assert spread(agg).rdd.getNumPartitions() >= 32
+
+
+def test_duplicate_spans_hash_path_equivalent(spark, sf_dir):
+    """hash_grams=True (the 100 TB exchange-shrinking path) must return
+    exactly the string-keyed spans on the fixture corpus."""
+    from agile_lakehouse_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [tuple(r) for r in duplicate_spans(docs, window_tokens=12).collect()]
+    b = [
+        tuple(r)
+        for r in duplicate_spans(docs, window_tokens=12, hash_grams=True).collect()
+    ]
+    assert a == b and len(a) > 0
