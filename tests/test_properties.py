@@ -557,3 +557,51 @@ def test_sq8_quantization_error_bound(spark, vecs):
             decoded = lo[d] + c * span / 255.0
             tol = span / 510.0 + 1e-9 if span > 0 else 1e-9
             assert abs(decoded - raw[vid][d]) <= tol
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    L=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_duplicate_spans_match_python_model(spark, docs, L):
+    """duplicate_spans vs an independent brute-force model: enumerate
+    every L-token window, find globally-duplicated window strings, take
+    the union of their [pos, pos+L) coverage per doc, and split it into
+    maximal runs.  A 3-letter alphabet forces real collisions."""
+    from agile_lakehouse_spark.operators.dedup import duplicate_spans
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(df, window_tokens=L).collect()
+    ]
+
+    # independent model
+    wins = {}  # gram -> count
+    per_doc = {}
+    for i, t in rows:
+        toks = t.strip().split() if t.strip() else []
+        ps = []
+        for p in range(max(0, len(toks) - L + 1)):
+            g = " ".join(toks[p : p + L])
+            wins[g] = wins.get(g, 0) + 1
+            ps.append((p, g))
+        per_doc[i] = ps
+    want = []
+    for i, ps in per_doc.items():
+        dup = [p for p, g in ps if wins[g] > 1]
+        run = []
+        for p in dup:
+            if run and p - run[-1][-1] <= L:
+                run[-1].append(p)
+            else:
+                run.append([p])
+        for r_ in run:
+            want.append((i, r_[0], r_[-1] + L, len(r_)))
+    assert sorted(got) == sorted(want)
