@@ -2264,7 +2264,11 @@ def gopher_quality_q(spark, sf_dir):
     # (measured 0.67 s vs 0.30 s at sf0.1).  Here the sampling pass sees
     # only the cheap scan; the projection runs once, order-preserving,
     # and sortWithinPartitions completes the same global doc_id order.
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # width = defaultParallelism, NOT shuffle.partitions: gopher_quality's
+    # internal spread() no-ops only when the explicit range-partition
+    # count meets its target (defaultParallelism) — a smaller conf value
+    # would get round-robined away and lose the global order
+    n = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartitionByRange(n, "doc_id")
     return text.gopher_quality(docs).sortWithinPartitions("doc_id")
 
@@ -4617,9 +4621,13 @@ def stream_fp_dedup_q(spark, sf_dir):
     collapse); the stateful dropDuplicates operator keeps each
     fingerprint's FIRST arrival.  Only the fingerprint is emitted, so
     which physical row survived (arrival-order dependent) cannot leak
-    into the result.  At scale this is the streaming ingest front of the
-    curation pipeline: dedup-at-arrival with watermarked state instead
-    of a nightly batch distinct."""
+    into the result.  NOTE: state here is UNBOUNDED (one entry per
+    distinct fingerprint, never evicted) — correct for a bounded
+    availableNow replay and for corpora whose distinct-fingerprint count
+    fits state storage; a continuous deployment with an event-time
+    column should use withWatermark + dropDuplicatesWithinWatermark so
+    state ages out (the documents fixture has no event time to
+    demonstrate it on)."""
     load_table(spark, sf_dir, "documents")  # self-defends session confs
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (

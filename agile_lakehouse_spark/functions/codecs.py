@@ -259,6 +259,8 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, ihdr, idat = 8, None, []
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")  # ValueError, not struct.error
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from agile_lakehouse_spark.functions import portable
@@ -646,34 +646,48 @@ def levenshtein_near_dup(
     )
 
 
+def _spread_tokens(
+    df: DataFrame, text_col: str, id_col: str, out_id: str | None = None
+) -> DataFrame:
+    """(id, _toks) with the token array HOISTED into its own projection
+    (the lambda below slices a bound column instead of re-evaluating
+    split() per start position) and the tokenization sitting ABOVE the
+    spread: spreading the raw (id, text) rows first (a) runs the
+    expensive transform on every core instead of the input's (often
+    single-file) partitioning and (b) shuffles the ~50-byte text
+    representation, not the ~n-times-fatter gram arrays — measured
+    7.0 s -> 0.4 s on a 1-partition 5 k-doc input at sf0.1."""
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias(out_id or id_col),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_toks"),
+    )
+
+
+def _window_gram_array(n: int) -> Column:
+    """Array of overlapping n-token windows over the bound ``_toks``
+    column, one per start position.  CASE-guarded: Spark's
+    ``sequence(1, 0)`` is DESCENDING [1, 0] (not empty), and
+    ``slice(toks, 0, n)`` then throws — docs shorter than ``n`` tokens
+    must yield [] (the same guard as text._token_ngrams).  Shared by
+    :func:`word_gram_pairs` and :func:`duplicate_spans` so the guard
+    and any tuning live in ONE place."""
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"p -> concat_ws(' ', slice(_toks, p, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
 def word_gram_pairs(
     df: DataFrame, n: int, text_col: str, id_col: str, out_id: str
 ) -> DataFrame:
     """Distinct (doc, word-n-gram) pairs, exploded — the shared candidate
     unit of the decontamination operators."""
-    # CASE-guarded: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
-    # slice(toks, 0, n) throws — docs shorter than n tokens yield [].
-    # the token array is HOISTED into its own projection so the lambda
-    # body slices a bound column instead of re-evaluating split() per
-    # start position, and the gram computation sits ABOVE the spread:
-    # spreading the raw (id, text) rows first (a) runs the expensive
-    # transform on every core instead of the input's (often single-file)
-    # partitioning and (b) shuffles the ~50-byte text representation, not
-    # the ~n-times-fatter gram arrays — measured 7.0 s -> 0.4 s on a
-    # 1-partition 5 k-doc input at sf0.1
-    toksed = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias(out_id),
-        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_toks"),
+    toksed = _spread_tokens(df, text_col, id_col, out_id)
+    return toksed.select(
+        F.col(out_id), F.explode(F.array_distinct(_window_gram_array(n))).alias("gram")
     )
-    grams = F.array_distinct(
-        F.expr(
-            f"CASE WHEN size(_toks) >= {n} THEN "
-            f"transform(sequence(1, size(_toks) - {n - 1}), "
-            f"p -> concat_ws(' ', slice(_toks, p, {n}))) "
-            f"ELSE cast(array() as array<string>) END"
-        )
-    )
-    return toksed.select(F.col(out_id), F.explode(grams).alias("gram"))
 
 
 def contaminated_train_ids(
@@ -848,20 +862,10 @@ def duplicate_spans(
     from pyspark.sql import Window
 
     L = int(window_tokens)
-    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_toks"),
-    )
+    base = _spread_tokens(df, text_col, id_col)
     wins = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(_toks) >= {L} THEN "
-                f"transform(sequence(1, size(_toks) - {L - 1}), "
-                f"p -> concat_ws(' ', slice(_toks, p, {L}))) "
-                f"ELSE cast(array() as array<string>) END"
-            )
-        ).alias("pos", "gram"),
+        F.posexplode(_window_gram_array(L)).alias("pos", "gram"),
     )
     if hash_grams:
         wins = wins.select(id_col, "pos", F.xxhash64("gram").alias("gram"))

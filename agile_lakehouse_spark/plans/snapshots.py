@@ -601,8 +601,22 @@ class TransactionalTable:
             return latest  # no matches — no new version needed
         try:
             return self._commit(files, "delete-mor", base=latest, deletes=old + paths)
-        except BaseException:
-            shutil.rmtree(stage_dir, ignore_errors=True)
+        except Exception:
+            # reclaim the stage ONLY if no durable manifest references it:
+            # _commit's os.link can succeed (version N+1 durable, pointing
+            # at these vectors) and still raise afterwards — deleting then
+            # would corrupt the committed version.  Exception, not
+            # BaseException: a KeyboardInterrupt in that window must not
+            # trigger cleanup either.
+            try:
+                m = self._read_manifest(self.latest_version())
+                referenced = any(
+                    p.startswith(stage_dir) for p in m.get("deletes", [])
+                )
+            except Exception:
+                referenced = True  # can't prove it's orphaned — keep it
+            if not referenced:
+                shutil.rmtree(stage_dir, ignore_errors=True)
             raise
 
     @staticmethod

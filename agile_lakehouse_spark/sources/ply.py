@@ -189,15 +189,18 @@ def write_ply(
     from pyspark.sql import functions as F
 
     if binary:
-        n = df.count()
-        if n > max_rows:
+        # bounded collect: limit(max_rows + 1) executes the plan ONCE and
+        # caps driver transfer at the guard size — a separate count()
+        # would run the plan twice and could disagree with the collect on
+        # a nondeterministic frame, defeating the guard
+        pdf = df.limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
             raise ValueError(
                 f"write_ply(binary=True) collects all rows on the driver; "
-                f"{n} rows > max_rows={max_rows}. Use binary for exports "
+                f"> max_rows={max_rows} rows. Use binary for exports "
                 f"only — for large tables use the ascii path (streamed via "
                 f"toLocalIterator) or pass an explicit max_rows."
             )
-        pdf = df.toPandas()
         cols, header = _ply_header(df, len(pdf), "binary_little_endian")
         dt = np.dtype([(n, "<" + _PLY_TO_NP[_SPARK_TO_PLY[t]]) for n, t in cols])
         rec = np.zeros(len(pdf), dtype=dt)

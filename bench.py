@@ -90,13 +90,24 @@ def execute_fully(df) -> int:
     return 0
 
 
-def _record(name, per_run, timings, stats) -> None:
+def _run_stats(per_run) -> dict:
+    """One schema for every stats row: mean/std/sem/n (sem = std/sqrt(n),
+    the noise floor of the recorded mean — the adaptive-rerun criterion)."""
     n = len(per_run)
     mean = sum(per_run) / n
-    var = sum((t - mean) ** 2 for t in per_run) / n
+    std = (sum((t - mean) ** 2 for t in per_run) / n) ** 0.5
+    return {
+        "mean": round(mean, 4),
+        "std": round(std, 4),
+        "sem": round(std / n**0.5, 4),
+        "n": n,
+    }
+
+
+def _record(name, per_run, timings, stats) -> None:
     timings[name] = round(sum(per_run), 3)
     if stats is not None:
-        stats[name] = {"mean": round(mean, 4), "std": round(var**0.5, 4), "n": n}
+        stats[name] = _run_stats(per_run)
 
 
 def seeded_workload(spark, sf_dir: str, timings: dict[str, float], stats=None) -> None:
@@ -173,27 +184,23 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
 
         def run_layout(name, job):
             # timing = MEAN of reps (comparable to prior rounds' single
-            # run), stddev recorded alongside — write jobs rewrite the
+            # run), stddev/sem recorded alongside — write jobs rewrite the
             # same dir, last rep's output survives for the on-layout reads.
-            # Adaptive: up to reps+2 runs while std > 15% of mean (write
+            # Adaptive: up to reps+3 runs until sem <= 7.5% of mean (write
             # jobs are the suite's noisiest — disk cache + GC pressure).
             per = []
             while True:
                 t0 = time.time()
                 job()
                 per.append(time.time() - t0)
-                n = len(per)
-                mean = sum(per) / n
-                std = (sum((t - mean) ** 2 for t in per) / n) ** 0.5
-                sem = std / n**0.5
-                if n >= reps + 3 or (n >= reps and sem <= 0.075 * mean):
+                s = _run_stats(per)
+                if len(per) >= reps + 3 or (
+                    len(per) >= reps and s["sem"] <= 0.075 * s["mean"]
+                ):
                     break
-            timings[name] = round(mean, 3)
+            timings[name] = round(s["mean"], 3)
             if stats is not None:
-                stats[name] = {
-                    "mean": round(mean, 4), "std": round(std, 4),
-                    "sem": round(sem, 4), "n": n,
-                }
+                stats[name] = s
 
         run_layout("layout_convert", lambda: pts.write.mode("overwrite").parquet(f"{tmp}/convert"))
         run_layout("layout_grid1", lambda: layout.write_grid_layout(pts, f"{tmp}/grid1", 100.0, 100.0))
@@ -289,20 +296,16 @@ def main() -> None:
             t0 = time.time()
             execute_fully(fn(spark, sf_dir))
             per.append(time.time() - t0)
-            n = len(per)
-            mean = sum(per) / n
-            std = (sum((t - mean) ** 2 for t in per) / n) ** 0.5
-            sem = std / n**0.5
-            if n >= 6 or (n >= 2 and (sem <= 0.075 * mean or mean < 0.05)):
+            s = _run_stats(per)
+            if len(per) >= 6 or (
+                len(per) >= 2 and (s["sem"] <= 0.075 * s["mean"] or s["mean"] < 0.05)
+            ):
                 break
         # MEAN, not sum, so entries stay comparable with earlier rounds'
         # single-run values (the w_*/layout entries keep their run-total
         # convention — their stats row carries the per-run mean)
-        timings[name] = round(mean, 3)
-        stats[name] = {
-            "mean": round(mean, 4), "std": round(std, 4),
-            "sem": round(sem, 4), "n": n,
-        }
+        timings[name] = round(s["mean"], 3)
+        stats[name] = s
 
     seeded_workload(spark, sf_dir, timings, stats)
     layout_jobs(spark, sf_dir, timings, stats)

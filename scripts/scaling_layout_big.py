@@ -140,7 +140,7 @@ def run_scale_banded(spark, n: int) -> dict:
         # i < 21/85 of the mass; level 3 the rest, x-banded at 256
         # (a multiple of the level-3 cell edge 1024/8 = 128).
         cut = 21.0 / 85.0
-        qt_s = 0.0
+        qt_s = qt_convert_s = 0.0
         total_rows = 0
         band_times = []
         bands = [pts.filter(F.col("i") < cut)] + [
@@ -152,18 +152,21 @@ def run_scale_banded(spark, n: int) -> dict:
         for band in bands:
             t0 = time.time()
             band.write.mode("overwrite").parquet(f"{tmp}/bconv")
-            convert_dt = time.time() - t0
+            qt_convert_s += time.time() - t0
             stored = spark.read.parquet(f"{tmp}/bconv")
             t0 = time.time()
             layout.write_quadtree_layout(stored, f"{tmp}/bqt", depth=3, side=1024.0)
             dt = time.time() - t0
             qt_s += dt
-            band_times.append(round(dt + convert_dt, 2))
+            # layout-only, same convention as grid_band_s — converts are
+            # reported in their own scalar so band lists stay comparable
+            band_times.append(round(dt, 2))
             total_rows += spark.read.parquet(f"{tmp}/bqt").count()
             shutil.rmtree(f"{tmp}/bqt", ignore_errors=True)
             shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
         assert total_rows == n, f"quadtree bands lost rows: {total_rows} != {n}"
         out["quadtree_s"] = round(qt_s, 2)
+        out["quadtree_convert_s"] = round(qt_convert_s, 2)
         out["quadtree_band_s"] = band_times
         out["quadtree_pts_per_s"] = round(n / qt_s)
     finally:
