@@ -583,3 +583,48 @@ def test_apply_cdc_equal_seq_tie_deterministic(spark, table):
     got = {r.k: r.v for r in table.read(spark).collect()}
     assert got[7] == 700
     assert len(got) == 10
+
+
+def test_mor_commit_crash_before_link_reclaims_stage(spark, table, monkeypatch):
+    """A commit that fails BEFORE landing must reclaim its staged
+    deletion vectors (nothing references them) and leave the version
+    unchanged."""
+    import os
+
+    table.append(_df(spark, 0, 20))
+    v = table.latest_version()
+
+    def failing(self, *a, **k):
+        raise CommitConflict("simulated pre-link failure")
+
+    monkeypatch.setattr(TransactionalTable, "_commit", failing)
+    with pytest.raises(CommitConflict):
+        table.delete_where_mor(spark, "k < 5")
+    monkeypatch.undo()
+    assert table.latest_version() == v
+    assert not [d for d in os.listdir(table.path) if d.startswith("deletes-")]
+    assert table.read(spark).count() == 20
+
+
+def test_mor_commit_crash_after_link_keeps_referenced_vectors(
+    spark, table, monkeypatch
+):
+    """A commit that lands durably (os.link succeeded) and THEN raises
+    must NOT reclaim the staged vectors — the new version references
+    them, and deleting would corrupt the table."""
+    table.append(_df(spark, 0, 20))
+    orig = TransactionalTable._commit
+
+    def crash_after(self, *a, **k):
+        orig(self, *a, **k)
+        raise RuntimeError("simulated post-link crash")
+
+    monkeypatch.setattr(TransactionalTable, "_commit", crash_after)
+    with pytest.raises(RuntimeError):
+        table.delete_where_mor(spark, "k < 5")
+    monkeypatch.undo()
+    # the delete IS committed; reading through it must succeed, which
+    # requires the deletion-vector files to still exist
+    assert table.latest_version() == 1
+    assert table.read(spark).count() == 15
+    assert sorted(r.k for r in table.read(spark).collect()) == list(range(5, 20))
