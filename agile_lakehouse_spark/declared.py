@@ -4673,3 +4673,40 @@ ORACLES["dq172_png_decode"] = """
            CAST(SUM((d.doc_id*31 + (p.j*3 + 2)*7) % 256) AS BIGINT) AS sum_b
     FROM documents d CROSS JOIN range(64) p(j)
     GROUP BY d.doc_id ORDER BY media_id"""
+
+
+# --- round 5: corpus-LM fluency scoring (the CCNet quality-filter shape) -----
+
+
+def lm_fluency_q(spark, sf_dir):
+    """dq173: add-k-smoothed bigram LM trained ON the corpus, scoring
+    each document by mean transition probability (CCNet-shape quality
+    signal, rational arithmetic only — the dq37 no-ln discipline).
+    Two hash-agg count models + two bounded-key joins + one per-doc
+    aggregate."""
+    return text.lm_fluency(load_table(spark, sf_dir, "documents"))
+
+
+SPARK_QUERIES["dq173_lm_fluency"] = lm_fluency_q
+ORACLES["dq173_lm_fluency"] = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    pr0 AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 2 THEN
+          list_transform(range(1, len(toks)), p -> {'w1': toks[p], 'w2': toks[p + 1]})
+        ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END AS prs
+      FROM t),
+    pr AS (SELECT doc_id, unnest(prs, recursive := true) FROM pr0),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY 1, 2),
+    c1 AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM tok),
+    s AS (SELECT pr.doc_id, count(*) AS n_transitions,
+                 avg((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS fl
+          FROM pr JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+          GROUP BY 1)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(s.n_transitions, 0) AS BIGINT) AS n_transitions,
+           COALESCE((floor(s.fl * 10000.0 + 0.5) / 10000.0), 0.0) AS fluency
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY doc_id"""

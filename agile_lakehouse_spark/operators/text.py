@@ -787,3 +787,75 @@ def fill_token_budget(
         )
         .orderBy(id_col)
     )
+
+
+def lm_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus-LM fluency scoring — the CCNet quality-filter shape
+    (Wenzek et al. 2020: score each document under a language model and
+    filter/bucket by score), with the model trained ON the corpus
+    itself as an add-k-smoothed bigram model.
+
+    Per-document score = the MEAN transition probability
+    ``P(w2|w1) = (c2(w1,w2) + k) / (c1(w1) + k*V)`` over the document's
+    adjacent token pairs.  Deliberately a RATIONAL mean probability,
+    not mean log-prob: ``ln`` is not correctly rounded and diverges
+    between engines in the last ulp (the dq37 idf lesson), while this
+    form is plain IEEE arithmetic the DuckDB oracle reproduces exactly.
+    A production deployment wanting true perplexity exponentiates
+    per-doc mean log-probs — same plan shape, one extra ``ln``.
+
+    Plan at 100 TB: transitions explode once (spread first — the
+    word_gram_pairs lesson), the two count models are hash aggs
+    (map-side combined), scoring is two bounded-key joins (bigram,
+    unigram) + one per-doc agg.  V (vocabulary size) is a 1-row
+    aggregate broadcast into the projection — never collected.
+
+    Returns (doc_id, n_transitions, fluency); docs with < 2 tokens have
+    0 transitions and fluency 0.0.
+    """
+    from agile_lakehouse_spark.operators.dedup import _spread_tokens
+
+    toksed = _spread_tokens(df, text_col, id_col)
+    pairs = toksed.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "transform(sequence(1, size(_toks) - 1), "
+                "p -> struct(element_at(_toks, p) AS w1, element_at(_toks, p + 1) AS w2)) "
+                "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    toks = toksed.select(id_col, F.explode("_toks").alias("w"))
+    c1 = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("_v"))
+    p = (F.col("c2") + F.lit(add_k)) / (
+        F.col("c1") + F.lit(add_k) * F.col("_v")
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            round4(F.avg(p)).alias("fluency"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).cast("bigint").alias(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_transitions", F.lit(0)).cast("bigint").alias("n_transitions"),
+            F.coalesce("fluency", F.lit(0.0)).alias("fluency"),
+        )
+        .orderBy(id_col)
+    )

@@ -962,3 +962,16 @@ def test_duplicate_spans_hash_path_equivalent(spark, sf_dir):
         for r in duplicate_spans(docs, window_tokens=12, hash_grams=True).collect()
     ]
     assert a == b and len(a) > 0
+
+
+def test_lm_fluency_hand_computed(spark):
+    """Add-0.5 bigram model on a 3-doc corpus, checked against hand
+    arithmetic: c1={a:3,b:2,c:1}, V=3, c2={(a,b):2,(b,a):1};
+    P(a,b)=2.5/4.5, P(b,a)=1.5/3.5."""
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b"), (2, "c")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_transitions, r.fluency) for r in text.lm_fluency(df).collect()}
+    assert got[0] == (2, 0.4921)  # (2.5/4.5 + 1.5/3.5)/2 = 0.49206... -> half-up
+    assert got[1] == (1, 0.5556)  # 2.5/4.5 = 0.55555... -> half-up
+    assert got[2] == (0, 0.0)  # single token: no transitions
