@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "dq163_ann_join",  # batched ANN join, two-phase per-query top-k (round 4)
     "dq169_lod_sweep",  # viz.rs progressive-LOD sweep, one-plan workload (round 5)
     "dq170_duplicate_spans",  # Lee et al. exact-substring spans (round 5)
+    "dq173_lm_fluency",  # corpus-bigram CCNet-shape quality scoring (round 5)
 ]
 
 
