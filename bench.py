@@ -93,16 +93,22 @@ def execute_fully(df) -> int:
 
 def _run_stats(per_run) -> dict:
     """One schema for every stats row: mean/std/sem/n (sem = std/sqrt(n),
-    the noise floor of the recorded mean — the adaptive-rerun criterion)."""
+    the noise floor of the recorded mean — the adaptive-rerun criterion).
+
+    std is the SAMPLE standard deviation (÷(n-1)): the population form was
+    biased low at the n=2..6 counts this harness runs, which made the
+    sem gate looser than documented — and at n=1 it was exactly 0, so a
+    single run trivially "passed".  With n=1 std/sem are null and every
+    adaptive loop requires n >= 2 before accepting the sem criterion."""
     n = len(per_run)
     mean = sum(per_run) / n
-    std = (sum((t - mean) ** 2 for t in per_run) / n) ** 0.5
-    return {
-        "mean": round(mean, 4),
-        "std": round(std, 4),
-        "sem": round(std / n**0.5, 4),
-        "n": n,
-    }
+    if n >= 2:
+        std = (sum((t - mean) ** 2 for t in per_run) / (n - 1)) ** 0.5
+        sem = round(std / n**0.5, 4)
+        std = round(std, 4)
+    else:
+        std = sem = None
+    return {"mean": round(mean, 4), "std": std, "sem": sem, "n": n}
 
 
 def _record(name, per_run, timings, stats) -> None:
@@ -196,7 +202,7 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
                 per.append(time.time() - t0)
                 s = _run_stats(per)
                 if len(per) >= reps + 3 or (
-                    len(per) >= reps and s["sem"] <= 0.075 * s["mean"]
+                    len(per) >= max(reps, 2) and s["sem"] <= 0.075 * s["mean"]
                 ):
                     break
             timings[name] = round(s["mean"], 3)
