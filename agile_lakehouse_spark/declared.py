@@ -2264,13 +2264,16 @@ def gopher_quality_q(spark, sf_dir):
     # (measured 0.67 s vs 0.30 s at sf0.1).  Here the sampling pass sees
     # only the cheap scan; the projection runs once, order-preserving,
     # and sortWithinPartitions completes the same global doc_id order.
-    # width = defaultParallelism, NOT shuffle.partitions: gopher_quality's
-    # internal spread() no-ops only when the explicit range-partition
-    # count meets its target (defaultParallelism) — a smaller conf value
-    # would get round-robined away and lose the global order
+    # width = defaultParallelism, NOT shuffle.partitions, and the width is
+    # PLUMBED via known_partitions: this call site range-partitions
+    # explicitly, so gopher_quality's internal spread() must no-op by
+    # construction (n >= its target of defaultParallelism) — never by a
+    # plan-string probe deciding on a correctness-critical path.  A
+    # round-robin rebalance here would destroy the range partitioning
+    # and with it the global doc_id order, silently.
     n = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartitionByRange(n, "doc_id")
-    return text.gopher_quality(docs).sortWithinPartitions("doc_id")
+    return text.gopher_quality(docs, known_partitions=n).sortWithinPartitions("doc_id")
 
 
 def dup_ngram_coverage_q(spark, sf_dir):

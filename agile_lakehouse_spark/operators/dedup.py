@@ -69,6 +69,14 @@ def spread(
     ``spark.sql.shuffle.partitions`` wide; a pure scan is as wide as its
     file count (file splitting only ever increases that).  Callers who
     know the width pass ``known_partitions`` and skip even that.
+
+    CONTRACT: the plan-string probe is a PERF HEURISTIC only — a wrong
+    width either re-shuffles an already-wide input (wasted shuffle) or
+    under-parallelizes (slow), never a wrong answer, EXCEPT for callers
+    whose downstream depends on the input's partitioning surviving
+    (range-partition + sortWithinPartitions order).  Those callers MUST
+    pass ``known_partitions`` so the no-op is by construction, not by
+    parse (``gopher_quality(known_partitions=...)`` is the model).
     """
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
@@ -214,24 +222,59 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _lsh_buckets(
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, key) bucket membership — one row per (doc, band)."""
+    entries = []
+    for band in range(bands):
+        cols = [F.col(f"mh{band * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        entries.append(F.struct(F.lit(band).alias("band"), F.concat_ws("_", *cols).alias("key")))
+    return sigs.select(F.col(id_col), F.explode(F.array(*entries)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any identical band become a candidate pair.
 
     Band key = the band's row values concatenated; self-join is per
     (band, key) bucket — never all-pairs.
+
+    ``max_bucket_size`` bounds the self-join fan-out: a bucket of n
+    members emits n(n-1)/2 pairs, so ONE hot bucket (a viral doc
+    near-duplicated 10M times, boilerplate that collapses a band) can
+    emit ~10^13 pairs and sink the stage at 100 TB while every other
+    bucket is tiny.  Buckets larger than the cap are DROPPED whole
+    (count them first, semi-join the survivors — one extra agg over the
+    already-shuffled bucket stream, AQE reuses the exchange).  Recall
+    impact: a pair is lost only if EVERY band it collides in is over
+    the cap; with b independent bands the miss probability for a pair
+    of true near-dups is (hot-band fraction)^b — and members of an
+    over-cap bucket are near-dups of a MASS cluster that exact-dedup
+    (which precedes near-dup in :func:`pipeline.clean_corpus`) already
+    collapses.  Use :func:`lsh_oversized_buckets` to audit exactly what
+    a cap drops before committing to it.  Default None = uncapped
+    (small-corpus / declared-oracle behavior, bit-identical results).
     """
-    entries = []
-    for band in range(bands):
-        cols = [F.col(f"mh{band * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
-        entries.append(F.struct(F.lit(band).alias("band"), F.concat_ws("_", *cols).alias("key")))
-    bucketed = sigs.select(F.col(id_col), F.explode(F.array(*entries)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bucketed = _lsh_buckets(sigs, bands, rows_per_band, id_col)
+    if max_bucket_size is not None:
+        ok = (
+            bucketed.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "key")
+        )
+        bucketed = bucketed.join(ok, ["band", "key"], "left_semi")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -242,6 +285,30 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    sigs: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The audit companion to ``lsh_candidate_pairs(max_bucket_size=...)``:
+    (band, key, n_members, n_pairs_avoided) for every bucket the cap
+    would drop — the "recorded count" a pipeline operator logs before
+    capping.  Same bucket stream, one agg, no self-join."""
+    return (
+        _lsh_buckets(sigs, bands, rows_per_band, id_col)
+        .groupBy("band", "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+        .withColumn(
+            "n_pairs_avoided",
+            (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("bigint"),
+        )
+        .orderBy(F.desc("n_members"), "band", "key")
     )
 
 
@@ -256,11 +323,15 @@ def minhash_near_dup(
     id_col: str = "doc_id",
     seed: int = 7,
     persist_sigs: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline -> (id_a, id_b, est_jaccard).
 
     est_jaccard = fraction of matching signature positions on LSH candidate
-    pairs only.
+    pairs only.  ``max_bucket_size`` forwards to
+    :func:`lsh_candidate_pairs` — NOTE it caps DISTINCT-SIGNATURE
+    buckets (exact duplicates already collapse before banding here), so
+    it guards against near-identical-but-distinct mass clusters.
 
     ``persist_sigs``: the signature table feeds FOUR plan branches (both
     sides of the bucket self-join + both sides of the similarity join);
@@ -283,7 +354,11 @@ def minhash_near_dup(
     # not corpus size.
     usig = sigs.select(*mh_cols).distinct()
     cands = lsh_candidate_pairs(
-        usig.withColumn("_sig", F.struct(*mh_cols)), bands, rows_per_band, "_sig"
+        usig.withColumn("_sig", F.struct(*mh_cols)),
+        bands,
+        rows_per_band,
+        "_sig",
+        max_bucket_size=max_bucket_size,
     )
     matches = sum(
         F.when(F.col(f"_sig_a.mh{j}") == F.col(f"_sig_b.mh{j}"), 1).otherwise(0)

@@ -472,6 +472,7 @@ def gopher_quality(
     max_mean_tok_len: float = 10.0,
     min_stop_frac: float = 0.02,
     min_distinct_ratio: float = 0.35,
+    known_partitions: int | None = None,
 ) -> DataFrame:
     """Gopher-style per-document quality rules (Rae et al. 2021 §A1.1):
     token-count bounds, mean-word-length band, stopword presence, and a
@@ -480,6 +481,15 @@ def gopher_quality(
 
     All ratios are single IEEE divisions of exact integers, so the DuckDB
     oracle reproduces them bit-for-bit.
+
+    ``known_partitions``: callers that already control the input's
+    partitioning (e.g. an explicit ``repartitionByRange`` whose ORDER the
+    caller completes with ``sortWithinPartitions`` afterwards) MUST pass
+    their known width so the internal :func:`spread` no-ops by
+    construction.  Without it, spread falls back to a plan-shape width
+    probe — fine as a perf heuristic, but an order-sensitive caller
+    must not let a heuristic decide whether a round-robin reshuffle
+    (which would destroy the range partitioning, silently) happens.
     """
     from agile_lakehouse_spark.operators.dedup import spread
 
@@ -487,7 +497,7 @@ def gopher_quality(
     # the cost; on a narrow input (one small file) they'd run on one core.
     # spread() is a no-op on already-wide inputs, so at cluster scale this
     # adds nothing while a 1-partition local read gains full parallelism.
-    df = spread(df)
+    df = spread(df, known_partitions=known_partitions)
     toks = _tokens(text_col)
     n_tok = F.size(toks).cast("bigint")
     # total non-whitespace chars / token count = mean token length
@@ -794,6 +804,7 @@ def lm_fluency(
     text_col: str = "text",
     id_col: str = "doc_id",
     add_k: float = 0.5,
+    persist_toks: bool = True,
 ) -> DataFrame:
     """Corpus-LM fluency scoring — the CCNet quality-filter shape
     (Wenzek et al. 2020: score each document under a language model and
@@ -809,11 +820,17 @@ def lm_fluency(
     A production deployment wanting true perplexity exponentiates
     per-doc mean log-probs — same plan shape, one extra ``ln``.
 
-    Plan at 100 TB: transitions explode once (spread first — the
-    word_gram_pairs lesson), the two count models are hash aggs
-    (map-side combined), scoring is two bounded-key joins (bigram,
-    unigram) + one per-doc agg.  V (vocabulary size) is a 1-row
-    aggregate broadcast into the projection — never collected.
+    Plan at 100 TB: the input is scanned + tokenized + spread ONCE —
+    ``toksed`` feeds three branches (transition pairs twice, the
+    unigram model once), so it is persisted for the job
+    (``persist_toks``, the :func:`minhash_near_dup` compute-once
+    pattern; at cluster scale a checkpointed token table plays the
+    same role).  The two count models are hash aggs (map-side
+    combined), scoring is two bounded-key joins (bigram, unigram) +
+    one per-doc agg.  V (vocabulary size) is derived FROM the unigram
+    model — a 1-row count over the vocabulary-sized (persisted) ``c1``
+    table broadcast into the projection, never a second full-corpus
+    ``countDistinct`` pass and never collected.
 
     Returns (doc_id, n_transitions, fluency); docs with < 2 tokens have
     0 transitions and fluency 0.0.
@@ -821,6 +838,8 @@ def lm_fluency(
     from agile_lakehouse_spark.operators.dedup import _spread_tokens
 
     toksed = _spread_tokens(df, text_col, id_col)
+    if persist_toks:
+        toksed = toksed.persist()
     pairs = toksed.select(
         F.col(id_col),
         F.explode(
@@ -835,7 +854,14 @@ def lm_fluency(
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     toks = toksed.select(id_col, F.explode("_toks").alias("w"))
     c1 = toks.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.agg(F.countDistinct("w").alias("_v"))
+    if persist_toks:
+        # c1 feeds the scoring join AND the vocabulary count; it is
+        # vocabulary-sized (tiny next to the corpus), so persisting it
+        # makes the V derivation a free 1-row count over the cache
+        c1 = c1.persist()
+    # V = number of distinct tokens = number of rows in the unigram
+    # model (every token occurs as w1 in c1) — no separate corpus pass
+    vocab = c1.agg(F.count(F.lit(1)).alias("_v"))
     p = (F.col("c2") + F.lit(add_k)) / (
         F.col("c1") + F.lit(add_k) * F.col("_v")
     )

@@ -975,3 +975,82 @@ def test_lm_fluency_hand_computed(spark):
     assert got[0] == (2, 0.4921)  # (2.5/4.5 + 1.5/3.5)/2 = 0.49206... -> half-up
     assert got[1] == (1, 0.5556)  # 2.5/4.5 = 0.55555... -> half-up
     assert got[2] == (0, 0.0)  # single token: no transitions
+
+
+def test_lsh_bucket_cap_bounds_hot_bucket(spark):
+    """A planted 10k-member hot bucket (one viral signature family) must be
+    droppable: with max_bucket_size the self-join never enumerates its
+    ~5*10^7 pairs, while normal-sized buckets are untouched."""
+    mh = [F.lit(0).alias(f"mh{j}") for j in range(12)]
+    hot = spark.range(10_000).select(F.col("id").alias("doc_id"), *mh)
+    normal = spark.createDataFrame(
+        [tuple([100_000 + i] + [7 + i // 2] * 12) for i in range(2)]  # ids 100000,100001 share a sig
+        + [tuple([100_002] + [99] * 12)],
+        "doc_id bigint, " + ", ".join(f"mh{j} bigint" for j in range(12)),
+    )
+    sigs = hot.unionByName(normal)
+
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket_size=100)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(100_000, 100_001)}  # hot bucket dropped whole, true pair kept
+
+    audit = dedup.lsh_oversized_buckets(sigs, max_bucket_size=100).collect()
+    # identical signatures collide in EVERY band -> one oversized bucket per band
+    assert len(audit) == 4
+    assert all(r.n_members == 10_000 and r.n_pairs_avoided == 49_995_000 for r in audit)
+
+
+def test_lsh_bucket_cap_noop_when_under_cap(spark):
+    """Cap >= every bucket size must be bit-identical to uncapped."""
+    mh_cols = ", ".join(f"mh{j} bigint" for j in range(12))
+    rows = [tuple([i] + [i % 5] * 12) for i in range(50)]  # 5 clusters of 10
+    sigs = spark.createDataFrame(rows, f"doc_id bigint, {mh_cols}")
+    uncapped = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=10).collect()
+    }
+    assert capped == uncapped and len(uncapped) == 5 * 45  # 5 clusters x C(10,2)
+
+
+def test_lm_fluency_input_evaluated_once(spark):
+    """The round-6 verdict defect: toksed fed three uncached branches, so
+    the scan+tokenize ran 3-4x per job.  With persist_toks the tagged
+    input column must evaluate ~once per row — strictly under the 3n of
+    the defect (2n allowed: two independent shuffle-map stages may race
+    the cache population in local mode)."""
+    from pyspark.sql.types import StringType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(s):
+        acc.add(1)
+        return s
+
+    tag_udf = F.udf(tag, StringType())
+    n = 100
+    base = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(n)],
+        "doc_id bigint, text string",
+    )
+    tagged = base.select("doc_id", tag_udf("text").alias("text"))
+    out = text.lm_fluency(tagged).collect()
+    assert len(out) == n
+    assert n <= acc.value <= 2 * n, f"input evaluated {acc.value / n:.1f}x per row"
+
+
+def test_gopher_quality_known_partitions_preserves_range_partitioning(spark):
+    """The order-sensitive call shape (dq117): an explicit
+    repartitionByRange + known_partitions plumbing must make the internal
+    spread a no-op BY CONSTRUCTION — no round-robin exchange may appear
+    above the range exchange, or sortWithinPartitions loses global order."""
+    n = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, "the and is in " + " ".join(f"tok{j}" for j in range(40))) for i in range(500)],
+        "doc_id bigint, text string",
+    ).repartitionByRange(n, "doc_id")
+    scored = text.gopher_quality(docs, known_partitions=n).sortWithinPartitions("doc_id")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" not in plan.lower()
+    ids = [r.doc_id for r in scored.collect()]
+    assert ids == sorted(ids)
