@@ -4713,3 +4713,32 @@ ORACLES["dq173_lm_fluency"] = r"""
            CAST(COALESCE(s.n_transitions, 0) AS BIGINT) AS n_transitions,
            COALESCE((floor(s.fl * 10000.0 + 0.5) / 10000.0), 0.0) AS fluency
     FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id ORDER BY doc_id"""
+
+
+# --- round-7 head rotation ----------------------------------------------------
+# The driver samples the FIRST ~50 entries and the round-5/6 sample heads
+# were identical, so every current head entry has now been driver-sampled
+# twice while dq170-dq173 (round-5 additions) and dq125/dq129/dq133 have
+# never appeared in a CORRECTNESS artifact.  Swap seven twice-sampled
+# anchors out (still covered by the full-registry rerun + bench) and the
+# seven never-sampled entries in.
+
+_ROT7_OUT = {
+    "dq34_spatial_join", "dq39_interval_join", "dq62_knn_join",
+    "dq115_transform_points", "dq116_hausdorff",
+    "dq131_train_val_test_split", "dq136_theta_set_algebra",
+}
+_ROT7_IN = [
+    "dq170_duplicate_spans", "dq171_stream_fp_dedup", "dq172_png_decode",
+    "dq173_lm_fluency", "dq129_pagerank", "dq133_scd2_history",
+    "dq125_try_arithmetic",
+]
+_names9 = list(SPARK_QUERIES)
+assert all(n in SPARK_QUERIES for n in _ROT7_IN), "rotation names must exist"
+assert all(n in SPARK_QUERIES for n in _ROT7_OUT)
+_head9 = [n for n in _names9[:50] if n not in _ROT7_OUT] + _ROT7_IN
+assert len(_head9) == 50, len(_head9)
+_head9_set = set(_head9)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n] for n in _head9 + [m for m in _names9 if m not in _head9_set]
+}

@@ -232,34 +232,43 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
 
         from agile_lakehouse_spark.operators import pointcloud as pc
 
+        # per-iteration times feed _record so these entries carry the same
+        # mean/std/sem/n stats row as every other entry (the timing stays
+        # the run TOTAL — the w_* on-layout convention of prior rounds)
         g = spark.read.parquet(f"{tmp}/grid1")
-        t0 = time.time()
+        per = []
         for k in range(5):
             cx, cy = 120.0 + 150 * k, 100.0 + 140 * k
+            t0 = time.time()
             execute_fully(
                 pc.range_query(g, {"x": (cx, cx + 70.0), "y": (cy, cy + 70.0)}, importance_col="i")
             )
-        timings["w_s_rect_on_layout"] = round(time.time() - t0, 3)
-        t0 = time.time()
+            per.append(time.time() - t0)
+        _record("w_s_rect_on_layout", per, timings, stats)
+        per = []
         for k in range(5):
             cx, cy = 150.0 + 150 * k, 120.0 + 140 * k
+            t0 = time.time()
             execute_fully(pc.knn(g, cx, cy, 1000))
-        timings["w_knn_1000_on_layout"] = round(time.time() - t0, 3)
+            per.append(time.time() - t0)
+        _record("w_knn_1000_on_layout", per, timings, stats)
 
         # the viz.rs per-level render over the quadtree layout
         # (viz.rs:160-200): one viewport cell per level, level= hits the
         # partition dir (pruned before listing), qx/qy hit footer stats
         qt = spark.read.parquet(f"{tmp}/qt")
-        t0 = time.time()
+        per = []
         for lv in range(3):
             cell = 1024.0 / 2**lv
             qx, qy = int(300.0 // cell), int(200.0 // cell)
+            t0 = time.time()
             execute_fully(
                 qt.filter(
                     (F.col("level") == lv) & (F.col("qx") == qx) & (F.col("qy") == qy)
                 )
             )
-        timings["w_lod_render_on_layout"] = round(time.time() - t0, 3)
+            per.append(time.time() - t0)
+        _record("w_lod_render_on_layout", per, timings, stats)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -318,25 +327,43 @@ def main() -> None:
     layout_jobs(spark, sf_dir, timings, stats)
 
     total = round(sum(timings.values()), 3)
-    # stdout gets the COMPACT line (no per-entry stats): the driver's
-    # bounded stdout capture truncated the stats-bearing line four rounds
-    # running ("parsed": null in BENCH_r01-r04).  The full payload, stats
-    # included, goes to the sidecar file.
+    # stdout gets the COMPACT line and it MUST fit the driver's 2000-byte
+    # stdout TAIL window WHOLE: rounds 3-6 recorded "parsed": null because
+    # the line outgrew the window and its head was cut mid-JSON (the r06
+    # artifact's tail literally starts inside the queries dict).  So:
+    # tight separators, 2-decimal per-query values (4-decimal precision
+    # lives in the sidecar), and a deterministic 1-decimal fallback if the
+    # suite ever grows past the budget.  Nothing prints after this line.
     compact = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    # full-precision payload + stats go to the sidecar (schema_version 2 =
+    # sample stddev, nullable std/sem at n=1 — changed in round 6; rounds
+    # 1-5 used the population formula, ~1.41x smaller at n=2)
+    full = {
         "metric": "bench_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stats": stats,
+        "schema_version": 2,
     }
-    full = dict(compact, stats=stats)
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try:
         with open(out_path, "w") as fh:
             fh.write(json.dumps(full) + "\n")
     except OSError:
         pass  # stdout line below is still the contract
-    print(json.dumps(compact), flush=True)
+    print(line, flush=True)
     spark.stop()
 
 
