@@ -4742,3 +4742,22 @@ _head9_set = set(_head9)
 SPARK_QUERIES = {
     n: SPARK_QUERIES[n] for n in _head9 + [m for m in _names9 if m not in _head9_set]
 }
+
+
+# --- round 7: palette PNG (color type 3) under the decoded-values gate -------
+
+
+def png_palette_decode_q(spark, sf_dir):
+    """dq172b: the PLTE branch of the PNG decoder — images are EXACTLY
+    palettized (<=64 unique colors in an 8x8 fixture always fit a PLTE),
+    so the decoded RGB equals the truecolor fixture's and the SAME
+    oracle arithmetic verifies index packing + palette lookup: a wrong
+    bit order, pad bit, or PLTE offset shifts the channel sums and fails
+    the hash gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, "doc_id", container="png_pal")
+    return multimodal.image_stats(media).orderBy("media_id")
+
+
+SPARK_QUERIES["dq172b_png_palette"] = png_palette_decode_q
+ORACLES["dq172b_png_palette"] = ORACLES["dq172_png_decode"]

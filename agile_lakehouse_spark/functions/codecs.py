@@ -207,12 +207,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # The first COMPRESSED container in the codec set: chunk walk with CRC-32
 # verification, concatenated-IDAT inflate, and all five scanline filters
 # (None/Sub/Up/Average/Paeth) on decode — the parts a real PNG reader
-# cannot skip, implemented from the public specification.  The encoder
-# writes filter-0 scanlines (every conforming reader must accept them);
-# the decoder accepts whatever filters a foreign encoder chose.  Bit
-# depth 8, color types 0 (grey -> RGB), 2 (RGB), 6 (RGBA -> alpha
-# dropped); palette/16-bit/interlaced images raise loudly rather than
-# mis-decode.
+# cannot skip, implemented from the public specification.  The encoders
+# write filter-0 scanlines (every conforming reader must accept them);
+# the decoder accepts whatever filters a foreign encoder chose.
+# Decoder coverage: color types 0 (grey -> RGB), 2 (RGB), 6 (RGBA ->
+# alpha dropped) at depths 8 and 16 (16-bit keeps the high byte, the
+# standard 8-bit reduction), and color type 3 (palette) at depths
+# 1/2/4/8 — packed sub-byte indices unpacked bit-exactly, PLTE lookup,
+# out-of-range indices raise.  Adam7 interlace and grey depths < 8
+# raise loudly rather than mis-decode.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -244,19 +247,23 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> HxWx3 uint8 RGB (grey expanded, alpha dropped).
+    """PNG bytes -> HxWx3 uint8 RGB (grey expanded, alpha dropped,
+    palette looked up, 16-bit reduced to its high byte).
 
     Filters 3/4 (Average/Paeth) carry an intra-row serial dependency, so
-    those rows decode pixel-at-a-time; filters 0/1/2 are vectorized
-    (Sub is a per-channel-phase cumsum mod 256).  CRC failures, palette
-    images, 16-bit depth, and Adam7 interlace raise — never a silently
-    wrong pixel.
+    those rows decode byte-at-a-time; filters 0/1/2 are vectorized (Sub
+    is a per-byte-phase cumsum mod 256).  Un-filtering operates on BYTES
+    with the spec's ``bpp = ceil(bits_per_pixel / 8)`` offset — 1 for
+    every palette depth, channels*2 for 16-bit — so the same five-filter
+    kernel serves all supported layouts.  CRC failures, out-of-palette
+    indices, grey depths < 8, and Adam7 interlace raise — never a
+    silently wrong pixel.
     """
     import zlib
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         if pos + 12 + length > len(data):
@@ -268,6 +275,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) == 0 or len(body) % 3 != 0 or len(body) > 256 * 3:
+                raise ValueError(f"bad PLTE length {len(body)}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -276,16 +287,24 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
-    if color_type not in (0, 2, 6):
-        raise ValueError(f"unsupported PNG color type {color_type} (grey/RGB/RGBA)")
+    if color_type == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG bit depth {depth}")
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+    elif color_type in (0, 2, 6):
+        if depth not in (8, 16):
+            raise ValueError(f"unsupported PNG bit depth {depth} (8/16)")
+    else:
+        raise ValueError(f"unsupported PNG color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace != 0:
         raise ValueError("Adam7-interlaced PNG unsupported")
-    channels = {0: 1, 2: 3, 6: 4}[color_type]
-    stride = w * channels
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    bits_pp = depth * channels
+    bpp = (bits_pp + 7) // 8  # filter byte-offset per the spec
+    stride = (w * bits_pp + 7) // 8  # scanline bytes (sub-byte pixels pack)
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError(f"PNG pixel payload {len(raw)} != {h * (stride + 1)}")
@@ -298,21 +317,21 @@ def decode_png(data: bytes) -> np.ndarray:
         ).astype(np.int64)
         if ft == 0:
             recon = line
-        elif ft == 1:  # Sub: cumsum per channel phase, mod 256
+        elif ft == 1:  # Sub: cumsum per byte phase, mod 256
             recon = line.copy()
-            for ph in range(channels):
-                recon[ph::channels] = np.cumsum(recon[ph::channels]) & 0xFF
+            for ph in range(bpp):
+                recon[ph::bpp] = np.cumsum(recon[ph::bpp]) & 0xFF
         elif ft == 2:  # Up
             recon = (line + prev) & 0xFF
         elif ft in (3, 4):  # Average / Paeth: serial in x
             recon = np.empty(stride, dtype=np.int64)
             for x in range(stride):
-                a = int(recon[x - channels]) if x >= channels else 0
+                a = int(recon[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 if ft == 3:
                     recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
                 else:
-                    c = int(prev[x - channels]) if x >= channels else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -321,9 +340,92 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = recon.astype(np.uint8)
         prev = recon
-    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        if depth == 8:
+            idx = out[:, :w]
+        else:
+            # PNG packs sub-byte pixels MSB-first — exactly numpy's
+            # unpackbits bit order; trailing pad bits fall off at [:w*depth]
+            bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2).astype(np.uint8)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range (PLTE has {len(plte)})"
+            )
+        return np.ascontiguousarray(plte[idx])
+    if depth == 16:
+        # network byte order: MSB first — keep it (the standard 8-bit cut)
+        px = out.reshape(h, w, channels, 2)[:, :, :, 0]
+    else:
+        px = out.reshape(h, w, channels)
     if channels == 1:
         px = np.repeat(px, 3, axis=2)
     elif channels == 4:
         px = px[:, :, :3]
     return np.ascontiguousarray(px)
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray, depth: int | None = None) -> bytes:
+    """HxW uint8 index array + Nx3 uint8 palette -> color-type-3 PNG.
+
+    ``depth`` None picks the smallest of 1/2/4/8 bits that covers the
+    palette; sub-byte depths pack indices MSB-first per scanline with
+    zero pad bits (the spec's layout).  Filter-0 scanlines, like
+    :func:`encode_png`.
+    """
+    import zlib
+
+    if idx.ndim != 2 or idx.dtype != np.uint8:
+        raise ValueError(f"expected HxW uint8 index array, got {idx.shape} {idx.dtype}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or palette.dtype != np.uint8:
+        raise ValueError(f"expected Nx3 uint8 palette, got {palette.shape} {palette.dtype}")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError(f"palette must have 1..256 entries, got {len(palette)}")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    if depth is None:
+        depth = next(d for d in (1, 2, 4, 8) if len(palette) <= (1 << d))
+    if depth not in (1, 2, 4, 8) or len(palette) > (1 << depth):
+        raise ValueError(f"bad palette depth {depth} for {len(palette)} colors")
+    h, w = idx.shape
+    if depth == 8:
+        rows = idx
+    else:
+        bits = ((idx[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+        rows = np.packbits(bits.reshape(h, w * depth), axis=1)  # zero-pads to bytes
+    raw = b"".join(b"\x00" + rows[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_indexed(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> palette PNG via EXACT palettization (unique
+    colors must fit 256 — always true for the <=256-pixel fixture
+    images).  Decoding reproduces the input bit-for-bit, so the same
+    oracle arithmetic verifies both the truecolor and palette paths."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected HxWx3 uint8 array, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"image has {len(palette)} unique colors (palette max 256)")
+    return encode_png_palette(
+        inverse.reshape(h, w).astype(np.uint8), palette.astype(np.uint8)
+    )

@@ -141,8 +141,9 @@ def synthesize_image_media(
     container: str = "bmp",
 ) -> DataFrame:
     """Media table with REAL image payloads (``container`` = "bmp",
-    "ppm", or "png" — png is COMPRESSED: zlib deflate + scanline
-    filters) whose pixel bytes are a deterministic function of the row
+    "ppm", "png", or "png_pal" — png is COMPRESSED: zlib deflate +
+    scanline filters; png_pal additionally exercises the color-type-3
+    PLTE path) whose pixel bytes are a deterministic function of the row
     id: flat RGB byte j of image ``id`` is ``(id * 31 + j * 7) % 256``.
 
     The generation rule is pure integer arithmetic so a SQL oracle can
@@ -156,12 +157,15 @@ def synthesize_image_media(
         "bmp": codecs.encode_bmp,
         "ppm": codecs.encode_ppm,
         "png": codecs.encode_png,
+        # color-type-3 PNG via exact palettization (<=256-pixel fixtures
+        # always fit a 256-entry PLTE): same decoded RGB, same oracle
+        "png_pal": codecs.encode_png_indexed,
     }
     if container not in encoders:
         raise ValueError(f"container must be one of {sorted(encoders)}, got {container!r}")
     n = width * height * 3
     enc = encoders[container]
-    mime = f"image/{container}"
+    mime = "image/png" if container == "png_pal" else f"image/{container}"
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         j = np.arange(n, dtype=np.int64)

@@ -299,11 +299,22 @@ def lod_sweep(
     importance_col: str = "i",
     origin: tuple[float, float] = (0.0, 0.0),
 ) -> DataFrame:
-    """Progressive-LOD sweep — the reference's viz driver workload
+    """Progressive-LOD sweep — viz.rs-SHAPED, not viz.rs-identical
     (``pc-cli/examples/viz.rs:85-273``): per quadtree level, the per-cell
     point populations a renderer would stream, probed on a deterministic
     stride of the level's cell grid (viz.rs probes M=16 cells per level,
     ``i % max(n/M, 1) == 0`` over the cell enumeration).
+
+    Two deliberate divergences from viz.rs's loop: (a) viz.rs strides the
+    GLOBAL cell enumeration including empty cells — a stride hit on an
+    empty cell issues a query that returns 0 points — while this sweep
+    strides the aggregated NONEMPTY cells only (an empty cell contributes
+    no aggregate row, so the same ordinal test selects a subset of
+    viz.rs's probe set and never logs 0-point probes); (b) at low levels
+    where ``4^level < M``, viz.rs revisits cells ~(M/n) times each and
+    averages repeated measurements of the same cell — this sweep counts
+    each selected cell once.  Same workload shape and per-level rollup;
+    not a probe-for-probe replay.
 
     Output per level: probed nonempty cells, their total points, the
     min/max/mean per-cell count (viz.rs logs mean±std per level).  The

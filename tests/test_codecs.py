@@ -257,8 +257,19 @@ def test_png_adversarial_payloads():
     )
     with pytest.raises(ValueError, match="interlace"):
         codecs.decode_png(png)
-    # palette color type must raise
+    # palette PNG without its PLTE table must raise (palette itself is
+    # supported since round 7 - see test_png_palette_* below)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(png)
+    # a genuinely unknown color type still raises
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -272,3 +283,93 @@ def test_png_adversarial_payloads():
     png = _build_png(2, 2, 2, rows)  # h=2 declared, 1 row supplied
     with pytest.raises(ValueError, match="payload"):
         codecs.decode_png(png)
+
+
+def _build_png2(w, h, depth, color_type, rows_filtered, plte=None):
+    """Like _build_png but with explicit bit depth and optional PLTE —
+    spec arithmetic stays in the test, independent of the encoder."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(b"".join(rows_filtered)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette round-trip at every legal depth, including widths that
+    leave pad bits in the packed scanline (w=5 at depth 4 -> half a
+    trailing byte; w=5 at depth 2 -> 6 pad bits)."""
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4, 8):
+        n_colors = 1 << depth
+        palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        for w in (5, 8):
+            idx = rng.integers(0, n_colors, (4, w), dtype=np.uint8)
+            png = codecs.encode_png_palette(idx, palette, depth=depth)
+            got = codecs.decode_png(png)
+            assert got.shape == (4, w, 3)
+            assert np.array_equal(got, palette[idx])
+
+
+def test_png_indexed_equals_truecolor():
+    """encode_png_indexed (exact palettization) must decode to the SAME
+    RGB as the truecolor encoder — the dq172b invariant."""
+    j = np.arange(8 * 8 * 3, dtype=np.int64)
+    for doc_id in (0, 7, 123):
+        arr = ((doc_id * 31 + j * 7) % 256).astype(np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(
+            codecs.decode_png(codecs.encode_png_indexed(arr)),
+            codecs.decode_png(codecs.encode_png(arr)),
+        )
+
+
+def test_png_palette_foreign_filters():
+    """A foreign encoder may filter palette scanlines (bpp=1): hand-build
+    Sub and Up rows and check the reconstruction against spec arithmetic
+    computed HERE, not by the codec."""
+    palette = np.arange(256 * 3, dtype=np.int64).astype(np.uint8).reshape(256, 3)
+    r0 = np.array([10, 250, 7, 99], dtype=np.uint8)  # filter 0: raw
+    r1_recon = (np.cumsum(np.array([5, 251, 3, 130], dtype=np.int64)) & 0xFF).astype(np.uint8)
+    r2_recon = ((r1_recon.astype(np.int64) + np.array([1, 2, 253, 4])) & 0xFF).astype(np.uint8)
+    rows = [
+        b"\x00" + r0.tobytes(),
+        b"\x01" + bytes([5, 251, 3, 130]),  # Sub on row of 4 single-byte pixels
+        b"\x02" + bytes([1, 2, 253, 4]),  # Up against r1's reconstruction
+    ]
+    png = _build_png2(4, 3, 8, 3, rows, plte=palette.tobytes())
+    got = codecs.decode_png(png)
+    assert np.array_equal(got[0], palette[r0])
+    assert np.array_equal(got[1], palette[r1_recon])
+    assert np.array_equal(got[2], palette[r2_recon])
+
+
+def test_png_palette_index_out_of_range():
+    plte = bytes(range(48))  # 16 palette entries
+    rows = [b"\x00" + bytes([3, 16])]  # index 16 >= 16 entries
+    png = _build_png2(2, 1, 8, 3, rows, plte=plte)
+    with pytest.raises(ValueError, match="out of range"):
+        codecs.decode_png(png)
+
+
+def test_png_16bit_high_byte_reduction():
+    """16-bit grey and RGB decode to the sample's high byte (MSB-first
+    network order) — values chosen so low/high bytes differ."""
+    # grey 2x2: samples 0x1234 0xFF01 / 0x00FF 0x8080
+    rows = [
+        b"\x00" + bytes([0x12, 0x34, 0xFF, 0x01]),
+        b"\x00" + bytes([0x00, 0xFF, 0x80, 0x80]),
+    ]
+    got = codecs.decode_png(_build_png2(2, 2, 16, 0, rows))
+    expect = np.array([[0x12, 0xFF], [0x00, 0x80]], dtype=np.uint8)
+    assert np.array_equal(got, np.repeat(expect[:, :, None], 3, axis=2))
+    # RGB 1x2 with an Up-filtered second row (bpp=6)
+    r0 = bytes([0x01, 0xAA, 0x02, 0xBB, 0x03, 0xCC])
+    rows = [b"\x00" + r0, b"\x02" + bytes([0x10, 0x00, 0x20, 0x00, 0x30, 0x00])]
+    got = codecs.decode_png(_build_png2(1, 2, 16, 2, rows))
+    assert got.shape == (2, 1, 3)
+    assert np.array_equal(got[0, 0], [0x01, 0x02, 0x03])
+    assert np.array_equal(got[1, 0], [0x11, 0x22, 0x33])
