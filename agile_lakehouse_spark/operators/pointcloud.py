@@ -283,7 +283,15 @@ def quadtree_cells(
     for level, cut in reversed(cuts[:-1]):
         level_expr = F.when(F.col(importance_col) < F.lit(cut), F.lit(level)).otherwise(level_expr)
     out = df.withColumn("level", level_expr.cast("int"))
-    cell_size = F.lit(float(side)) / F.pow(F.lit(2.0), F.col("level").cast("double"))
+    # cell size via a (depth+1)-literal lookup instead of per-row
+    # pow(2.0, level): the literals are computed with the SAME float
+    # division (side / 2^level, powers of two exact in double) so cell
+    # assignment is bit-identical, but the transcendental pow leaves the
+    # per-row path — measured 3.4 s -> 2.4 s for the assignment pass at
+    # 200 M points (scripts/profile_quadtree_gap.py), and the layout
+    # write pays it twice (range-partition sampling + final pass)
+    sizes = F.array(*[F.lit(float(side) / float(2**lv)) for lv in range(depth + 1)])
+    cell_size = F.element_at(sizes, F.col("level") + 1)
     out = out.withColumn("qx", F.floor((F.col(x) - origin[0]) / cell_size).cast("bigint"))
     out = out.withColumn("qy", F.floor((F.col(y) - origin[1]) / cell_size).cast("bigint"))
     return out

@@ -187,12 +187,25 @@ def write_quadtree_layout(
     ``partitionBy(level)`` externalizes the LoD hierarchy as directory
     partitions (partition pruning on ``level`` predicates = free), and rows
     inside each level are clustered by (qx, qy).
+
+    The within-partition sort is (level, zkey) ONLY — near-constant keys
+    per range-partitioned task, so the sort is effectively free.  Rounds
+    3-6 additionally sorted by the raw importance double, which forced a
+    true sort of every cell's rows for nothing the layout contract uses:
+    the reference stratifies importance ACROSS levels (the level IS the
+    importance slab, framework.rs:169-219) and leaves intra-cell order
+    unspecified; no reader predicate prunes on intra-cell ``i``.
+    Measured at 200 M points (scripts/profile_quadtree_gap.py): the
+    i-sort cost 19 s of a 72 s job; dropping it + the pow-free cell
+    assignment took the layout 71.5 -> 39.5 s (grid(1) = 29.5 s on the
+    same input; the residual is the (level, zkey) range-key space having
+    85 distinct values vs grid's 100 — a coarser task tail).
     """
     out = quadtree_cells(df, depth, side, x=x, y=y, importance_col=importance_col, origin=origin)
     out = out.withColumn("zkey", zorder_key("qx", "qy"))
     (
         out.repartitionByRange(_layout_partitions(df, max_records_per_file), "level", "zkey")
-        .sortWithinPartitions("level", "zkey", importance_col)
+        .sortWithinPartitions("level", "zkey")
         .drop("zkey")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
