@@ -121,12 +121,62 @@ def run_scale(spark, n: int) -> dict:
     return out
 
 
+def run_scale_big(spark, n: int) -> dict:
+    """The 10 M-doc decade (round-7 verdict task 9) for the two newest
+    operators only — the full ladder's quadratic-ish siblings (MinHash,
+    SimHash, dup-coverage) already have their own measured decades:
+
+    - ``duplicate_spans(hash_grams=True)`` — the 100 TB exchange-diet
+      path; planted-duplicate RECOVERY asserted exactly (every 1-in-50
+      planted near-copy shares its predecessor's full token stream, so
+      both members carry one duplicated span: 2 * n/50 spans).
+    - ``lm_fluency`` — corpus-bigram scoring after the round-7
+      single-pass fix; EXACTNESS asserted against the corpus itself
+      (sum of n_transitions == sum over docs of max(len(toks)-1, 0),
+      computed independently from the raw text).
+    """
+    out: dict[str, object] = {"n_docs": n, "mode": "big"}
+    docs = synth_docs(spark, n).persist()
+    assert docs.count() == n
+
+    t0 = time.time()
+    spans = dedup.duplicate_spans(docs, window_tokens=12, hash_grams=True).count()
+    out["spans_hash_s"] = round(time.time() - t0, 2)
+    out["spans_found"] = spans
+    expected = 2 * (n // 50)
+    assert spans == expected, f"planted recovery broke: {spans} != {expected}"
+
+    t0 = time.time()
+    scored = text.lm_fluency(docs)
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_transitions").alias("trans")
+    ).collect()[0]
+    out["lm_fluency_s"] = round(time.time() - t0, 2)
+    out["lm_rows"], out["lm_transitions"] = agg.rows, int(agg.trans)
+    truth = docs.select(
+        F.greatest(
+            F.size(F.expr("split(trim(text), '\\\\s+')")) - 1, F.lit(0)
+        ).alias("t")
+    ).agg(F.sum("t")).collect()[0][0]
+    assert agg.rows == n and int(agg.trans) == int(truth), (
+        f"lm_fluency exactness broke: {agg.rows}/{n} rows, "
+        f"{agg.trans} vs {truth} transitions"
+    )
+
+    docs.unpersist()
+    for op in ("spans_hash", "lm_fluency"):
+        out[f"{op}_docs_per_s"] = round(n / out[f"{op}_s"], 0)
+    return out
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 100_000, 500_000]
+    args = [a for a in sys.argv[1:] if a != "--big"]
+    big = "--big" in sys.argv[1:]
+    sizes = [int(a) for a in args] or ([10_000_000] if big else [20_000, 100_000, 500_000])
     spark = get_session("scaling-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        print(json.dumps(run_scale(spark, n)))
+        print(json.dumps((run_scale_big if big else run_scale)(spark, n)), flush=True)
     spark.stop()
 
 
