@@ -4761,3 +4761,48 @@ def png_palette_decode_q(spark, sf_dir):
 
 SPARK_QUERIES["dq172b_png_palette"] = png_palette_decode_q
 ORACLES["dq172b_png_palette"] = ORACLES["dq172_png_decode"]
+
+
+# --- round 7: LSH hot-bucket audit (the cap's recorded-count companion) ------
+
+
+def lsh_bucket_audit_q(spark, sf_dir):
+    """dq21f: the audit companion to lsh_candidate_pairs(max_bucket_size=)
+    — every (band, key) bucket a cap of 1 would drop, with its member
+    count and the self-join pairs avoided.  One agg over the bucket
+    stream, no self-join; the operator a 100 TB pipeline runs BEFORE
+    committing to a cap (and logs as its recorded count after)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=SHINGLE_K)
+    return dedup.lsh_oversized_buckets(sigs, max_bucket_size=1)
+
+
+SPARK_QUERIES["dq21f_lsh_bucket_audit"] = lsh_bucket_audit_q
+ORACLES["dq21f_lsh_bucket_audit"] = f"""
+    WITH {_duck_minhash_cte()},
+    bucketed AS ({_duck_band_union()}),
+    counts AS (SELECT band, key, count(*) AS n FROM bucketed GROUP BY 1, 2)
+    SELECT CAST(band AS INTEGER) AS band, key,
+           CAST(n AS BIGINT) AS n_members,
+           CAST((n * (n - 1)) // 2 AS BIGINT) AS n_pairs_avoided
+    FROM counts WHERE n > 1
+    ORDER BY n_members DESC, band, key"""
+
+
+def dedup_minhash_capped_q(spark, sf_dir):
+    """dq21g: the full MinHash+LSH pipeline with the hot-bucket cap
+    ENGAGED (max_bucket_size=1000, far above any fixture bucket) — the
+    exact configuration a 100 TB pipeline ships with.  Its oracle is
+    dq21b's uncapped SQL: the gate proves the capped plan (bucket-count
+    agg + semi-join ahead of the self-join) is bit-identical when no
+    bucket exceeds the cap, i.e. the cap costs nothing until it fires."""
+    return dedup.minhash_near_dup(
+        load_table(spark, sf_dir, "documents"),
+        k=SHINGLE_K,
+        threshold=MINHASH_T,
+        max_bucket_size=1000,
+    )
+
+
+SPARK_QUERIES["dq21g_dedup_minhash_capped"] = dedup_minhash_capped_q
+ORACLES["dq21g_dedup_minhash_capped"] = ORACLES["dq21b_dedup_minhash"]

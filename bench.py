@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dq169_lod_sweep",  # viz.rs progressive-LOD sweep, one-plan workload (round 5)
     "dq170_duplicate_spans",  # Lee et al. exact-substring spans (round 5)
     "dq173_lm_fluency",  # corpus-bigram CCNet-shape quality scoring (round 5)
+    "dq172b_png_palette",  # color-type-3 PNG: packed indices + PLTE path (round 7)
 ]
 
 
