@@ -304,9 +304,12 @@ def lsh_oversized_buckets(
         .groupBy("band", "key")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .filter(F.col("n_members") > max_bucket_size)
+        # integer `div`, not `/`: double division loses integer exactness
+        # once n(n-1) passes 2^53 — i.e. exactly the 1e8+-member hot
+        # buckets this audit exists to count
         .withColumn(
             "n_pairs_avoided",
-            (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("bigint"),
+            F.expr("(n_members * (n_members - 1)) div 2").cast("bigint"),
         )
         .orderBy(F.desc("n_members"), "band", "key")
     )

@@ -221,9 +221,11 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id", n_samples: int =
 
 
 def image_stats(media: DataFrame) -> DataFrame:
-    """REAL image decode (BMP or PPM, magic-sniffed) -> per-image exact
-    integer channel sums.  All values are integers, so the output is
-    bit-stable under any partitioning and hashable by the oracle gate."""
+    """REAL image decode (BMP, PPM, or PNG — truecolor/grey/16-bit/
+    palette — magic-sniffed) -> per-image exact integer channel sums.
+    All values are integers, so the output is bit-stable under any
+    partitioning and hashable by the oracle gate (dq25/dq142/dq172/
+    dq172b)."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

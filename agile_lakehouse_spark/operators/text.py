@@ -805,6 +805,7 @@ def lm_fluency(
     id_col: str = "doc_id",
     add_k: float = 0.5,
     persist_toks: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """Corpus-LM fluency scoring — the CCNet quality-filter shape
     (Wenzek et al. 2020: score each document under a language model and
@@ -834,12 +835,21 @@ def lm_fluency(
 
     Returns (doc_id, n_transitions, fluency); docs with < 2 tokens have
     0 transitions and fluency 0.0.
+
+    Cache lifetime: the lazy return means this function cannot unpersist
+    for you.  Long-lived sessions scoring many corpora should pass a
+    ``caches`` list — every frame persisted here is appended to it, so
+    the caller can ``[c.unpersist() for c in caches]`` after
+    materializing (the graph.py discipline) instead of leaking a
+    corpus-sized token cache per call until LRU eviction thrashes.
     """
     from agile_lakehouse_spark.operators.dedup import _spread_tokens
 
     toksed = _spread_tokens(df, text_col, id_col)
     if persist_toks:
         toksed = toksed.persist()
+        if caches is not None:
+            caches.append(toksed)
     pairs = toksed.select(
         F.col(id_col),
         F.explode(
@@ -859,6 +869,8 @@ def lm_fluency(
         # vocabulary-sized (tiny next to the corpus), so persisting it
         # makes the V derivation a free 1-row count over the cache
         c1 = c1.persist()
+        if caches is not None:
+            caches.append(c1)
     # V = number of distinct tokens = number of rows in the unigram
     # model (every token occurs as w1 in c1) — no separate corpus pass
     vocab = c1.agg(F.count(F.lit(1)).alias("_v"))

@@ -343,9 +343,20 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+    for decimals in (1, 0):  # ladder down until the line fits the window
+        if len(line) <= 1900:
+            break
+        compact["queries"] = {
+            k: (round(v, decimals) if decimals else int(round(v)))
+            for k, v in timings.items()
+        }
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # ~85 entries fit at 0 decimals — restructure before then
+        print(
+            f"WARNING: bench stdout line {len(line)}B exceeds the driver's "
+            "2000B tail window even at 0 decimals; expect parsed:null",
+            file=sys.stderr,
+        )
     # full-precision payload + stats go to the sidecar (schema_version 2 =
     # sample stddev, nullable std/sem at n=1 — changed in round 6; rounds
     # 1-5 used the population formula, ~1.41x smaller at n=2)

@@ -143,7 +143,12 @@ def run_scale_big(spark, n: int) -> dict:
     spans = dedup.duplicate_spans(docs, window_tokens=12, hash_grams=True).count()
     out["spans_hash_s"] = round(time.time() - t0, 2)
     out["spans_found"] = spans
-    expected = 2 * (n // 50)
+    # planted pairs are docs i with i % 50 == 1 (paired with i-1), i.e.
+    # i in {1, 51, 101, ...} ∩ [0, n) -> (n-2)//50 + 1 of them for n >= 2
+    # (NOT n//50, which undercounts whenever n isn't a multiple of 50);
+    # each pair yields one duplicated span in BOTH members
+    n_planted = (n - 2) // 50 + 1 if n >= 2 else 0
+    expected = 2 * n_planted
     assert spans == expected, f"planted recovery broke: {spans} != {expected}"
 
     t0 = time.time()
