@@ -210,12 +210,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # cannot skip, implemented from the public specification.  The encoders
 # write filter-0 scanlines (every conforming reader must accept them);
 # the decoder accepts whatever filters a foreign encoder chose.
-# Decoder coverage: color types 0 (grey -> RGB), 2 (RGB), 6 (RGBA ->
-# alpha dropped) at depths 8 and 16 (16-bit keeps the high byte, the
-# standard 8-bit reduction), and color type 3 (palette) at depths
-# 1/2/4/8 — packed sub-byte indices unpacked bit-exactly, PLTE lookup,
-# out-of-range indices raise.  Adam7 interlace and grey depths < 8
-# raise loudly rather than mis-decode.
+# Decoder coverage: color types 0 (grey -> RGB, depths 1/2/4/8/16 —
+# sub-byte samples scale by the spec's exact 255/(2^d-1) factor),
+# 2 (RGB) and 6 (RGBA -> alpha dropped) at depths 8 and 16 (16-bit
+# keeps the high byte, the standard 8-bit reduction), and color type 3
+# (palette) at depths 1/2/4/8 — packed sub-byte indices unpacked
+# bit-exactly, PLTE lookup, out-of-range indices raise.  Adam7
+# interlace raises loudly rather than mis-decoding.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -256,7 +257,7 @@ def decode_png(data: bytes) -> np.ndarray:
     with the spec's ``bpp = ceil(bits_per_pixel / 8)`` offset — 1 for
     every palette depth, channels*2 for 16-bit — so the same five-filter
     kernel serves all supported layouts.  CRC failures, out-of-palette
-    indices, grey depths < 8, and Adam7 interlace raise — never a
+    indices, and Adam7 interlace raise — never a
     silently wrong pixel.
     """
     import zlib
@@ -292,7 +293,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad palette PNG bit depth {depth}")
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
-    elif color_type in (0, 2, 6):
+    elif color_type == 0:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"bad greyscale PNG bit depth {depth}")
+    elif color_type in (2, 6):
         if depth not in (8, 16):
             raise ValueError(f"unsupported PNG bit depth {depth} (8/16)")
     else:
@@ -340,20 +344,25 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = recon.astype(np.uint8)
         prev = recon
+    def _unpack_subbyte(rows: np.ndarray) -> np.ndarray:
+        # PNG packs sub-byte samples MSB-first — exactly numpy's
+        # unpackbits bit order; trailing pad bits fall off at [:w*depth]
+        bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        return (bits * weights).sum(axis=2).astype(np.uint8)
+
     if color_type == 3:
-        if depth == 8:
-            idx = out[:, :w]
-        else:
-            # PNG packs sub-byte pixels MSB-first — exactly numpy's
-            # unpackbits bit order; trailing pad bits fall off at [:w*depth]
-            bits = np.unpackbits(out, axis=1)[:, : w * depth].reshape(h, w, depth)
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            idx = (bits * weights).sum(axis=2).astype(np.uint8)
+        idx = out[:, :w] if depth == 8 else _unpack_subbyte(out)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError(
                 f"palette index {int(idx.max())} out of range (PLTE has {len(plte)})"
             )
         return np.ascontiguousarray(plte[idx])
+    if color_type == 0 and depth < 8:
+        # spec sample scaling to 8-bit: * 255/(2^depth - 1), an exact
+        # integer factor (255, 85, 17) for every legal grey depth
+        g = _unpack_subbyte(out) * np.uint8(255 // ((1 << depth) - 1))
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
     if depth == 16:
         # network byte order: MSB first — keep it (the standard 8-bit cut)
         px = out.reshape(h, w, channels, 2)[:, :, :, 0]

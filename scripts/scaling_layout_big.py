@@ -88,7 +88,7 @@ def run_scale(spark, n: int) -> dict:
     return out
 
 
-def run_scale_banded(spark, n: int) -> dict:
+def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
     """The 1 B-point decade via the reference's own windowed discipline
     (``pc-cli/src/partition.rs:249-374``): generate -> layout -> validate
     -> delete one BAND at a time, so peak disk is one band's convert +
@@ -107,15 +107,16 @@ def run_scale_banded(spark, n: int) -> dict:
     Per-band times are summed — the honest cost of laying out n points
     on this disk; a 1000-executor cluster runs the bands concurrently.
     """
-    out: dict[str, object] = {"n_points": n, "mode": "banded"}
+    out: dict[str, object] = {"n_points": n, "mode": "banded", "layouts": layouts}
     tmp = tempfile.mkdtemp(prefix=f"big_layout_banded_{n}_")
     pts = synth_points(spark, n)
+    want = set(layouts.split(","))
     try:
         # --- grid(100) in five x-aligned bands ---------------------------
         grid_s = convert_s = 0.0
         total_rows = 0
         band_times = []
-        for lo in (0.0, 200.0, 400.0, 600.0, 800.0):
+        for lo in (0.0, 200.0, 400.0, 600.0, 800.0) if "grid" in want else ():
             band = pts.filter((F.col("x") >= lo) & (F.col("x") < lo + 200.0))
             t0 = time.time()
             band.write.mode("overwrite").parquet(f"{tmp}/bconv")
@@ -129,11 +130,12 @@ def run_scale_banded(spark, n: int) -> dict:
             total_rows += spark.read.parquet(f"{tmp}/bgrid").count()
             shutil.rmtree(f"{tmp}/bgrid", ignore_errors=True)
             shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
-        assert total_rows == n, f"grid bands lost rows: {total_rows} != {n}"
-        out["convert_s"] = round(convert_s, 2)
-        out["grid_s"] = round(grid_s, 2)
-        out["grid_band_s"] = band_times
-        out["grid_pts_per_s"] = round(n / grid_s)
+        if "grid" in want:
+            assert total_rows == n, f"grid bands lost rows: {total_rows} != {n}"
+            out["convert_s"] = round(convert_s, 2)
+            out["grid_s"] = round(grid_s, 2)
+            out["grid_band_s"] = band_times
+            out["grid_pts_per_s"] = round(n / grid_s)
 
         # --- quadtree(depth 3) in five cell-aligned bands ----------------
         # importance cuts (framework.rs:169-219): levels 0-2 hold
@@ -149,7 +151,7 @@ def run_scale_banded(spark, n: int) -> dict:
             )
             for lo in (0.0, 256.0, 512.0, 768.0)
         ]
-        for band in bands:
+        for band in bands if "qt" in want else ():
             t0 = time.time()
             band.write.mode("overwrite").parquet(f"{tmp}/bconv")
             qt_convert_s += time.time() - t0
@@ -164,25 +166,33 @@ def run_scale_banded(spark, n: int) -> dict:
             total_rows += spark.read.parquet(f"{tmp}/bqt").count()
             shutil.rmtree(f"{tmp}/bqt", ignore_errors=True)
             shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
-        assert total_rows == n, f"quadtree bands lost rows: {total_rows} != {n}"
-        out["quadtree_s"] = round(qt_s, 2)
-        out["quadtree_convert_s"] = round(qt_convert_s, 2)
-        out["quadtree_band_s"] = band_times
-        out["quadtree_pts_per_s"] = round(n / qt_s)
+        if "qt" in want:
+            assert total_rows == n, f"quadtree bands lost rows: {total_rows} != {n}"
+            out["quadtree_s"] = round(qt_s, 2)
+            out["quadtree_convert_s"] = round(qt_convert_s, 2)
+            out["quadtree_band_s"] = band_times
+            out["quadtree_pts_per_s"] = round(n / qt_s)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--banded"]
-    banded = "--banded" in sys.argv[1:]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    banded = "--banded" in flags
+    layouts = "grid,qt"
+    for f in flags:
+        if f.startswith("--layouts="):
+            layouts = f.split("=", 1)[1]
     sizes = [int(a) for a in args] or [500_000_000]
     spark = get_session("scaling-big-layout")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        run = run_scale_banded if banded else run_scale
-        print(json.dumps(run(spark, n)), flush=True)
+        if banded:
+            print(json.dumps(run_scale_banded(spark, n, layouts)), flush=True)
+        else:
+            print(json.dumps(run_scale(spark, n)), flush=True)
     spark.stop()
 
 

@@ -373,3 +373,27 @@ def test_png_16bit_high_byte_reduction():
     assert got.shape == (2, 1, 3)
     assert np.array_equal(got[0, 0], [0x01, 0x02, 0x03])
     assert np.array_equal(got[1, 0], [0x11, 0x22, 0x33])
+
+
+def test_png_grey_subbyte_depths():
+    """Grey depths 1/2/4 decode with the spec's exact 255/(2^d-1)
+    scaling; widths chosen to leave pad bits; one Up-filtered row checks
+    the bpp=1 filter path under packed samples.  All expectations are
+    spec arithmetic computed here, not by the codec."""
+    # depth 4, w=3 (half-byte pad): row0 raw [15, 0, 9], row1 = Up over it
+    rows = [b"\x00" + bytes([0xF0, 0x90]), b"\x02" + bytes([0x11, 0x20])]
+    got = codecs.decode_png(_build_png2(3, 2, 4, 0, rows))
+    # row1 recon bytes: (0x11+0xF0)&0xFF=0x01, (0x20+0x90)&0xFF=0xB0 -> [0,1,11]
+    expect = np.array([[255, 0, 153], [0, 17, 187]], dtype=np.uint8)
+    assert np.array_equal(got, np.repeat(expect[:, :, None], 3, axis=2))
+    # depth 1, w=10 (6 pad bits): [1,0,1,1,0,0,1,0,1,1] -> 0xB2 0xC0
+    got = codecs.decode_png(_build_png2(10, 1, 1, 0, [b"\x00" + bytes([0xB2, 0xC0])]))
+    expect = (np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1]], dtype=np.uint8) * 255)
+    assert np.array_equal(got, np.repeat(expect[:, :, None], 3, axis=2))
+    # depth 2, w=5: [3,0,1,2,3] -> 0xC6 0xC0, scale x85
+    got = codecs.decode_png(_build_png2(5, 1, 2, 0, [b"\x00" + bytes([0xC6, 0xC0])]))
+    expect = np.array([[255, 0, 85, 170, 255]], dtype=np.uint8)
+    assert np.array_equal(got, np.repeat(expect[:, :, None], 3, axis=2))
+    # an illegal grey depth still raises
+    with pytest.raises(ValueError, match="bad greyscale"):
+        codecs.decode_png(_build_png2(2, 1, 3, 0, [b"\x00\x00"]))
