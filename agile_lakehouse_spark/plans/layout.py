@@ -160,9 +160,19 @@ def write_grid_layout(
         )
         sort_keys = ["zkey", "islice"]
     # range-partition on the space-filling curve: each task (and therefore
-    # each file) owns a contiguous, spatially compact block of cells
+    # each file) owns a contiguous, spatially compact block of cells.
+    # The raw coordinate rides along as a TIE-BREAKER partition key (not
+    # a sort key): with fewer distinct cells than requested partitions —
+    # a dense extract, a banded 2 B run whose x-band holds ~20 cells —
+    # RangePartitioner collapses to one task per cell, and each task
+    # then sorts+writes tens of millions of rows serially (measured: the
+    # 2 B banded grid ran 21-wide on 32 cores and OOMed sorts at <=64 g
+    # heap).  The tie-breaker splits hot cells across adjacent tasks;
+    # files remain cell-pure and contiguous in x within the cell, so
+    # footer min/max stats stay exactly as tight.
+    part_keys = [*sort_keys, x]
     (
-        out.repartitionByRange(_layout_partitions(df, max_records_per_file), *sort_keys)
+        out.repartitionByRange(_layout_partitions(df, max_records_per_file), *part_keys)
         .sortWithinPartitions(*sort_keys)
         .drop("zkey")
         .write.mode("overwrite")
@@ -196,15 +206,20 @@ def write_quadtree_layout(
     importance slab, framework.rs:169-219) and leaves intra-cell order
     unspecified; no reader predicate prunes on intra-cell ``i``.
     Measured at 200 M points (scripts/profile_quadtree_gap.py): the
-    i-sort cost 19 s of a 72 s job; dropping it + the pow-free cell
-    assignment took the layout 71.5 -> 39.5 s (grid(1) = 29.5 s on the
-    same input; the residual is the (level, zkey) range-key space having
-    85 distinct values vs grid's 100 — a coarser task tail).
+    i-sort cost 19 s of a 72 s job; after dropping it (+ the pow-free
+    cell assignment) alternating same-session A/B runs put quadtree at
+    34.9-41.2 s vs grid(1) at 32.1-59.6 s — parity.  At 2 B (banded,
+    matched 64 g runs) quadtree 700 s vs grid 746 s.
     """
     out = quadtree_cells(df, depth, side, x=x, y=y, importance_col=importance_col, origin=origin)
     out = out.withColumn("zkey", zorder_key("qx", "qy"))
+    # x rides along as a tie-breaker PARTITION key (same rationale as
+    # write_grid_layout): a level-3 band holds only ~16 cells, so the
+    # range partitioner otherwise collapses to one fat task per cell
     (
-        out.repartitionByRange(_layout_partitions(df, max_records_per_file), "level", "zkey")
+        out.repartitionByRange(
+            _layout_partitions(df, max_records_per_file), "level", "zkey", x
+        )
         .sortWithinPartitions("level", "zkey")
         .drop("zkey")
         .write.mode("overwrite")
