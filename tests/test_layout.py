@@ -343,3 +343,34 @@ def test_lod_render_pruning_per_level(points, spark, tmp_path):
             flat_touched += 1
     assert flat_touched == flat_total  # random layout: no pruning at all
     assert cum[-1] / sum(totals.values()) < flat_touched / flat_total, (cum, totals)
+
+
+def test_layout_hot_cell_splits_across_tasks(spark, tmp_path):
+    """The round-7 banded-2B finding, pinned: when the input has FEWER
+    distinct cells than requested range partitions (here: ONE cell),
+    the coordinate tie-breaker partition key must still spread the
+    rows across multiple write tasks — without it RangePartitioner
+    collapses to one task per cell, which serialized 20M-row sorts and
+    OOMed the 2B banded bands.  Output filenames encode the writing
+    task's partition id (part-NNNNN-), so distinct prefixes count the
+    non-empty tasks directly."""
+    import glob
+    import os
+    import re
+
+    n = 40_000
+    pts = spark.range(n).select(
+        F.col("id").alias("pid"),
+        (10.0 + (F.col("id") % 1000) / 100.0).alias("x"),  # all in cell (0, 0)
+        (20.0 + (F.col("id") % 997) / 100.0).alias("y"),
+        F.lit(1.0).alias("z"),
+        ((F.col("id") % 1024) / 1024.0).alias("i"),
+    )
+    dest = str(tmp_path / "hot_cell")
+    layout.write_grid_layout(pts, dest, 400.0, 400.0, max_records_per_file=4000)
+    tasks = {
+        re.match(r"part-(\d+)-", os.path.basename(f)).group(1)
+        for f in glob.glob(os.path.join(dest, "part-*.parquet"))
+    }
+    assert len(tasks) >= 2, f"hot cell collapsed to {len(tasks)} write task(s)"
+    assert spark.read.parquet(dest).count() == n
