@@ -774,6 +774,8 @@ def semantic_dedup(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    persist_cells: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """SemDeDup (the public recipe of Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -792,6 +794,18 @@ def semantic_dedup(
     from agile_lakehouse_spark.operators import graph
 
     assigned = ivf_assign(df, centroids, vec_col, id_col)
+    if persist_cells:
+        # ``tagged`` feeds three plan branches (both sides of the
+        # within-cell pair join + the final output join), so the
+        # m-way centroid argmax would otherwise run ~3x over the full
+        # corpus.  The assignment is two columns per vector — persisting
+        # it (not embedding-sized ``tagged``) is the compute-once layout
+        # table a 100 TB ingest writes partitionBy(cell) anyway.  Same
+        # lifetime discipline as lm_fluency: pass ``caches`` to
+        # unpersist after materializing.
+        assigned = assigned.persist()
+        if caches is not None:
+            caches.append(assigned)
     tagged = df.join(assigned, id_col)
     pairs = embedding_near_dup(
         tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
