@@ -216,7 +216,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # keeps the high byte, the standard 8-bit reduction), and color type 3
 # (palette) at depths 1/2/4/8 — packed sub-byte indices unpacked
 # bit-exactly, PLTE lookup, out-of-range indices raise.  Adam7
-# interlace raises loudly rather than mis-decoding.
+# interlace decodes for every supported layout (seven passes through
+# the same unfilter kernel, per-pass prev reset, empty passes omitted).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -256,9 +257,11 @@ def decode_png(data: bytes) -> np.ndarray:
     is a per-byte-phase cumsum mod 256).  Un-filtering operates on BYTES
     with the spec's ``bpp = ceil(bits_per_pixel / 8)`` offset — 1 for
     every palette depth, channels*2 for 16-bit — so the same five-filter
-    kernel serves all supported layouts.  CRC failures, out-of-palette
-    indices, and Adam7 interlace raise — never a
-    silently wrong pixel.
+    kernel serves all supported layouts.  Adam7 interlace decodes as
+    seven sub-images through the same unfilter machinery (filter ``prev``
+    resets per pass; empty passes contribute zero bytes) scattered into
+    one canvas.  CRC failures, out-of-palette indices, and truncated or
+    oversized pixel payloads raise — never a silently wrong pixel.
     """
     import zlib
 
@@ -303,76 +306,121 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     bits_pp = depth * channels
     bpp = (bits_pp + 7) // 8  # filter byte-offset per the spec
-    stride = (w * bits_pp + 7) // 8  # scanline bytes (sub-byte pixels pack)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG pixel payload {len(raw)} != {h * (stride + 1)}")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int64)
-        if ft == 0:
-            recon = line
-        elif ft == 1:  # Sub: cumsum per byte phase, mod 256
-            recon = line.copy()
-            for ph in range(bpp):
-                recon[ph::bpp] = np.cumsum(recon[ph::bpp]) & 0xFF
-        elif ft == 2:  # Up
-            recon = (line + prev) & 0xFF
-        elif ft in (3, 4):  # Average / Paeth: serial in x
-            recon = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = int(recon[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ft == 3:
-                    recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    recon[x] = (int(line[x]) + pr) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ft}")
-        out[r] = recon.astype(np.uint8)
-        prev = recon
-    def _unpack_subbyte(rows: np.ndarray) -> np.ndarray:
+
+    def _unfilter(pos: int, hh: int, stride: int) -> tuple[np.ndarray, int]:
+        """Un-filter ``hh`` scanlines of ``stride`` bytes starting at
+        ``pos`` in the inflated stream -> (rows, next pos)."""
+        rows = np.zeros((hh, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(hh):
+            ft = raw[pos]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=pos + 1
+            ).astype(np.int64)
+            pos += stride + 1
+            if ft == 0:
+                recon = line
+            elif ft == 1:  # Sub: cumsum per byte phase, mod 256
+                recon = line.copy()
+                for ph in range(bpp):
+                    recon[ph::bpp] = np.cumsum(recon[ph::bpp]) & 0xFF
+            elif ft == 2:  # Up
+                recon = (line + prev) & 0xFF
+            elif ft in (3, 4):  # Average / Paeth: serial in x
+                recon = np.empty(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(recon[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    if ft == 3:
+                        recon[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                    else:
+                        c = int(prev[x - bpp]) if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        recon[x] = (int(line[x]) + pr) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            rows[r] = recon.astype(np.uint8)
+            prev = recon
+        return rows, pos
+
+    def _unpack_subbyte(rows: np.ndarray, ww: int) -> np.ndarray:
         # PNG packs sub-byte samples MSB-first — exactly numpy's
-        # unpackbits bit order; trailing pad bits fall off at [:w*depth]
-        bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+        # unpackbits bit order; trailing pad bits fall off at [:ww*depth]
+        hh = rows.shape[0]
+        bits = np.unpackbits(rows, axis=1)[:, : ww * depth].reshape(hh, ww, depth)
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
         return (bits * weights).sum(axis=2).astype(np.uint8)
 
-    if color_type == 3:
-        idx = out[:, :w] if depth == 8 else _unpack_subbyte(out)
-        if int(idx.max(initial=0)) >= len(plte):
+    def _pass_pixels(rows: np.ndarray, ww: int) -> np.ndarray:
+        """Unfiltered scanline bytes -> the pre-final per-pixel
+        representation: palette index (hh, ww), grey value (hh, ww), or
+        channel bytes (hh, ww, channels) — so interlace passes of any
+        geometry scatter into one canvas before the single final
+        conversion."""
+        hh = rows.shape[0]
+        if color_type == 3:
+            return rows[:, :ww] if depth == 8 else _unpack_subbyte(rows, ww)
+        if color_type == 0 and depth < 8:
+            # spec sample scaling to 8-bit: * 255/(2^depth - 1), an exact
+            # integer factor (255, 85, 17) for every legal grey depth
+            return _unpack_subbyte(rows, ww) * np.uint8(255 // ((1 << depth) - 1))
+        if depth == 16:
+            # network byte order: MSB first — keep it (8-bit reduction)
+            px = rows.reshape(hh, ww, channels, 2)[:, :, :, 0]
+        else:
+            px = rows.reshape(hh, ww, channels)
+        return px[:, :, 0] if channels == 1 else px
+
+    # Adam7 pass geometry (x0, y0, dx, dy); non-interlaced = one
+    # full-frame pass through the same machinery
+    passes = (
+        [(0, 0, 1, 1)]
+        if interlace == 0
+        else [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (0, 1, 1, 2),
+        ]
+    )
+    if interlace == 1:
+        passes.insert(5, (1, 0, 2, 2))  # keep the spec's pass order 1..7
+    flat = color_type == 3 or channels == 1
+    canvas = np.zeros((h, w) if flat else (h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph_ = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph_ <= 0:
+            continue  # empty pass contributes no bytes, not even filters
+        stride = (pw * bits_pp + 7) // 8
+        if pos + ph_ * (stride + 1) > len(raw):
             raise ValueError(
-                f"palette index {int(idx.max())} out of range (PLTE has {len(plte)})"
+                f"PNG pixel payload truncated: need {ph_ * (stride + 1)} more "
+                f"bytes at {pos}, have {len(raw) - pos}"
             )
-        return np.ascontiguousarray(plte[idx])
-    if color_type == 0 and depth < 8:
-        # spec sample scaling to 8-bit: * 255/(2^depth - 1), an exact
-        # integer factor (255, 85, 17) for every legal grey depth
-        g = _unpack_subbyte(out) * np.uint8(255 // ((1 << depth) - 1))
-        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
-    if depth == 16:
-        # network byte order: MSB first — keep it (the standard 8-bit cut)
-        px = out.reshape(h, w, channels, 2)[:, :, :, 0]
-    else:
-        px = out.reshape(h, w, channels)
-    if channels == 1:
-        px = np.repeat(px, 3, axis=2)
-    elif channels == 4:
-        px = px[:, :, :3]
-    return np.ascontiguousarray(px)
+        rows, pos = _unfilter(pos, ph_, stride)
+        canvas[y0::dy, x0::dx] = _pass_pixels(rows, pw)
+    if pos != len(raw):
+        raise ValueError(f"PNG pixel payload {len(raw)} != {pos} consumed")
+
+    if color_type == 3:
+        if int(canvas.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"palette index {int(canvas.max())} out of range (PLTE has {len(plte)})"
+            )
+        return np.ascontiguousarray(plte[canvas])
+    if flat:  # greyscale (any depth) -> RGB
+        return np.ascontiguousarray(np.repeat(canvas[:, :, None], 3, axis=2))
+    if channels == 4:
+        canvas = canvas[:, :, :3]
+    return np.ascontiguousarray(canvas)
 
 
 def encode_png_palette(idx: np.ndarray, palette: np.ndarray, depth: int | None = None) -> bytes:

@@ -247,12 +247,31 @@ def test_png_adversarial_payloads():
         codecs.decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         codecs.decode_png(b"\x89PNX" + good[4:])
-    # interlaced header must raise, not mis-decode
+    # interlaced 2x2 RGB: passes 1 (1x1), 6 (1x1), 7 (2x1) = 4+4+7 bytes;
+    # a 14-byte stream (the pre-round-7 fixture) is one byte short and
+    # must raise, and the correctly sized all-zero stream must decode
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="payload"):
+        codecs.decode_png(png)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 15))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), np.zeros((2, 2, 3), np.uint8))
+    # unknown interlace method still raises
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 15))
         + _png_chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="interlace"):
@@ -397,3 +416,69 @@ def test_png_grey_subbyte_depths():
     # an illegal grey depth still raises
     with pytest.raises(ValueError, match="bad greyscale"):
         codecs.decode_png(_build_png2(2, 1, 3, 0, [b"\x00\x00"]))
+
+
+_ADAM7 = [  # the spec's pass table, written here independently
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlace_png(img, depth, color_type, plte=None):
+    """Assemble an Adam7 PNG from a full image using the SPEC's pass
+    table (spelled here, independent of the decoder): slice each pass,
+    pack its scanlines per pass (sub-byte pads are per-scanline), Up-
+    filter every row after a pass's first (checking both the per-pass
+    prev reset and filtering across pass-local rows), filter-0 first
+    rows."""
+    import zlib
+
+    h, w = img.shape[:2]
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prev_raw = None
+        for r in range(sub.shape[0]):
+            if depth == 8:
+                rowbytes = sub[r].tobytes()
+            else:  # pack sub-byte samples MSB-first
+                bits = ((sub[r][:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+                rowbytes = np.packbits(bits.reshape(-1)).tobytes()
+            if prev_raw is None:
+                parts.append(b"\x00" + rowbytes)
+            else:
+                diff = (
+                    np.frombuffer(rowbytes, np.uint8).astype(np.int64)
+                    - np.frombuffer(prev_raw, np.uint8).astype(np.int64)
+                ) & 0xFF
+                parts.append(b"\x02" + diff.astype(np.uint8).tobytes())
+            prev_raw = rowbytes
+    stream = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    out += _png_chunk(b"IDAT", zlib.compress(stream))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_adam7_rgb_roundtrip():
+    """Interlaced RGB decode == the original image for sizes that hit
+    empty passes (2x2), partial passes (5x7), and all seven (9x10)."""
+    rng = np.random.default_rng(11)
+    for h, w in ((2, 2), (5, 7), (9, 10), (1, 1), (1, 9), (8, 1)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = codecs.decode_png(_interlace_png(img, 8, 2))
+        assert np.array_equal(got, img), (h, w)
+
+
+def test_png_adam7_palette4_roundtrip():
+    """Interlaced palette-4: sub-byte packing happens PER PASS (each
+    pass's scanlines pad independently), then PLTE lookup once."""
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (7, 5), dtype=np.uint8)
+    got = codecs.decode_png(_interlace_png(idx, 4, 3, plte=palette.tobytes()))
+    assert np.array_equal(got, palette[idx])
