@@ -4806,3 +4806,17 @@ def dedup_minhash_capped_q(spark, sf_dir):
 
 SPARK_QUERIES["dq21g_dedup_minhash_capped"] = dedup_minhash_capped_q
 ORACLES["dq21g_dedup_minhash_capped"] = ORACLES["dq21b_dedup_minhash"]
+
+
+def png_adam7_decode_q(spark, sf_dir):
+    """dq172c: the Adam7-INTERLACED branch of the PNG value gate — the
+    same deterministic pixels serialized as the spec's seven passes, so
+    a wrong pass geometry, a filter prev leaking across passes, or a
+    mis-scattered canvas shifts the channel sums and fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, "doc_id", container="png_adam7")
+    return multimodal.image_stats(media).orderBy("media_id")
+
+
+SPARK_QUERIES["dq172c_png_adam7"] = png_adam7_decode_q
+ORACLES["dq172c_png_adam7"] = ORACLES["dq172_png_decode"]

@@ -423,6 +423,47 @@ def decode_png(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(canvas)
 
 
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def encode_png_interlaced(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> Adam7-INTERLACED truecolor PNG (interlace
+    method 1): each of the spec's seven passes is the sub-image
+    ``arr[y0::dy, x0::dx]`` serialized as its own filter-0 scanlines;
+    empty passes contribute no bytes.  Exercises the progressive-decode
+    layout real encoders emit for web delivery."""
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"expected HxWx3 uint8 array, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    parts = []
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.extend(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_png_palette(idx: np.ndarray, palette: np.ndarray, depth: int | None = None) -> bytes:
     """HxW uint8 index array + Nx3 uint8 palette -> color-type-3 PNG.
 

@@ -141,9 +141,10 @@ def synthesize_image_media(
     container: str = "bmp",
 ) -> DataFrame:
     """Media table with REAL image payloads (``container`` = "bmp",
-    "ppm", "png", or "png_pal" — png is COMPRESSED: zlib deflate +
-    scanline filters; png_pal additionally exercises the color-type-3
-    PLTE path) whose pixel bytes are a deterministic function of the row
+    "ppm", "png", "png_pal", or "png_adam7" — png is COMPRESSED: zlib
+    deflate + scanline filters; png_pal additionally exercises the
+    color-type-3 PLTE path, png_adam7 the seven-pass interlaced layout)
+    whose pixel bytes are a deterministic function of the row
     id: flat RGB byte j of image ``id`` is ``(id * 31 + j * 7) % 256``.
 
     The generation rule is pure integer arithmetic so a SQL oracle can
@@ -160,12 +161,14 @@ def synthesize_image_media(
         # color-type-3 PNG via exact palettization (<=256-pixel fixtures
         # always fit a 256-entry PLTE): same decoded RGB, same oracle
         "png_pal": codecs.encode_png_indexed,
+        # Adam7-interlaced truecolor PNG: same decoded RGB, same oracle
+        "png_adam7": codecs.encode_png_interlaced,
     }
     if container not in encoders:
         raise ValueError(f"container must be one of {sorted(encoders)}, got {container!r}")
     n = width * height * 3
     enc = encoders[container]
-    mime = "image/png" if container == "png_pal" else f"image/{container}"
+    mime = "image/png" if container.startswith("png_") else f"image/{container}"
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         j = np.arange(n, dtype=np.int64)

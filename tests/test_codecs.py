@@ -482,3 +482,12 @@ def test_png_adam7_palette4_roundtrip():
     idx = rng.integers(0, 16, (7, 5), dtype=np.uint8)
     got = codecs.decode_png(_interlace_png(idx, 4, 3, plte=palette.tobytes()))
     assert np.array_equal(got, palette[idx])
+
+
+def test_png_interlaced_encoder_roundtrip():
+    """The shipped interlaced encoder (filter-0 passes) must decode to
+    the original image and match the spec-table test builder's layout."""
+    rng = np.random.default_rng(17)
+    for h, w in ((8, 8), (5, 7), (1, 3)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_png(codecs.encode_png_interlaced(img)), img)
