@@ -4820,3 +4820,43 @@ def png_adam7_decode_q(spark, sf_dir):
 
 SPARK_QUERIES["dq172c_png_adam7"] = png_adam7_decode_q
 ORACLES["dq172c_png_adam7"] = ORACLES["dq172_png_decode"]
+
+
+# --- round-8 head rotation ----------------------------------------------------
+# 74 of 194 registry entries had never appeared in a driver
+# CORRECTNESS_r*.json (they are covered by the judge's full-registry
+# reruns and spot checks, but the driver gate samples only the FIRST ~50
+# keys).  Round-8 head = 50 of those 74, verbatim; the 24 deferred to
+# round 9 are the TPC-H tail (dq58/59/65/66/67/74-83/93/95 — one shape
+# family, judge-rerun-covered) and the expression-breadth entries
+# (dq97/dq109-dq114).  Includes dq47 (this round's two-phase
+# pack_sequences) and dq172b/c (the PLTE-strictness-touched PNG path).
+# NOTE: add new queries ABOVE this block or they land outside the head.
+
+_ROT8_HEAD = [
+    "dq73_stream_watermark_append", "dq64_stream_stateful",
+    "dq92_stream_dedup_watermark", "dq106_stream_update_mode",
+    "dq35_percentile", "dq36_stratified_sample", "dq37_tfidf",
+    "dq38_gap_fill", "dq40_levenshtein_near_dup", "dq41_range_frame",
+    "dq42_histogram", "dq44_lateral", "dq45_hof_vector", "dq46_chunking",
+    "dq47_seq_packing", "dq48_null_semantics", "dq49_decimal_revenue",
+    "dq50_integrity_audit", "dq51_window_breadth", "dq52_exact_moments",
+    "dq53_bool_bit_aggs", "dq60_percent_rank", "dq69_group_topk_sample",
+    "dq70_pc_zorder_cells", "dq102_pc_zorder3_cells", "dq103_knn_join_grid",
+    "dq104_events_since_marker", "dq107_normalize_text", "dq108_upsample",
+    "dq105_percent_of_group", "dq71_weighted_sample", "dq84_funnel",
+    "dq85_retention", "dq86_triangles", "dq87_repetition",
+    "dq88_rare_bigrams", "dq89_regex_stats", "dq90_interpolate",
+    "dq91_profile", "dq96_keyset_pagination", "dq98_latest_state",
+    "dq99_union_by_name", "dq100_listagg", "dq101_first_last_touch",
+    "dq139_wav_frames", "dq140_pq_trained", "dq172b_png_palette",
+    "dq21f_lsh_bucket_audit", "dq21g_dedup_minhash_capped",
+    "dq172c_png_adam7",
+]
+assert len(_ROT8_HEAD) == 50, len(_ROT8_HEAD)
+assert all(n in SPARK_QUERIES for n in _ROT8_HEAD), "rotation names must exist"
+_rot8_set = set(_ROT8_HEAD)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n]
+    for n in _ROT8_HEAD + [m for m in SPARK_QUERIES if m not in _rot8_set]
+}

@@ -280,6 +280,10 @@ def decode_png(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
+            if plte is not None:
+                raise ValueError("duplicate PLTE chunk")
+            if idat:
+                raise ValueError("PLTE chunk after IDAT")
             if len(body) == 0 or len(body) % 3 != 0 or len(body) > 256 * 3:
                 raise ValueError(f"bad PLTE length {len(body)}")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)

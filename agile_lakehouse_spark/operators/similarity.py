@@ -803,6 +803,17 @@ def semantic_dedup(
         # table a 100 TB ingest writes partitionBy(cell) anyway.  Same
         # lifetime discipline as lm_fluency: pass ``caches`` to
         # unpersist after materializing.
+        if caches is None:
+            import warnings
+
+            warnings.warn(
+                "semantic_dedup(persist_cells=True, caches=None) persists "
+                "a cell-assignment table it cannot unpersist (lazy "
+                "return); pass a caches= list and unpersist after "
+                "materializing, or persist_cells=False",
+                ResourceWarning,
+                stacklevel=2,
+            )
         assigned = assigned.persist()
         if caches is not None:
             caches.append(assigned)

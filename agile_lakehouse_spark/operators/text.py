@@ -226,6 +226,8 @@ def pack_sequences(
     capacity: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = 64,
+    caches: list | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing (DQ47): assign docs, in id order,
     to fixed-capacity token bins — the batch-packing step before LLM
@@ -234,22 +236,90 @@ def pack_sequences(
     bin = floor((cumsum_tokens - n_tokens) / capacity): a doc starts in
     the bin where its first token falls; a doc straddling a boundary
     overflows its bin (contiguous packing semantics — bins stay in doc
-    order, no bin-packing search).  One window pass; at scale partition
-    the cumsum by a coarse shard key to avoid a single global ordering
-    (the global window is the declared, oracle-checkable form).
+    order, no bin-packing search).
+
+    Semantics == ONE GLOBAL cumsum window over id order, but that window
+    funnels the whole corpus through a single task; the default is the
+    scale-safe two-phase decomposition (the :func:`fill_token_budget`
+    discipline, adapted from hash order to id order):
+
+    1. id-range buckets: ``approxQuantile`` boundaries over the id column
+       alone (column-pruned scan, no tokenize) make bucketing MONOTONE in
+       id — each bucket is a contiguous run of the global order, balanced
+       to ~1/n_buckets of the rows regardless of id distribution.  Any
+       monotone bucketing is EXACT here (quantile error only skews bucket
+       sizes, never order), which is why an approximate sketch is safe.
+    2. per-bucket token sums — n_buckets rows — prefix-sum on the driver
+       into per-bucket OFFSETS; the cumsum window then runs PER BUCKET
+       (partitionBy bucket) and adds the offset.  Exact integer
+       arithmetic, bit-identical to the global window at any input
+       partitioning (equivalence-tested).
+
+    ``n_buckets=1`` selects the single global window — the declared,
+    oracle-checkable twin, and the fallback for non-numeric id columns
+    (quantile sketches need a numeric key; raise ``n_buckets`` as the
+    corpus grows, the windowed fraction shrinks as 1/n_buckets).  The
+    narrow (id, n_tokens, bucket) table is persisted across the
+    bucket-sum action and the final plan — pass ``caches`` to unpersist
+    after materializing (the lm_fluency lifetime discipline).
     """
+    from pyspark.sql.types import NumericType
     from pyspark.sql.window import Window as W
 
     toks = _tokens(text_col)
-    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     sized = df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
-    return (
-        sized.withColumn("cum", F.sum("n_tokens").over(w))
-        .select(
-            id_col,
-            "n_tokens",
-            F.floor((F.col("cum") - F.col("n_tokens")) / capacity).cast("bigint").alias("bin"),
+    if n_buckets <= 1:
+        w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return (
+            sized.withColumn("cum", F.sum("n_tokens").over(w))
+            .select(
+                id_col,
+                "n_tokens",
+                F.floor((F.col("cum") - F.col("n_tokens")) / capacity).cast("bigint").alias("bin"),
+            )
         )
+    if not isinstance(df.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"pack_sequences two-phase path needs a numeric {id_col!r} for "
+            "quantile bucketing; pass n_buckets=1 for the global-window form"
+        )
+    # contiguous-in-order buckets from an approximate quantile sketch of
+    # the id column ONLY (tokenization is not evaluated for this action)
+    bnds = sorted(
+        set(
+            df.select(F.col(id_col).cast("double").alias("_id")).approxQuantile(
+                "_id", [i / n_buckets for i in range(1, n_buckets)], 0.01
+            )
+        )
+    )
+    bucket = F.lit(0)
+    for b in bnds:
+        bucket = bucket + F.when(F.col(id_col).cast("double") > F.lit(b), 1).otherwise(0)
+    sized = sized.withColumn("_bucket", bucket.cast("int")).persist()
+    if caches is not None:
+        caches.append(sized)
+    sums = dict(
+        sized.groupBy("_bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    offsets, acc = {}, 0
+    for b in range(len(bnds) + 1):
+        offsets[b] = acc
+        acc += sums.get(b, 0) or 0
+    from itertools import chain
+
+    off_map = F.create_map(
+        *chain.from_iterable((F.lit(b), F.lit(o)) for b, o in offsets.items())
+    )
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w) + F.element_at(off_map, F.col("_bucket"))
+    return sized.select(
+        id_col,
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / capacity).cast("bigint").alias("bin"),
     )
 
 
@@ -847,6 +917,17 @@ def lm_fluency(
 
     toksed = _spread_tokens(df, text_col, id_col)
     if persist_toks:
+        if caches is None:
+            import warnings
+
+            warnings.warn(
+                "lm_fluency(persist_toks=True, caches=None) persists a "
+                "corpus-sized token table and a unigram table it cannot "
+                "unpersist (lazy return); pass a caches= list and "
+                "unpersist after materializing, or persist_toks=False",
+                ResourceWarning,
+                stacklevel=2,
+            )
         toksed = toksed.persist()
         if caches is not None:
             caches.append(toksed)

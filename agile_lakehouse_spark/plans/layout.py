@@ -167,9 +167,12 @@ def write_grid_layout(
     # RangePartitioner collapses to one task per cell, and each task
     # then sorts+writes tens of millions of rows serially (measured: the
     # 2 B banded grid ran 21-wide on 32 cores and OOMed sorts at <=64 g
-    # heap).  The tie-breaker splits hot cells across adjacent tasks;
-    # files remain cell-pure and contiguous in x within the cell, so
-    # footer min/max stats stay exactly as tight.
+    # heap).  The tie-breaker splits hot cells across adjacent tasks
+    # whose x RANGES are disjoint (x is a range-partition key only, not
+    # a sort key, and maxRecordsPerFile splits ignore cell boundaries —
+    # so neither per-file cell purity nor intra-cell x order is
+    # guaranteed); the disjoint per-task x ranges of a split hot cell
+    # are what keep footer min/max stats tight.
     part_keys = [*sort_keys, x]
     (
         out.repartitionByRange(_layout_partitions(df, max_records_per_file), *part_keys)

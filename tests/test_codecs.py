@@ -491,3 +491,28 @@ def test_png_interlaced_encoder_roundtrip():
     for h, w in ((8, 8), (5, 7), (1, 3)):
         img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         assert np.array_equal(codecs.decode_png(codecs.encode_png_interlaced(img)), img)
+
+
+def test_png_plte_ordering_strictness():
+    """Spec ordering rules (W3C PNG 5.6): at most one PLTE, and it must
+    precede the first IDAT.  The decoder's contract is to raise loudly
+    on malformed input, not let the last/late palette silently win."""
+    import struct
+    import zlib
+
+    plte = bytes(range(12))  # 4 colors
+    rows = [b"\x00" + b"\x01\x02"] * 2  # 2x2 depth-8 palette rows
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    idat = _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+    sig = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    # duplicate PLTE
+    png = sig + _png_chunk(b"PLTE", plte) + _png_chunk(b"PLTE", plte) + idat + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="duplicate PLTE"):
+        codecs.decode_png(png)
+    # PLTE after the first IDAT
+    png = sig + idat + _png_chunk(b"PLTE", plte) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE chunk after IDAT"):
+        codecs.decode_png(png)
+    # well-ordered control decodes
+    png = sig + _png_chunk(b"PLTE", plte) + idat + _png_chunk(b"IEND", b"")
+    assert codecs.decode_png(png).shape == (2, 2, 3)

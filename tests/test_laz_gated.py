@@ -7,6 +7,17 @@ is shared with the native ``.las`` path and is tested dependency-free in
 ``test_las_native.py``; what this file adds is the laspy byte decode and
 the LAZ header walk on genuinely compressed payloads.
 Reference: ``pc-io/src/las/source.rs:49-208`` (LAZ chunk table + decode).
+
+Foreign-encoded cross-validation status (recorded round 8): this
+container has no laspy/lazrs wheel and no externally-encoded ``.laz``
+fixture, and none can be fetched. The hand-derived per-item golden
+vectors in ``test_laz_native.py`` (FastAC coder + POINT10/GPSTIME11/
+RGB12 v2 codecs pinned symbol-by-symbol against the LASzip spec) are
+therefore the CEILING of obtainable decode-parity evidence here. If an
+environment ever gains laspy (this file auto-activates) or a known-good
+foreign ``.laz``, add a decode-parity case below comparing
+``las_native``'s native decode of that file against the laspy decode
+column-for-column — that is the one remaining inch of evidence.
 """
 
 import numpy as np
