@@ -4822,6 +4822,34 @@ SPARK_QUERIES["dq172c_png_adam7"] = png_adam7_decode_q
 ORACLES["dq172c_png_adam7"] = ORACLES["dq172_png_decode"]
 
 
+# --- round 8: RGBA PNG with the ALPHA plane under the value gate -------------
+
+
+def png_rgba_decode_q(spark, sf_dir):
+    """dq172d: color-type-6 RGBA PNG decode with alpha RETAINED — byte j
+    of image ``id`` is ``(id*31 + j*7) % 256`` over j in [0, 256) with
+    channel = j % 4, so the oracle recomputes all FOUR channel sums
+    (including alpha) from pure integer arithmetic; a dropped, shifted,
+    or misfiltered alpha plane fails the hash (round-8 verdict item 4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_image_media(docs, "doc_id", container="png_rgba")
+    return multimodal.image_stats_rgba(media).orderBy("media_id")
+
+
+SPARK_QUERIES["dq172d_png_rgba"] = png_rgba_decode_q
+ORACLES["dq172d_png_rgba"] = """
+    SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(64 AS BIGINT) AS n_pixels,
+           CAST(SUM((d.doc_id*31 + (p.j*4 + 0)*7) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((d.doc_id*31 + (p.j*4 + 1)*7) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((d.doc_id*31 + (p.j*4 + 2)*7) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM((d.doc_id*31 + (p.j*4 + 3)*7) % 256) AS BIGINT) AS sum_a
+    FROM documents d CROSS JOIN range(64) p(j)
+    GROUP BY d.doc_id ORDER BY media_id"""
+
+
 # --- round-8 head rotation ----------------------------------------------------
 # 74 of 194 registry entries had never appeared in a driver
 # CORRECTNESS_r*.json (they are covered by the judge's full-registry

@@ -157,6 +157,20 @@ def decode_image(data: bytes) -> np.ndarray:
     return decode_png(data)
 
 
+def decode_image_rgba(data: bytes) -> np.ndarray:
+    """Magic-sniffed decode -> HxWx4 uint8 RGBA.  BMP/PPM carry no
+    alpha, so theirs is a constant 255 plane; PNG alpha is retained
+    (see :func:`decode_png_rgba`)."""
+    kind = sniff_image(data)
+    if kind == "png":
+        return decode_png_rgba(data)
+    rgb = decode_bmp(data) if kind == "bmp" else decode_ppm(data)
+    out = np.empty((*rgb.shape[:2], 4), dtype=np.uint8)
+    out[:, :, :3] = rgb
+    out[:, :, 3] = 255
+    return out
+
+
 # --- WAV (RIFF/WAVE, PCM 16-bit LE) ----------------------------------------
 
 
@@ -248,9 +262,41 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> HxWx3 uint8 RGB (grey expanded, alpha dropped,
-    palette looked up, 16-bit reduced to its high byte).
+def encode_png_rgba(arr: np.ndarray) -> bytes:
+    """HxWx4 uint8 RGBA -> color-type-6 PNG (filter 0 scanlines, one
+    zlib stream) — the alpha-bearing twin of :func:`encode_png`."""
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 4 or arr.dtype != np.uint8:
+        raise ValueError(f"expected HxWx4 uint8 array, got {arr.shape} {arr.dtype}")
+    h, w, _ = arr.shape
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(data: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx4 uint8 RGBA (grey expanded, palette looked up,
+    16-bit reduced to its high byte, alpha RETAINED — a constant 255
+    plane when the image carries none).  Alpha sources: color type 6
+    (RGBA), color type 4 (grey+alpha), and the tRNS chunk (per-entry
+    palette alpha; single fully-transparent sample value for grey/
+    truecolor — matched on the high byte at depth 16, consistent with
+    the 8-bit sample reduction).
 
     Filters 3/4 (Average/Paeth) carry an intra-row serial dependency, so
     those rows decode byte-at-a-time; filters 0/1/2 are vectorized (Sub
@@ -267,7 +313,7 @@ def decode_png(data: bytes) -> np.ndarray:
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat, plte = 8, None, [], None
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         if pos + 12 + length > len(data):
@@ -287,6 +333,12 @@ def decode_png(data: bytes) -> np.ndarray:
             if len(body) == 0 or len(body) % 3 != 0 or len(body) > 256 * 3:
                 raise ValueError(f"bad PLTE length {len(body)}")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            if trns is not None:
+                raise ValueError("duplicate tRNS chunk")
+            if idat:
+                raise ValueError("tRNS chunk after IDAT")
+            trns = body
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -300,19 +352,30 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad palette PNG bit depth {depth}")
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
+        if trns is not None and len(trns) > len(plte):
+            raise ValueError(
+                f"tRNS has {len(trns)} entries but PLTE only {len(plte)}"
+            )
     elif color_type == 0:
         if depth not in (1, 2, 4, 8, 16):
             raise ValueError(f"bad greyscale PNG bit depth {depth}")
-    elif color_type in (2, 6):
+        if trns is not None and len(trns) != 2:
+            raise ValueError(f"bad tRNS length {len(trns)} for grey (want 2)")
+    elif color_type in (2, 4, 6):
         if depth not in (8, 16):
             raise ValueError(f"unsupported PNG bit depth {depth} (8/16)")
+        if color_type == 2 and trns is not None and len(trns) != 6:
+            raise ValueError(f"bad tRNS length {len(trns)} for RGB (want 6)")
+        if color_type in (4, 6) and trns is not None:
+            # spec 11.3.2.1: tRNS is forbidden when a full alpha channel exists
+            raise ValueError(f"tRNS chunk forbidden for color type {color_type}")
     else:
         raise ValueError(f"unsupported PNG color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bits_pp = depth * channels
     bpp = (bits_pp + 7) // 8  # filter byte-offset per the spec
     raw = zlib.decompress(b"".join(idat))
@@ -414,17 +477,56 @@ def decode_png(data: bytes) -> np.ndarray:
     if pos != len(raw):
         raise ValueError(f"PNG pixel payload {len(raw)} != {pos} consumed")
 
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, 3] = 255
     if color_type == 3:
         if int(canvas.max(initial=0)) >= len(plte):
             raise ValueError(
                 f"palette index {int(canvas.max())} out of range (PLTE has {len(plte)})"
             )
-        return np.ascontiguousarray(plte[canvas])
-    if flat:  # greyscale (any depth) -> RGB
-        return np.ascontiguousarray(np.repeat(canvas[:, :, None], 3, axis=2))
-    if channels == 4:
-        canvas = canvas[:, :, :3]
-    return np.ascontiguousarray(canvas)
+        out[:, :, :3] = plte[canvas]
+        if trns is not None:
+            atab = np.full(len(plte), 255, dtype=np.uint8)
+            atab[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            out[:, :, 3] = atab[canvas]
+    elif color_type == 0:
+        out[:, :, :3] = canvas[:, :, None]
+        if trns is not None:
+            v = int.from_bytes(trns, "big")  # sample value in depth range
+            if depth < 8:
+                v *= 255 // ((1 << depth) - 1)  # match the 8-bit scaling
+            elif depth == 16:
+                v >>= 8  # high-byte reduction semantics (documented)
+            out[:, :, 3] = np.where(canvas == v, 0, 255)
+    elif color_type == 2:
+        out[:, :, :3] = canvas
+        if trns is not None:
+            key = np.frombuffer(trns, dtype=">u2").astype(np.int64)
+            if depth == 16:
+                key >>= 8
+            out[:, :, 3] = np.where(
+                (canvas == key.astype(np.uint8)).all(axis=2), 0, 255
+            )
+    elif color_type == 4:  # grey + alpha
+        out[:, :, :3] = canvas[:, :, :1]
+        out[:, :, 3] = canvas[:, :, 1]
+    else:  # color type 6: RGBA
+        out[:, :, :] = canvas
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx3 uint8 RGB — the flat-image contract every
+    3-channel stats/resize path consumes (alpha, when present, is
+    decoded but not returned; use :func:`decode_png_rgba` to keep it)."""
+    return np.ascontiguousarray(_png_pixels(data)[:, :, :3])
+
+
+def decode_png_rgba(data: bytes) -> np.ndarray:
+    """PNG bytes -> HxWx4 uint8 RGBA.  The alpha plane is a constant
+    255 when the image carries no alpha; otherwise it comes from the
+    RGBA/grey+alpha channel or the tRNS chunk (see :func:`_png_pixels`)."""
+    return _png_pixels(data)
 
 
 _ADAM7_PASSES = [

@@ -122,6 +122,10 @@ IMAGE_STATS_SCHEMA = StructType(
     ]
 )
 
+IMAGE_STATS_RGBA_SCHEMA = StructType(
+    IMAGE_STATS_SCHEMA.fields + [StructField("sum_a", LongType(), False)]
+)
+
 AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -163,10 +167,14 @@ def synthesize_image_media(
         "png_pal": codecs.encode_png_indexed,
         # Adam7-interlaced truecolor PNG: same decoded RGB, same oracle
         "png_adam7": codecs.encode_png_interlaced,
+        # color-type-6 RGBA PNG: byte j is channel j%4 — the alpha plane
+        # is generated by the SAME integer rule, so an oracle can sum it
+        "png_rgba": codecs.encode_png_rgba,
     }
     if container not in encoders:
         raise ValueError(f"container must be one of {sorted(encoders)}, got {container!r}")
-    n = width * height * 3
+    channels = 4 if container == "png_rgba" else 3
+    n = width * height * channels
     enc = encoders[container]
     mime = "image/png" if container.startswith("png_") else f"image/{container}"
 
@@ -180,7 +188,7 @@ def synthesize_image_media(
                     "modality": "image",
                     "mime": mime,
                     "payload": [
-                        enc(((int(i) * 31 + j * 7) % 256).astype(np.uint8).reshape(height, width, 3))
+                        enc(((int(i) * 31 + j * 7) % 256).astype(np.uint8).reshape(height, width, channels))
                         for i in ids
                     ],
                 }
@@ -259,6 +267,46 @@ def image_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+def image_stats_rgba(media: DataFrame) -> DataFrame:
+    """:func:`image_stats` with the ALPHA plane retained (round 8):
+    per-image exact integer sums over all four channels via
+    :func:`codecs.decode_image_rgba` — alpha-free containers contribute
+    the constant 255*n_pixels, PNG alpha (RGBA / grey+alpha / tRNS) its
+    decoded values.  Same bit-stable integer contract as image_stats
+    (dq172d)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nps = [], [], [], []
+            sums4: list[list[int]] = [[], [], [], []]
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = codecs.decode_image_rgba(bytes(payload))
+                h, w, _ = arr.shape
+                s = arr.reshape(-1, 4).sum(axis=0, dtype=np.int64)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                nps.append(h * w)
+                for c in range(4):
+                    sums4[c].append(int(s[c]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(nps, dtype="int64"),
+                    "sum_r": pd.Series(sums4[0], dtype="int64"),
+                    "sum_g": pd.Series(sums4[1], dtype="int64"),
+                    "sum_b": pd.Series(sums4[2], dtype="int64"),
+                    "sum_a": pd.Series(sums4[3], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_RGBA_SCHEMA)
 
 
 def audio_stats(media: DataFrame) -> DataFrame:

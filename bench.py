@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "dq170_duplicate_spans",  # Lee et al. exact-substring spans (round 5)
     "dq173_lm_fluency",  # corpus-bigram CCNet-shape quality scoring (round 5)
     "dq172b_png_palette",  # color-type-3 PNG: packed indices + PLTE path (round 7)
+    "dq172d_png_rgba",  # color-type-6 PNG: alpha plane retained (round 8)
 ]
 
 

@@ -516,3 +516,172 @@ def test_png_plte_ordering_strictness():
     # well-ordered control decodes
     png = sig + _png_chunk(b"PLTE", plte) + idat + _png_chunk(b"IEND", b"")
     assert codecs.decode_png(png).shape == (2, 2, 3)
+
+
+def test_png_rgba_roundtrip_and_alpha_retention():
+    """Round 8: alpha is decoded, not dropped.  RGBA (type 6) round-trips
+    through decode_png_rgba; decode_png keeps its HxWx3 contract on the
+    same payload; alpha-free containers yield a constant-255 plane."""
+    rng = np.random.default_rng(88)
+    a = rng.integers(0, 256, (9, 6, 4), dtype=np.uint8)
+    png = codecs.encode_png_rgba(a)
+    assert (codecs.decode_png_rgba(png) == a).all()
+    assert (codecs.decode_png(png) == a[:, :, :3]).all()
+    assert (codecs.decode_image_rgba(png) == a).all()
+    rgb = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    for payload in (codecs.encode_png(rgb), codecs.encode_bmp(rgb), codecs.encode_ppm(rgb)):
+        out = codecs.decode_image_rgba(payload)
+        assert (out[:, :, :3] == rgb).all() and (out[:, :, 3] == 255).all()
+
+
+def test_png_grey_alpha_decode():
+    """Color type 4 (grey+alpha), built spec-side in the test: grey
+    expands to RGB, the second channel becomes the alpha plane."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(4)
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    rows = [b"\x00" + ga[r].tobytes() for r in range(3)]
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 4, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png_rgba(png)
+    assert out.shape == (3, 4, 4)
+    for c in range(3):
+        assert (out[:, :, c] == ga[:, :, 0]).all()
+    assert (out[:, :, 3] == ga[:, :, 1]).all()
+    # the RGB contract still holds on the same payload
+    assert (codecs.decode_png(png) == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+
+def test_png_trns_palette_grey_truecolor():
+    """tRNS semantics per layout: per-entry palette alpha (missing
+    entries opaque), single transparent sample value for grey and
+    truecolor, and the spec's forbidden/ordering rules raise."""
+    import struct
+    import zlib
+
+    # palette: 3 colors, tRNS covers only the first 2
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    trns = bytes([0, 128])
+    idx = np.array([[0, 1, 2, 1]], dtype=np.uint8)
+    rows = [b"\x00" + idx[0].tobytes()]
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"tRNS", trns)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png_rgba(png)
+    assert out[0, :, 3].tolist() == [0, 128, 255, 128]
+    assert out[0, 0, :3].tolist() == [10, 20, 30]
+    # grey depth 8: sample value 7 transparent, everything else opaque
+    g = np.array([[7, 8, 7]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", struct.pack(">H", 7))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + g[0].tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png_rgba(png)
+    assert out[0, :, 3].tolist() == [0, 255, 0]
+    assert (out[0, :, 0] == g[0]).all()
+    # grey depth 2: tRNS value is in DEPTH range; scaling factor 85 applies
+    g2 = np.array([[0b01_10_01_11]], dtype=np.uint8)  # samples 1,2,1,3
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", struct.pack(">H", 2))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + g2[0].tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png_rgba(png)
+    assert out[0, :, 0].tolist() == [85, 170, 85, 255]
+    assert out[0, :, 3].tolist() == [255, 0, 255, 255]
+    # truecolor: one transparent RGB key
+    px = np.array([[[1, 2, 3], [9, 9, 9], [1, 2, 3]]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + px[0].tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png_rgba(png)
+    assert out[0, :, 3].tolist() == [0, 255, 0]
+    # forbidden: tRNS with a full alpha channel (types 4 and 6)
+    rgba = np.zeros((1, 1, 4), dtype=np.uint8)
+    body = codecs.encode_png_rgba(rgba)
+    sig, rest = body[:8], body[8:]
+    ihdr_chunk = rest[: 12 + 13]
+    bad = sig + ihdr_chunk + _png_chunk(b"tRNS", b"\x00") + rest[12 + 13 :]
+    with pytest.raises(ValueError, match="forbidden"):
+        codecs.decode_png_rgba(bad)
+    # ordering: tRNS after IDAT raises; duplicate tRNS raises
+    g = np.array([[5]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = _png_chunk(b"IDAT", zlib.compress(b"\x00" + g[0].tobytes()))
+    sig = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="tRNS chunk after IDAT"):
+        codecs.decode_png_rgba(sig + idat + _png_chunk(b"tRNS", struct.pack(">H", 5)) + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="duplicate tRNS"):
+        codecs.decode_png_rgba(
+            sig
+            + _png_chunk(b"tRNS", struct.pack(">H", 5))
+            + _png_chunk(b"tRNS", struct.pack(">H", 5))
+            + idat
+            + _png_chunk(b"IEND", b"")
+        )
+
+
+def test_png_trns_16bit_high_byte_semantics():
+    """At depth 16 samples reduce to their high byte, so the tRNS match
+    key does too (documented semantics, pinned here): a 16-bit grey
+    whose high byte equals the key's high byte is transparent."""
+    import struct
+    import zlib
+
+    # two 16-bit grey samples: 0x0102 and 0x0203; tRNS key 0x0101
+    raw = b"\x00" + struct.pack(">HH", 0x0102, 0x0203)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tRNS", struct.pack(">H", 0x0101))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png_rgba(png)
+    assert out[0, :, 0].tolist() == [0x01, 0x02]
+    assert out[0, :, 3].tolist() == [0, 255]
+
+
+def test_image_stats_rgba_spark_paths(spark):
+    """The Spark surface of the alpha retention: png_rgba containers
+    reproduce the 4-channel generation rule exactly; alpha-free BMP
+    payloads through the SAME operator yield sum_a == 255 * n_pixels."""
+    df = spark.range(4).selectExpr("id AS doc_id")
+    media = multimodal.synthesize_image_media(df, "doc_id", container="png_rgba")
+    out = {r.media_id: r for r in multimodal.image_stats_rgba(media).collect()}
+    for i in range(4):
+        sums = [0, 0, 0, 0]
+        for j in range(8 * 8 * 4):
+            sums[j % 4] += (i * 31 + j * 7) % 256
+        r = out[i]
+        assert (r.sum_r, r.sum_g, r.sum_b, r.sum_a) == tuple(sums)
+        assert r.n_pixels == 64
+    bmp = multimodal.synthesize_image_media(df, "doc_id", container="bmp")
+    for r in multimodal.image_stats_rgba(bmp).collect():
+        assert r.sum_a == 255 * r.n_pixels
