@@ -251,17 +251,37 @@ def embedding_near_dup(
     block_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sieve: bool = True,
+    sieve_margin: float = 1e-6,
+    max_sieve_block: int = 65_536,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within a blocking key.
 
     The block column (label, or an IVF/LSH cell) keeps the self-join from
     being all-pairs; the join shuffles both sides on the block key only.
+
+    Round 8 (the dq148 profile: the per-pair higher-order-function dot
+    is 60-80% of SemDeDup's wall clock — 251 k candidate pairs x dim
+    interpreted lambda steps, while CC is <2%): with ``sieve`` on, each
+    block first runs a BLAS gram-matrix SIEVE (one Arrow batch per
+    block, ``n_c x d @ d x n_c`` in chunked numpy) that keeps only pairs
+    with ``np_cos >= threshold - sieve_margin``; the EXACT sequential-
+    fold cosine (:func:`vector.dot`, the op sequence the DuckDB oracle
+    replays) is then re-evaluated ONLY on the surviving candidates, so
+    the output is bit-identical to the pure-join form.  The margin
+    (1e-6) exceeds any float64 summation-order divergence by ~6 orders
+    of magnitude at realistic dims; its only cost is a few extra
+    survivors entering the exact pass.  Blocks larger than
+    ``max_sieve_block`` (a gram row-chunk would exceed one task's
+    memory) keep the distributed pair join — the size split is one tiny
+    per-block count aggregate, broadcast into two semi-joins (the
+    lsh_candidate_pairs cap discipline, dedup.py:241).  Measured at
+    sf0.1 (2 k vectors, 251 k candidate pairs, warm workers): pair stage
+    1.7 -> 1.1 s — modest here because the sieve's fixed costs (size
+    agg, Arrow round-trip, verify joins) are a large share at tiny
+    blocks; the ratio grows with block size as interpreted O(n_c^2 d)
+    lambda steps become one BLAS gemm.
     """
-    # Per-VECTOR norms precomputed before the pair join: the inline
-    # cosine recomputes dot(a,a) and dot(b,b) for every candidate pair
-    # (3x the flops of the cross-dot alone — measured 5.6 s -> ~2 s on a
-    # 3M-candidate block).  sqrt(fold) here is the same op sequence the
-    # inline form runs, so cos is bit-identical and the oracle unchanged.
     a = df.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"), vector.norm(F.col(vec_col)).alias("na"),
@@ -270,13 +290,76 @@ def embedding_near_dup(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"), vector.norm(F.col(vec_col)).alias("nb"),
     )
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        pairs.select("id_a", "id_b", round4(cos).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
+
+    def _join_pairs(aa, bb):
+        # Per-VECTOR norms precomputed before the pair join: the inline
+        # cosine recomputes dot(a,a)/dot(b,b) per candidate pair (3x the
+        # flops — measured 5.6 s -> ~2 s on a 3M-candidate block).
+        # sqrt(fold) is the same op sequence as inline, so cos is
+        # bit-identical and the oracle unchanged.
+        pairs = aa.join(bb, "blk").filter(F.col("id_a") < F.col("id_b"))
+        cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return (
+            pairs.select("id_a", "id_b", round4(cos).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    if not sieve:
+        return _join_pairs(a, b).orderBy("id_a", "id_b")
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    thr = threshold - sieve_margin
+
+    def _gram_sieve(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        n = len(ids)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0  # zero vectors match nothing at thr>0
+        Vn = V / norms[:, None]
+        out_a, out_b = [], []
+        step = max(1, 16_000_000 // max(n, 1))  # ~128 MB gram chunk
+        for s in range(0, n, step):
+            G = Vn[s : s + step] @ Vn.T
+            ia, ib = np.nonzero(G >= thr)
+            ia = ia + s
+            keep = ids[ia] < ids[ib]  # id-value order, as the join path
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    sizes = df.groupBy(F.col(block_col).alias("blk")).agg(
+        F.count(F.lit(1)).alias("_n")
     )
+    small_blocks = F.broadcast(sizes.filter(F.col("_n") <= max_sieve_block))
+    big_blocks = F.broadcast(sizes.filter(F.col("_n") > max_sieve_block))
+    small = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).join(small_blocks, "blk", "left_semi")
+    cand = small.groupBy("blk").applyInPandas(
+        _gram_sieve, schema=f"id_a {id_type}, id_b {id_type}"
+    )
+    # exact verify: re-evaluate the oracle-exact fold on survivors only
+    cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    exact = (
+        cand.join(a.select("id_a", "va", "na"), "id_a")
+        .join(b.select("id_b", "vb", "nb"), "id_b")
+        .select("id_a", "id_b", round4(cos).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    big = _join_pairs(
+        a.join(big_blocks, "blk", "left_semi"), b.join(big_blocks, "blk", "left_semi")
+    )
+    return exact.unionByName(big).orderBy("id_a", "id_b")
 
 
 # --- product quantization (IVF-PQ's compression half) -----------------------

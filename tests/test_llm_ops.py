@@ -1092,3 +1092,40 @@ def test_gopher_quality_known_partitions_preserves_range_partitioning(spark):
     assert "roundrobin" not in plan.lower()
     ids = [r.doc_id for r in scored.collect()]
     assert ids == sorted(ids)
+
+
+def test_embedding_near_dup_sieve_equals_join(spark):
+    """Round 8: the BLAS gram sieve + exact-verify path must return
+    bit-identical (id_a, id_b, cos) rows to the pure distributed pair
+    join at any block-size split — including thresholds landing within
+    sieve_margin of a true cosine, zero vectors, and the forced
+    big-block fallback."""
+    import math
+    import random
+
+    from agile_lakehouse_spark.operators import similarity as S
+
+    rnd = random.Random(148)
+    dim = 16
+    rows = []
+    for i in range(120):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, i % 3, v))
+        if i % 10 == 0:  # plant exact duplicates and near-duplicates
+            rows.append((i + 1000, i % 3, [x * 2.0 for x in v]))
+            rows.append((i + 2000, i % 3, [x + 0.01 for x in v]))
+    # (zero-norm vectors are out of contract for BOTH paths: the join
+    # form divides by zero under ANSI; the sieve guards them to "match
+    # nothing" — so none planted here)
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).repartition(5)
+    for thr in (0.9, 0.999):
+        base = S.embedding_near_dup(df, thr, block_col="label", sieve=False).collect()
+        got = S.embedding_near_dup(df, thr, block_col="label").collect()
+        assert got == base, f"sieve diverged at threshold {thr}"
+        forced = S.embedding_near_dup(
+            df, thr, block_col="label", max_sieve_block=2
+        ).collect()
+        assert forced == base, "forced big-block fallback diverged"
+        assert len(base) >= 24  # the planted duplicates are actually found
