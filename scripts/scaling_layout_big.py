@@ -88,6 +88,49 @@ def run_scale(spark, n: int) -> dict:
     return out
 
 
+def _meminfo() -> dict:
+    """Page-cache / free-memory snapshot (MB) — the round-7 lesson: 2 B
+    wall-clocks on this box swing ±25-85% with cache state, so every
+    protocol run RECORDS it instead of hoping."""
+    out = {}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, v = line.split(":", 1)
+                if k in ("MemAvailable", "Cached", "Dirty"):
+                    out[k.lower() + "_mb"] = int(v.strip().split()[0]) // 1024
+    except OSError:
+        pass
+    return out
+
+
+def _drop_caches() -> bool:
+    """Best-effort page-cache drop for a pinned cold-start state.
+    Returns whether it worked (needs root + a writable procfs; recorded
+    either way so runs are comparable only within the same state)."""
+    import subprocess
+
+    try:
+        subprocess.run(["sync"], check=True, timeout=120)
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def protocol_header(spark) -> dict:
+    """The pinned 2 B measurement protocol (round-8 verdict item 3):
+    record heap + cache state so cross-round numbers are comparable.
+    Protocol: SPARK_DRIVER_MEMORY=64g, attempt a cache drop before each
+    layout, grid then quadtree in ONE session, meminfo before/after."""
+    return {
+        "driver_memory": spark.conf.get("spark.driver.memory", "unset"),
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "meminfo_start": _meminfo(),
+    }
+
+
 def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
     """The 1 B-point decade via the reference's own windowed discipline
     (``pc-cli/src/partition.rs:249-374``): generate -> layout -> validate
@@ -108,11 +151,14 @@ def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
     on this disk; a 1000-executor cluster runs the bands concurrently.
     """
     out: dict[str, object] = {"n_points": n, "mode": "banded", "layouts": layouts}
+    out.update(protocol_header(spark))
     tmp = tempfile.mkdtemp(prefix=f"big_layout_banded_{n}_")
     pts = synth_points(spark, n)
     want = set(layouts.split(","))
     try:
         # --- grid(100) in five x-aligned bands ---------------------------
+        out["grid_cache_dropped"] = _drop_caches() if "grid" in want else None
+        out["grid_meminfo_before"] = _meminfo()
         grid_s = convert_s = 0.0
         total_rows = 0
         band_times = []
@@ -142,6 +188,8 @@ def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
         # i < 21/85 of the mass; level 3 the rest, x-banded at 256
         # (a multiple of the level-3 cell edge 1024/8 = 128).
         cut = 21.0 / 85.0
+        out["qt_cache_dropped"] = _drop_caches() if "qt" in want else None
+        out["qt_meminfo_before"] = _meminfo()
         qt_s = qt_convert_s = 0.0
         total_rows = 0
         band_times = []
@@ -174,6 +222,7 @@ def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
             out["quadtree_pts_per_s"] = round(n / qt_s)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    out["meminfo_end"] = _meminfo()
     return out
 
 
