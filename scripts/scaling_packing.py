@@ -28,8 +28,8 @@ from scripts.scaling_dedup import synth_docs
 
 def _checksum(df):
     """Order-insensitive exact fingerprint: xor-fold of xxhash64 rows."""
-    return df.select(
-        F.sum(F.xxhash64("doc_id", "n_tokens", "bin")).alias("s"),
+    return df.select(F.xxhash64("doc_id", "n_tokens", "bin").alias("h")).select(
+        F.expr("bit_xor(h)").alias("s"),  # xor never overflows, order-free
         F.count(F.lit(1)).alias("n"),
     ).first()
 
