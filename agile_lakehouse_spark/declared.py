@@ -4822,6 +4822,41 @@ SPARK_QUERIES["dq172c_png_adam7"] = png_adam7_decode_q
 ORACLES["dq172c_png_adam7"] = ORACLES["dq172_png_decode"]
 
 
+# --- round 8: incremental minhash dedup (new batch vs stored signatures) -----
+
+
+def dedup_minhash_incremental_q(spark, sf_dir):
+    """dq21h: INCREMENTAL near-dup — documents with ``doc_id % 5 == 0``
+    arrive as today's batch; the rest are yesterday's corpus, present
+    only as its stored SIGNATURE table (``minhash_signatures``' output,
+    what a production pipeline checkpoints).  The Spark side never
+    bucket-self-joins the old corpus; the ORACLE replays the full BATCH
+    pipeline in SQL and filters to pairs touching a new id — so the gate
+    itself proves incremental == batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    sigs = dedup.minhash_signatures(old, k=SHINGLE_K)
+    return dedup.minhash_incremental_pairs(
+        new, sigs, k=SHINGLE_K, threshold=MINHASH_T
+    )
+
+
+SPARK_QUERIES["dq21h_dedup_incremental"] = dedup_minhash_incremental_q
+ORACLES["dq21h_dedup_incremental"] = f"""
+    WITH {_duck_minhash_cte()},
+    bucketed AS ({_duck_band_union()}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bucketed a JOIN bucketed b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) AS est_jaccard
+    FROM cand JOIN mh sa ON sa.doc_id = id_a JOIN mh sb ON sb.doc_id = id_b
+    WHERE (floor((({_MATCH_FRAC}) / {NP_}) * 10000.0 + 0.5) / 10000.0) >= {MINHASH_T}
+      AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    ORDER BY id_a, id_b"""
+
+
 # --- round 8: RGBA PNG with the ALPHA plane under the value gate -------------
 
 

@@ -288,6 +288,150 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    threshold: float = 0.5,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    persist_sigs: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: match a NEW batch of documents against an
+    existing corpus's stored MinHash SIGNATURE table (plus within-batch)
+    — the shape a 100 TB ingest actually runs, where the corpus was
+    deduped yesterday and today's batch must not re-shingle or re-join
+    yesterday's 10 B documents against themselves.
+
+    ``corpus_sigs`` is exactly what :func:`minhash_signatures` returns
+    (``id, mh0..mh{n-1}``) — the checkpointed signature table a
+    production pipeline maintains.  Ids must be disjoint from the
+    batch's.  Returns (id_a, id_b, est_jaccard) pairs with AT LEAST ONE
+    side in the new batch, bit-identical to
+    ``minhash_near_dup(old_docs UNION new_docs)`` filtered to pairs
+    touching a new id (equivalence-tested; the dq21h oracle replays the
+    FULL batch pipeline in SQL and filters, so the gate itself proves
+    incremental == batch).
+
+    Why it scales where re-running batch doesn't: candidate generation
+    probes only buckets containing a NEW signature — the old-old bucket
+    self-join (the O(corpus) part) never happens; cost is
+    O(new x bucket-collisions), independent of corpus size except for
+    the band-key join against the (already materialized, bucketable)
+    old signature stream.  Same distinct-signature decomposition,
+    same ``max_bucket_size`` hot-bucket cap, same est_jaccard
+    arithmetic as the batch operator.
+    """
+    new_sigs = minhash_signatures(new_df, k, num_perms, text_col, id_col, seed)
+    if persist_sigs:
+        new_sigs = new_sigs.persist()
+    mh_cols = [f"mh{j}" for j in range(num_perms)]
+    sig = F.struct(*mh_cols)
+
+    # keep the flat mh columns: _lsh_buckets builds band keys from them,
+    # the struct is the signature's identity (minhash_near_dup's shape)
+    usig_new = new_sigs.select(*mh_cols).distinct().withColumn("_sig", sig)
+    usig_old = corpus_sigs.select(*mh_cols).distinct().withColumn("_sig", sig)
+    bn = _lsh_buckets(usig_new, bands, rows_per_band, "_sig")
+    bo = _lsh_buckets(usig_old, bands, rows_per_band, "_sig")
+    if max_bucket_size is not None:
+        # cap on the bucket population the BATCH op would see: the
+        # union's DISTINCT signatures (a signature present in both old
+        # and new counts once, exactly as in minhash_near_dup's usig)
+        sizes = (
+            _lsh_buckets(
+                usig_new.unionByName(usig_old).distinct(), bands, rows_per_band, "_sig"
+            )
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .select("band", "key")
+        )
+        bn = bn.join(sizes, ["band", "key"], "left_semi")
+        bo = bo.join(sizes, ["band", "key"], "left_semi")
+    # new-vs-old: probe ONLY buckets holding a new signature (never the
+    # old-old self-join); identical signatures are excluded here and
+    # handled exactly by the equality joins below (est 1.0), mirroring
+    # the batch op's within_group/cross_group split
+    cross = (
+        bn.select(F.col("_sig").alias("_sig_a"), "band", "key")
+        .join(bo.select(F.col("_sig").alias("_sig_b"), "band", "key"), ["band", "key"])
+        .filter(F.col("_sig_a") != F.col("_sig_b"))
+        .select("_sig_a", "_sig_b")
+        .distinct()
+    )
+    # new-vs-new: the ordinary banding self-join over the (small) batch
+    # — on bn, which already carries the COMBINED-population cap above,
+    # so a bucket over cap drops its new-new pairs exactly as batch does
+    bna, bnb = bn.alias("a"), bn.alias("b")
+    newnew = (
+        bna.join(
+            bnb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._sig") < F.col("b._sig")),
+        )
+        .select(F.col("a._sig").alias("_sig_a"), F.col("b._sig").alias("_sig_b"))
+        .distinct()
+    )
+
+    matches = sum(
+        F.when(F.col("_sig_a").getField(c) == F.col("_sig_b").getField(c), 1).otherwise(0)
+        for c in mh_cols
+    )
+    est = round4(matches / F.lit(num_perms))
+    na = new_sigs.select(F.col(id_col).alias("id_x"), sig.alias("_sig_a"))
+    nb = new_sigs.select(F.col(id_col).alias("id_y"), sig.alias("_sig_b"))
+    oa = corpus_sigs.select(F.col(id_col).alias("id_x"), sig.alias("_sig_a"))
+    ob = corpus_sigs.select(F.col(id_col).alias("id_y"), sig.alias("_sig_b"))
+
+    def expand(sig_pairs, left, right):
+        return (
+            sig_pairs.join(left, "_sig_a")
+            .join(right, "_sig_b")
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+                "est_jaccard",
+            )
+        )
+
+    cross_sig = cross.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold)
+    nn_sig = newnew.withColumn("est_jaccard", est).filter(F.col("est_jaccard") >= threshold)
+    parts = [expand(cross_sig, na, ob), expand(nn_sig, na, nb)]
+    if 1.0 >= threshold:
+        ident = round4(F.lit(1.0))
+        eq_cross = (
+            new_sigs.select(F.col(id_col).alias("id_x"), sig.alias("_s"))
+            .join(corpus_sigs.select(F.col(id_col).alias("id_y"), sig.alias("_s")), "_s")
+            .select(
+                F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"),
+                ident.alias("est_jaccard"),
+            )
+        )
+        ga = new_sigs.select(F.col(id_col).alias("id_a"), sig.alias("_s"))
+        gb = new_sigs.select(F.col(id_col).alias("id_b"), sig.alias("_s"))
+        eq_within = (
+            ga.join(gb, "_s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ident.alias("est_jaccard"))
+        )
+        parts += [eq_cross, eq_within]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def lsh_oversized_buckets(
     sigs: DataFrame,
     bands: int = DEFAULT_BANDS,

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dq20_time_bucket",
     "dq21_dedup_exact",
     "dq21b_dedup_minhash",
+    "dq21h_dedup_incremental",  # new batch vs stored signatures (round 8)
     "dq21c_dedup_simhash",
     "dq22_ann_topk",
     "dq23_text_stats",

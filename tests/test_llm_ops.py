@@ -1129,3 +1129,42 @@ def test_embedding_near_dup_sieve_equals_join(spark):
         ).collect()
         assert forced == base, "forced big-block fallback diverged"
         assert len(base) >= 24  # the planted duplicates are actually found
+
+
+def test_minhash_incremental_equals_batch_filtered(spark, sf_dir):
+    """Round 8: incremental dedup (new batch vs stored corpus signature
+    table) must equal the BATCH pipeline over the union restricted to
+    pairs touching a new id — on real fixture text, with and without
+    the hot-bucket cap, and with planted exact/near duplicates crossing
+    the old/new boundary."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    # planted cross-boundary dups: copy some old docs into the new id
+    # space verbatim (exact dup => identical signatures => est 1.0)
+    clones = (
+        docs.filter(F.col("doc_id") % 40 == 3)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    new_pred = (F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1_000_000)
+    full = docs.select("doc_id", "text").unionByName(clones)
+    old_docs, new_docs = full.filter(~new_pred), full.filter(new_pred)
+
+    corpus_sigs = dedup.minhash_signatures(old_docs).persist()
+    corpus_sigs.count()
+    for cap in (None, 3):
+        batch = [
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in dedup.minhash_near_dup(full, max_bucket_size=cap).collect()
+        ]
+        new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+        want = [p for p in batch if p[0] in new_ids or p[1] in new_ids]
+        got = [
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in dedup.minhash_incremental_pairs(
+                new_docs, corpus_sigs, max_bucket_size=cap
+            ).collect()
+        ]
+        assert got == want, f"cap={cap}: incremental != batch-filtered"
+        assert any(p[2] == 1.0 and p[1] >= 1_000_000 for p in got), "planted clones missing"
+    corpus_sigs.unpersist()
