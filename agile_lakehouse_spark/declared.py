@@ -4857,6 +4857,30 @@ ORACLES["dq21h_dedup_incremental"] = f"""
     ORDER BY id_a, id_b"""
 
 
+def dedup_exact_incremental_q(spark, sf_dir):
+    """dq21i: incremental EXACT dedup — new batch (doc_id % 5 == 0)
+    resolved against the deduped corpus's stored (text, keep_id) state.
+    The corpus representative wins for seen texts even when a new id is
+    numerically smaller (the corpus was deduped first); unseen texts
+    keep their batch minimum.  Oracle replays both joins in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = dedup.exact_dedup_store(docs.filter(F.col("doc_id") % 5 != 0))
+    return dedup.exact_dedup_incremental(docs.filter(F.col("doc_id") % 5 == 0), store)
+
+
+SPARK_QUERIES["dq21i_exact_incremental"] = dedup_exact_incremental_q
+ORACLES["dq21i_exact_incremental"] = """
+    WITH new AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    store AS (SELECT text, min(doc_id) AS keep_old FROM documents
+              WHERE doc_id % 5 != 0 GROUP BY text),
+    newmin AS (SELECT text, min(doc_id) AS keep_new FROM new GROUP BY text)
+    SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(s.keep_old, m.keep_new) AS BIGINT) AS keep_id,
+           (n.doc_id = coalesce(s.keep_old, m.keep_new)) AS kept
+    FROM new n LEFT JOIN store s USING (text) JOIN newmin m USING (text)
+    ORDER BY doc_id"""
+
+
 # --- round 8: RGBA PNG with the ALPHA plane under the value gate -------------
 
 

@@ -127,6 +127,53 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_store(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The checkpointable exact-dedup state: one (text, keep_id) row per
+    distinct text — what :func:`exact_dedup_incremental` matches new
+    batches against.  A production store would key on a 128-bit hash of
+    the (normalized) text instead of the text itself; the text key keeps
+    the oracle exact and the join semantics identical."""
+    return df.groupBy(text_col).agg(F.min(id_col).cast("bigint").alias("keep_id"))
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL exact dedup: resolve each NEW document against the
+    stored corpus state (:func:`exact_dedup_store`'s (text, keep_id))
+    plus the batch itself — (doc_id, keep_id, kept) per new doc, where
+    ``keep_id`` is the corpus representative if the text was seen before
+    (the corpus was deduped FIRST, so its representative wins even if a
+    new id is numerically smaller) and otherwise the batch's min id, and
+    ``kept`` marks the docs that enter the corpus.
+
+    Two hash joins on the text key (one against the store, one against
+    the batch's own min-id aggregate) — never a scan of the old corpus's
+    documents; cost is O(batch + store-join), the exact-dedup twin of
+    :func:`minhash_incremental_pairs`.
+    """
+    newmin = new_df.groupBy(text_col).agg(F.min(id_col).alias("_keep_new"))
+    rep = F.coalesce("_keep_old", "_keep_new")
+    return (
+        new_df.select(F.col(id_col), F.col(text_col))
+        .join(
+            store.select(F.col(text_col), F.col("keep_id").alias("_keep_old")),
+            text_col,
+            "left",
+        )
+        .join(newmin, text_col)
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            rep.cast("bigint").alias("keep_id"),
+            (F.col(id_col) == rep).alias("kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def shingle_df(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Explode each doc into its distinct character k-gram shingles."""
     df = spread(df)

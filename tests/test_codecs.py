@@ -685,3 +685,31 @@ def test_image_stats_rgba_spark_paths(spark):
     bmp = multimodal.synthesize_image_media(df, "doc_id", container="bmp")
     for r in multimodal.image_stats_rgba(bmp).collect():
         assert r.sum_a == 255 * r.n_pixels
+
+
+def test_png_adam7_rgba_roundtrip():
+    """Interlace x alpha interaction: a color-type-6 Adam7 PNG built
+    spec-side (seven passes, filter-0 rows of the 4-channel sub-images)
+    must reconstruct pixels AND alpha exactly through the shared
+    pass/unfilter/scatter machinery."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(67)
+    for h, w in ((8, 8), (5, 7), (3, 2)):
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        parts = []
+        for x0, y0, dx, dy in codecs._ADAM7_PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 1)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert (codecs.decode_png_rgba(png) == img).all(), (h, w)
+        assert (codecs.decode_png(png) == img[:, :, :3]).all()

@@ -1168,3 +1168,24 @@ def test_minhash_incremental_equals_batch_filtered(spark, sf_dir):
         assert got == want, f"cap={cap}: incremental != batch-filtered"
         assert any(p[2] == 1.0 and p[1] >= 1_000_000 for p in got), "planted clones missing"
     corpus_sigs.unpersist()
+
+
+def test_exact_dedup_incremental_corpus_wins(spark):
+    """The corpus was deduped FIRST: a seen text resolves to the stored
+    keep_id even when the new doc's id is numerically smaller; unseen
+    texts keep their batch minimum; kept marks exactly the entrants."""
+    old = spark.createDataFrame(
+        [(10, "alpha"), (11, "alpha"), (12, "beta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "gamma"), (3, "gamma"), (20, "beta")],
+        "doc_id long, text string",
+    )
+    store = dedup.exact_dedup_store(old)
+    out = {r.doc_id: (r.keep_id, r.kept) for r in dedup.exact_dedup_incremental(new, store).collect()}
+    assert out == {
+        1: (10, False),   # seen text -> corpus keeper 10, despite 1 < 10
+        2: (2, True),     # unseen text, batch minimum
+        3: (2, False),
+        20: (12, False),  # seen text -> corpus keeper
+    }
