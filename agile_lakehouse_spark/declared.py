@@ -4857,6 +4857,40 @@ ORACLES["dq21h_dedup_incremental"] = f"""
     ORDER BY id_a, id_b"""
 
 
+def embedding_match_incremental_q(spark, sf_dir):
+    """dq22e: the semantic member of the incremental-dedup trio — new
+    embeddings (vec_id % 5 == 0) matched against the stored corpus
+    within shared IVF cells via the bipartite gram sieve + exact-fold
+    verify; the corpus-vs-corpus pair join never runs.  The oracle
+    replays cells and the bipartite cosine join in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, IVF_M)
+    tagged = emb.join(similarity.ivf_assign(emb, cents), "vec_id")
+    new = tagged.filter(F.col("vec_id") % 5 == 0)
+    old = tagged.filter(F.col("vec_id") % 5 != 0)
+    return similarity.embedding_match(new, old, threshold=EMB_COS_T)
+
+
+SPARK_QUERIES["dq22e_embedding_match_incr"] = embedding_match_incremental_q
+ORACLES["dq22e_embedding_match_incr"] = f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_M}),
+    cscored AS (SELECT e.vec_id AS vid, c.cid AS cid,
+                       {vector.cosine_duck('e.embedding', 'c.cv', EMB_DIM)} AS cos
+                FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vid, cid FROM
+                 (SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY cos DESC, cid ASC) AS rn
+                  FROM cscored) WHERE rn = 1),
+    tagged AS (SELECT e.vec_id, e.embedding, a.cid AS cell
+               FROM embeddings e JOIN assign a ON e.vec_id = a.vid)
+    SELECT CAST(n.vec_id AS BIGINT) AS vec_id,
+           CAST(o.vec_id AS BIGINT) AS match_id,
+           (floor(({vector.cosine_duck('n.embedding', 'o.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) AS cos
+    FROM tagged n JOIN tagged o ON n.cell = o.cell
+    WHERE n.vec_id % 5 = 0 AND o.vec_id % 5 != 0
+      AND (floor(({vector.cosine_duck('n.embedding', 'o.embedding', EMB_DIM)}) * 10000.0 + 0.5) / 10000.0) >= {EMB_COS_T}
+    ORDER BY vec_id, match_id"""
+
+
 def dedup_exact_incremental_q(spark, sf_dir):
     """dq21i: incremental EXACT dedup — new batch (doc_id % 5 == 0)
     resolved against the deduped corpus's stored (text, keep_id) state.

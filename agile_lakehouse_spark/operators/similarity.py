@@ -362,6 +362,114 @@ def embedding_near_dup(
     return exact.unionByName(big).orderBy("id_a", "id_b")
 
 
+def embedding_match(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "cell",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sieve: bool = True,
+    sieve_margin: float = 1e-6,
+    max_sieve_block: int = 65_536,
+) -> DataFrame:
+    """BIPARTITE near-dup: (vec_id, match_id, cos) for every new-batch
+    vector whose cosine against a STORED corpus vector in the same block
+    reaches ``threshold`` — the semantic member of the incremental-dedup
+    trio (:func:`dedup.exact_dedup_incremental`,
+    :func:`dedup.minhash_incremental_pairs`).  Ids must be disjoint
+    across the two sides; the corpus side is typically yesterday's kept
+    representatives stored partitioned by IVF cell, so the block join
+    prunes to the batch's cells and the corpus-vs-corpus pair join never
+    runs.
+
+    Same execution strategy as :func:`embedding_near_dup`: a per-block
+    RECTANGULAR gram sieve (new x old gemm at ``threshold -
+    sieve_margin``) with the exact sequential-fold cosine re-evaluated
+    on survivors (bit-identical to the plain block join, which remains
+    available via ``sieve=False`` and for blocks whose combined
+    population exceeds ``max_sieve_block``).
+    """
+    a = new_df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), vector.norm(F.col(vec_col)).alias("na"),
+    )
+    b = corpus_df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), vector.norm(F.col(vec_col)).alias("nb"),
+    )
+    cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    def _join_pairs(aa, bb):
+        return (
+            aa.join(bb, "blk")
+            .select("id_a", "id_b", round4(cos).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    if not sieve:
+        return (
+            _join_pairs(a, b)
+            .select(F.col("id_a").alias(id_col), F.col("id_b").alias("match_id"), "cos")
+            .orderBy(id_col, "match_id")
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = new_df.schema[id_col].dataType.simpleString()
+    thr = threshold - sieve_margin
+
+    def _gram_sieve(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        newm = pdf["_side"].to_numpy() == 0
+        if not newm.any() or newm.all():
+            return empty  # one-sided block: no bipartite pairs
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        A, B = Vn[newm], Vn[~newm]
+        ia_ids, ib_ids = ids[newm], ids[~newm]
+        out_a, out_b = [], []
+        step = max(1, 16_000_000 // max(len(ib_ids), 1))
+        for s in range(0, len(ia_ids), step):
+            G = A[s : s + step] @ B.T
+            ia, ib = np.nonzero(G >= thr)
+            out_a.append(ia_ids[ia + s])
+            out_b.append(ib_ids[ib])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ) if out_a else empty
+
+    both = a.select("blk", F.col("id_a").alias("_id"), F.col("va").alias("_v"), F.lit(0).alias("_side")).unionByName(
+        b.select("blk", F.col("id_b").alias("_id"), F.col("vb").alias("_v"), F.lit(1).alias("_side"))
+    )
+    sizes = both.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
+    small_blocks = F.broadcast(sizes.filter(F.col("_n") <= max_sieve_block))
+    big_blocks = F.broadcast(sizes.filter(F.col("_n") > max_sieve_block))
+    cand = (
+        both.join(small_blocks, "blk", "left_semi")
+        .groupBy("blk")
+        .applyInPandas(_gram_sieve, schema=f"id_a {id_type}, id_b {id_type}")
+    )
+    exact = (
+        cand.join(a.select("id_a", "va", "na"), "id_a")
+        .join(b.select("id_b", "vb", "nb"), "id_b")
+        .select("id_a", "id_b", round4(cos).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    big = _join_pairs(
+        a.join(big_blocks, "blk", "left_semi"), b.join(big_blocks, "blk", "left_semi")
+    )
+    return (
+        exact.unionByName(big)
+        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("match_id"), "cos")
+        .orderBy(id_col, "match_id")
+    )
+
+
 # --- product quantization (IVF-PQ's compression half) -----------------------
 #
 # PQ splits each D-dim vector into m subvectors and replaces every

@@ -1189,3 +1189,31 @@ def test_exact_dedup_incremental_corpus_wins(spark):
         3: (2, False),
         20: (12, False),  # seen text -> corpus keeper
     }
+
+
+def test_embedding_match_sieve_equals_join(spark):
+    """Bipartite matcher: gram-sieve path == plain block join, forced
+    big-block fallback included; one-sided blocks yield no pairs."""
+    import random
+
+    from agile_lakehouse_spark.operators import similarity as S
+
+    rnd = random.Random(22)
+    dim = 12
+    rows = []
+    for i in range(90):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, i % 4, v))
+        if i % 9 == 0:  # plant a cross-side near-dup (scaled copy)
+            rows.append((i + 500, i % 4, [x * 3.0 for x in v]))
+    rows.append((700, 9, [1.0] * dim))  # block 9 holds ONLY a new vector
+    df = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+    new = df.filter("vec_id >= 500")
+    old = df.filter("vec_id < 500")
+    base = S.embedding_match(new, old, 0.95, sieve=False).collect()
+    got = S.embedding_match(new, old, 0.95).collect()
+    forced = S.embedding_match(new, old, 0.95, max_sieve_block=2).collect()
+    assert got == base and forced == base
+    assert len(base) >= 10  # planted scaled copies are found (cos == 1.0)
+    assert all(r.vec_id >= 500 and r.match_id < 500 for r in base)
+    assert not any(r.vec_id == 700 for r in base)  # one-sided block
