@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dq143_dedup_paragraphs",  # span-level dedup, two bounded shuffles (round 4)
     "dq144_sq8_topk",  # SQ8 train+encode+ADC, pure projections (round 4)
     "dq148_semantic_dedup",  # SemDeDup: cells + pairs + CC grouping (round 4)
+    "dq22e_embedding_match_incr",  # bipartite gram-sieve matcher (round 8)
     "dq149_resample_interpolate",  # spine union + two window passes (round 4)
     "dq153_fill_token_budget",  # two-phase budget cut, windowless bulk (round 4)
     "dq54_stream_time_bucket",  # REAL streaming engine, availableNow (round 4)
