@@ -1217,3 +1217,28 @@ def test_embedding_match_sieve_equals_join(spark):
     assert len(base) >= 10  # planted scaled copies are found (cos == 1.0)
     assert all(r.vec_id >= 500 and r.match_id < 500 for r in base)
     assert not any(r.vec_id == 700 for r in base)  # one-sided block
+
+
+def test_incremental_ops_plan_shapes(spark, sf_dir):
+    """The incremental trio must never plan a cartesian product or a
+    nested-loop join — the whole point is bounded, key-blocked work
+    against stored corpus state (plan-shape regression pin)."""
+    from agile_lakehouse_spark.plans import explain
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    old_d, new_d = docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tagged = emb.withColumn("cell", (F.col("vec_id") % 4).cast("int"))
+    plans = {
+        "exact": dedup.exact_dedup_incremental(new_d, dedup.exact_dedup_store(old_d)),
+        "minhash": dedup.minhash_incremental_pairs(
+            new_d, dedup.minhash_signatures(old_d), persist_sigs=False
+        ),
+        "semantic": similarity.embedding_match(
+            tagged.filter("vec_id % 5 = 0"), tagged.filter("vec_id % 5 != 0")
+        ),
+    }
+    for name, df in plans.items():
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
