@@ -545,7 +545,10 @@ def chunking_q(spark, sf_dir):
 
 def packing_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return text.pack_sequences(docs).orderBy("doc_id")
+    # n_buckets pinned to 64 (not "auto", which would pick the global
+    # window at oracle scale): the driver gate must keep exercising the
+    # PRODUCTION two-phase path — bit-identical, so the hash is unchanged
+    return text.pack_sequences(docs, n_buckets=64).orderBy("doc_id")
 
 
 def stream_time_bucket_q(spark, sf_dir):
@@ -4943,6 +4946,63 @@ ORACLES["dq172d_png_rgba"] = """
     GROUP BY d.doc_id ORDER BY media_id"""
 
 
+# --- round 9: store MAINTENANCE — the apply half of the incremental trio -----
+
+
+def exact_store_roundtrip_q(spark, sf_dir):
+    """dq21j: exact-dedup store ROUND TRIP — build the store from the
+    lower-id half of the corpus, apply the upper half through
+    exact_dedup_store_update, return the final state.  With ids
+    increasing across batches the folded store is bit-identical to
+    exact_dedup_store over the union, which is what the oracle replays
+    (one GROUP BY text) — so this gate proves apply == rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("bigint")
+    ).collect()[0][0]
+    store = dedup.exact_dedup_store(docs.filter(F.col("doc_id") <= cut))
+    store = dedup.exact_dedup_store_update(store, docs.filter(F.col("doc_id") > cut))
+    return store.select("keep_id", "text").orderBy("keep_id")
+
+
+SPARK_QUERIES["dq21j_exact_store_roundtrip"] = exact_store_roundtrip_q
+ORACLES["dq21j_exact_store_roundtrip"] = """
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, text
+    FROM documents GROUP BY text ORDER BY keep_id"""
+
+
+def curate_incremental_q(spark, sf_dir):
+    """dq124b: the FULL curation pipeline run as TWO ingest batches
+    through curate_corpus_incremental (fps + signature stores carried
+    between batches), concatenated — gated by the SAME oracle SQL as the
+    batch pipeline (dq124), so the driver hash proves incremental ==
+    batch end-to-end: quality, store-backed exact dedup, incremental
+    MinHash near-dup (new-side-only bucket probe), decontamination."""
+    from agile_lakehouse_spark.operators.pipeline import curate_corpus_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    test_df = docs.filter(F.col("source") == CONTAM_TEST_SOURCE)
+    train = docs.filter(F.col("source") != CONTAM_TEST_SOURCE)
+    cut = train.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("bigint")
+    ).collect()[0][0]
+    caches: list = []
+    out1, state = curate_corpus_incremental(
+        train.filter(F.col("doc_id") <= cut), test_df, caches=caches
+    )
+    out2, _ = curate_corpus_incremental(
+        train.filter(F.col("doc_id") > cut), test_df, state, caches=caches
+    )
+    # NOTE: the two persisted batch frames in `caches` live until session
+    # cache eviction — acceptable for the one-shot driver/bench process;
+    # long-lived callers unpersist after materializing (docstring).
+    return out1.unionByName(out2).orderBy("doc_id")
+
+
+SPARK_QUERIES["dq124b_curate_incremental"] = curate_incremental_q
+ORACLES["dq124b_curate_incremental"] = ORACLES["dq124_curate_corpus"]
+
+
 # --- round-8 head rotation ----------------------------------------------------
 # 74 of 194 registry entries had never appeared in a driver
 # CORRECTNESS_r*.json (they are covered by the judge's full-registry
@@ -4980,4 +5040,42 @@ _rot8_set = set(_ROT8_HEAD)
 SPARK_QUERIES = {
     n: SPARK_QUERIES[n]
     for n in _ROT8_HEAD + [m for m in SPARK_QUERIES if m not in _rot8_set]
+}
+
+# --- round-9 head rotation ----------------------------------------------------
+# The FINAL coverage pass: after round 8, exactly 28 registry entries had
+# never appeared in a CORRECTNESS_r*.json (24 TPC-H/breadth deferred by
+# round 7's rotation + the 4 round-8 queries).  The round-9 head = those
+# 28, the 2 NEW round-9 queries (dq21j store round trip, dq124b
+# incremental curation), the 3 entries whose code paths round 9 touched
+# (gram-sieve margin fix -> dq148; pack_sequences auto -> dq47; pipeline
+# persist hygiene -> dq124), and 17 stalest-first fillers (last sampled
+# r01/r02).  After this round every entry has a driver artifact.
+# NOTE: add new queries ABOVE this block or they land outside the head.
+
+_ROT9_HEAD = [
+    "dq58_tpch_q3", "dq65_tpch_q2", "dq83_tpch_q21", "dq59_tpch_q18",
+    "dq66_tpch_q16", "dq67_tpch_q20", "dq109_date_breadth",
+    "dq112_null_breadth", "dq113_bitwise_breadth", "dq114_array_breadth",
+    "dq110_string_breadth", "dq111_math_breadth", "dq74_tpch_q4",
+    "dq75_tpch_q6", "dq76_tpch_q7", "dq77_tpch_q10", "dq78_tpch_q12",
+    "dq79_tpch_q13", "dq80_tpch_q14", "dq81_tpch_q15", "dq82_tpch_q19",
+    "dq93_tpch_q8", "dq95_tpch_q11", "dq97_map_functions",
+    "dq21h_dedup_incremental", "dq22e_embedding_match_incr",
+    "dq21i_exact_incremental", "dq172d_png_rgba",
+    "dq21j_exact_store_roundtrip", "dq124b_curate_incremental",
+    "dq148_semantic_dedup", "dq47_seq_packing", "dq124_curate_corpus",
+    "dq23e_top_terms", "dq23f_bpe_tokens", "dq27_clean_corpus",
+    "dq28_pivot", "dq28b_unpivot", "dq29_array_agg", "dq30_json_extract",
+    "dq31_dedup_clusters", "dq32_correlated_subquery", "dq33_asof_join",
+    "dq02_pc_range", "dq03_pc_bounds", "dq04_pc_mean",
+    "dq05_pc_rect_count", "dq06_pc_circle", "dq07_pc_sample",
+    "dq10_join_broadcast",
+]
+assert len(_ROT9_HEAD) == 50, len(_ROT9_HEAD)
+assert all(n in SPARK_QUERIES for n in _ROT9_HEAD), "rotation names must exist"
+_rot9_set = set(_ROT9_HEAD)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n]
+    for n in _ROT9_HEAD + [m for m in SPARK_QUERIES if m not in _rot9_set]
 }

@@ -296,7 +296,13 @@ def _png_pixels(data: bytes) -> np.ndarray:
     (RGBA), color type 4 (grey+alpha), and the tRNS chunk (per-entry
     palette alpha; single fully-transparent sample value for grey/
     truecolor — matched on the high byte at depth 16, consistent with
-    the 8-bit sample reduction).
+    the 8-bit sample reduction).  CAUTION, depth-16 tRNS is LOSSY by
+    this reduction: the spec (11.3.2.1) requires an EXACT 16-bit key
+    match, so any pixel sharing the key's high byte (up to 256 distinct
+    16-bit values) is marked transparent here; cross-validating a
+    foreign-encoded 16-bit+tRNS PNG against an external decoder will
+    show extra alpha=0 pixels on exactly that set (test-pinned,
+    tests/test_multimodal.py).
 
     Filters 3/4 (Average/Paeth) carry an intra-row serial dependency, so
     those rows decode byte-at-a-time; filters 0/1/2 are vectorized (Sub

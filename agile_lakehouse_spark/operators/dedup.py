@@ -174,6 +174,59 @@ def exact_dedup_incremental(
     )
 
 
+def exact_dedup_store_update(
+    store: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a batch to the exact-dedup state: the store plus one
+    (text, keep_id) row per text the store has never seen, keyed by the
+    batch's min id — the maintenance half of
+    :func:`exact_dedup_incremental` (which only REPORTS keep/drop).
+
+    The result is exactly the corpus-representative-wins state the
+    incremental matcher assumes: texts already in the store keep their
+    stored representative (never re-keyed, even if the batch has a
+    numerically smaller id); novel texts enter with the batch minimum —
+    the ids ``exact_dedup_incremental`` flags ``kept``.  When batch ids
+    INCREASE across batches (the production ingest invariant), folding N
+    batches is bit-identical to :func:`exact_dedup_store` over their
+    union (round-trip-tested; the dq21j oracle replays the union form
+    in SQL and gates this path).
+
+    Cost: one hash agg over the batch + one anti-join on the text key
+    against the store — never a scan of the old corpus's documents.
+    """
+    newmin = new_df.groupBy(text_col).agg(
+        F.min(id_col).cast("bigint").alias("keep_id")
+    )
+    novel = newmin.join(store.select(text_col), text_col, "left_anti")
+    return store.select(text_col, "keep_id").unionByName(
+        novel.select(text_col, "keep_id")
+    )
+
+
+def minhash_store_update(corpus_sigs: DataFrame, new_sigs: DataFrame) -> DataFrame:
+    """APPLY a batch to the stored MinHash signature table: append the
+    batch's signatures — ALL of them, kept AND dropped.  The batch
+    operator (:func:`minhash_near_dup`) computes candidate pairs against
+    every document, so a doc dropped as a near-dup still WITNESSES
+    future duplicates; a kept-only store would silently pass a third
+    copy whose only near-neighbour was itself dropped (near-dup is not
+    transitive, unlike exact equality — hence the asymmetry with
+    :func:`exact_dedup_store_update`).  Folding N batches therefore
+    equals :func:`minhash_signatures` over the union, which keeps
+    :func:`minhash_incremental_pairs`' batch-equivalence proof valid at
+    every step (round-trip-tested).
+
+    ``new_sigs`` is :func:`minhash_signatures` over the batch — computed
+    once by the caller and shared with the matcher via its ``new_sigs``
+    parameter, so the batch is never re-shingled.
+    """
+    return corpus_sigs.unionByName(new_sigs)
+
+
 def shingle_df(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Explode each doc into its distinct character k-gram shingles."""
     df = spread(df)
@@ -348,6 +401,8 @@ def minhash_incremental_pairs(
     seed: int = 7,
     persist_sigs: bool = True,
     max_bucket_size: int | None = None,
+    caches: list | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup: match a NEW batch of documents against an
     existing corpus's stored MinHash SIGNATURE table (plus within-batch)
@@ -373,10 +428,29 @@ def minhash_incremental_pairs(
     old signature stream.  Same distinct-signature decomposition,
     same ``max_bucket_size`` hot-bucket cap, same est_jaccard
     arithmetic as the batch operator.
+
+    ``new_sigs``: pass the batch's precomputed :func:`minhash_signatures`
+    frame to skip re-shingling — the caller that also maintains the
+    store (:func:`minhash_store_update`) computes signatures exactly
+    once per batch.
     """
-    new_sigs = minhash_signatures(new_df, k, num_perms, text_col, id_col, seed)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_df, k, num_perms, text_col, id_col, seed)
     if persist_sigs:
         new_sigs = new_sigs.persist()
+        if caches is None:
+            import warnings
+
+            warnings.warn(
+                "minhash_incremental_pairs(persist_sigs=True, caches=None) "
+                "persists the batch signature table it cannot unpersist "
+                "(lazy return); pass a caches= list and unpersist after "
+                "materializing, or persist_sigs=False",
+                ResourceWarning,
+                stacklevel=2,
+            )
+        else:
+            caches.append(new_sigs)
     mh_cols = [f"mh{j}" for j in range(num_perms)]
     sig = F.struct(*mh_cols)
 

@@ -112,3 +112,117 @@ def curate_corpus(
         .join(contam, id_col, "left_anti")
         .orderBy(id_col)
     )
+
+
+def curate_corpus_incremental(
+    new_df: DataFrame,
+    test_df: DataFrame,
+    state: dict[str, DataFrame] | None = None,
+    shingle_k: int = 5,
+    near_dup_threshold: float = 0.5,
+    contam_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    caches: list | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """One INGEST STEP of :func:`curate_corpus`: curate a new train batch
+    against the state left by every previous batch, without ever
+    re-scanning the old corpus — the production shape at 100 TB, wiring
+    the incremental-dedup trio (:func:`dedup.exact_dedup_store_update` /
+    :func:`dedup.minhash_incremental_pairs` + ``minhash_store_update``)
+    into the end-to-end pipeline.
+
+    Returns ``(survivors, new_state)``.  ``state`` carries two frames a
+    production job persists between batches (a lakehouse table each —
+    plans/snapshots.py):
+
+    - ``"fps"``   — (norm_fp, keep_id): the normalized-fingerprint exact
+      store.  One representative per fp exists, so storing survivors'
+      fps covers every fp ever seen.
+    - ``"sigs"``  — MinHash signatures of every post-exact doc, KEPT AND
+      DROPPED (near-dup is not transitive; a dropped doc still witnesses
+      the next copy — the minhash_store_update contract).
+
+    ``test_df`` is the full held-out benchmark split, static across
+    batches (decontamination is per-doc against a fixed gram set, so it
+    needs no state).  Batch ids must be disjoint and INCREASING across
+    batches; under that invariant the concatenation of every batch's
+    survivors is bit-identical to one :func:`curate_corpus` run over the
+    union (equivalence-tested; the dq124b oracle replays the batch
+    pipeline in SQL against a 2-batch split): quality is per-doc, the fp
+    store reproduces union-min exact dedup, pair parity is
+    minhash_incremental_pairs' proven equivalence, and the drop-higher
+    rule picks the same ids because every cross pair's greater id is the
+    new side.
+
+    Stage shape per batch: per-doc quality map, one fp agg + two
+    fp-key joins, one signature pass (shared by matcher and store via
+    ``new_sigs`` — the batch is never re-shingled), the new-side-only
+    bucket probe, one gram join against the test set.  Nothing scales
+    with corpus size except the fp/sig store joins, which shuffle on
+    their keys only.
+    """
+    from agile_lakehouse_spark.operators.text import gopher_quality, normalize_text
+
+    spark = new_df.sparkSession
+    if state is None:
+        nperm = dedup.DEFAULT_NUM_PERMS
+        state = {
+            "fps": spark.createDataFrame([], "norm_fp BIGINT, keep_id BIGINT"),
+            "sigs": spark.createDataFrame(
+                [],
+                f"{id_col} BIGINT, "
+                + ", ".join(f"mh{j} BIGINT" for j in range(nperm)),
+            ),
+        }
+
+    quality_ids = gopher_quality(new_df, text_col, id_col).filter("keep").select(id_col)
+    s0 = new_df.join(quality_ids, id_col, "left_semi")
+
+    # exact stage: batch-min per fp, then drop fps the store already holds
+    norm = normalize_text(s0, text_col, id_col)
+    batch_min = norm.groupBy("norm_fp").agg(F.min(id_col).cast("bigint").alias("keep_id"))
+    novel = batch_min.join(state["fps"].select("norm_fp"), "norm_fp", "left_anti")
+    s1 = s0.join(
+        novel.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    ).persist()
+    if caches is None:
+        import warnings
+
+        warnings.warn(
+            "curate_corpus_incremental(caches=None) persists the batch's "
+            "post-exact survivor frame it cannot unpersist (lazy return); "
+            "pass a caches= list and unpersist after materializing",
+            ResourceWarning,
+            stacklevel=2,
+        )
+    else:
+        caches.append(s1)
+
+    # near-dup stage: ONE signature pass feeds both the matcher and the store
+    sigs = dedup.minhash_signatures(s1.select(id_col, text_col), shingle_k, text_col=text_col, id_col=id_col)
+    pairs = dedup.minhash_incremental_pairs(
+        s1.select(id_col, text_col),
+        state["sigs"],
+        k=shingle_k,
+        threshold=near_dup_threshold,
+        text_col=text_col,
+        id_col=id_col,
+        persist_sigs=False,  # sigs is shared below; persist s1 covers reuse
+        new_sigs=sigs,
+    )
+    drop_near = pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+    contam = dedup.contaminated_train_ids(s1, test_df, contam_n, text_col, id_col)
+
+    survivors = (
+        s1.select(F.col(id_col).cast("bigint").alias(id_col))
+        .join(drop_near, id_col, "left_anti")
+        .join(contam, id_col, "left_anti")
+        .orderBy(id_col)
+    )
+    new_state = {
+        "fps": state["fps"].unionByName(novel),
+        "sigs": dedup.minhash_store_update(state["sigs"], sigs),
+    }
+    return survivors, new_state

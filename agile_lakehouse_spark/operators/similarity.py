@@ -254,6 +254,7 @@ def embedding_near_dup(
     sieve: bool = True,
     sieve_margin: float = 1e-6,
     max_sieve_block: int = 65_536,
+    max_sieve_elems: int = 16_000_000,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within a blocking key.
 
@@ -265,17 +266,23 @@ def embedding_near_dup(
     interpreted lambda steps, while CC is <2%): with ``sieve`` on, each
     block first runs a BLAS gram-matrix SIEVE (one Arrow batch per
     block, ``n_c x d @ d x n_c`` in chunked numpy) that keeps only pairs
-    with ``np_cos >= threshold - sieve_margin``; the EXACT sequential-
+    with ``np_cos >= threshold - 5e-5 - sieve_margin`` (5e-5 = half the
+    round4 quantum — the exact pass keeps ``round4(cos) >= threshold``,
+    which admits raw cosines that far below); the EXACT sequential-
     fold cosine (:func:`vector.dot`, the op sequence the DuckDB oracle
     replays) is then re-evaluated ONLY on the surviving candidates, so
     the output is bit-identical to the pure-join form.  The margin
     (1e-6) exceeds any float64 summation-order divergence by ~6 orders
     of magnitude at realistic dims; its only cost is a few extra
-    survivors entering the exact pass.  Blocks larger than
-    ``max_sieve_block`` (a gram row-chunk would exceed one task's
-    memory) keep the distributed pair join — the size split is one tiny
-    per-block count aggregate, broadcast into two semi-joins (the
-    lsh_candidate_pairs cap discipline, dedup.py:241).  Measured at
+    survivors entering the exact pass.  Blocks over ``max_sieve_block``
+    ROWS or ``max_sieve_elems`` ELEMENTS (rows x dim — the task
+    materializes the block as an n x d float64 matrix plus a normalized
+    copy, so the row cap alone under-counts wide embeddings: 65 k rows
+    x 1024 dims is ~1 GB/copy) keep the distributed pair join — the
+    size split is one tiny per-block count+dim aggregate, broadcast
+    into two semi-joins (the lsh_candidate_pairs cap discipline,
+    dedup.py:241).  The 16 M-element default bounds each copy at
+    ~128 MB.  Measured at
     sf0.1 (2 k vectors, 251 k candidate pairs, warm workers): pair stage
     1.7 -> 1.1 s — modest here because the sieve's fixed costs (size
     agg, Arrow round-trip, verify joins) are a large share at tiny
@@ -311,7 +318,13 @@ def embedding_near_dup(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
-    thr = threshold - sieve_margin
+    # The exact pass keeps round4(cos) >= threshold, which (round
+    # half-up) admits RAW cosines down to threshold - 5e-5; the sieve
+    # must prune no tighter or pairs in [threshold-5e-5, threshold)
+    # that round up would be join-path-kept but sieve-dropped
+    # (round-8 advice, high).  5e-5 = the round4 quantum's half;
+    # sieve_margin covers BLAS-vs-sequential-fold summation noise.
+    thr = threshold - 5e-5 - sieve_margin
 
     def _gram_sieve(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
@@ -336,10 +349,14 @@ def embedding_near_dup(
         )
 
     sizes = df.groupBy(F.col(block_col).alias("blk")).agg(
-        F.count(F.lit(1)).alias("_n")
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.size(F.col(vec_col))).alias("_d"),
     )
-    small_blocks = F.broadcast(sizes.filter(F.col("_n") <= max_sieve_block))
-    big_blocks = F.broadcast(sizes.filter(F.col("_n") > max_sieve_block))
+    fits = (F.col("_n") <= max_sieve_block) & (
+        F.col("_n") * F.col("_d") <= max_sieve_elems
+    )
+    small_blocks = F.broadcast(sizes.filter(fits))
+    big_blocks = F.broadcast(sizes.filter(~fits))
     small = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_id"),
@@ -372,6 +389,7 @@ def embedding_match(
     sieve: bool = True,
     sieve_margin: float = 1e-6,
     max_sieve_block: int = 65_536,
+    max_sieve_elems: int = 16_000_000,
 ) -> DataFrame:
     """BIPARTITE near-dup: (vec_id, match_id, cos) for every new-batch
     vector whose cosine against a STORED corpus vector in the same block
@@ -388,7 +406,8 @@ def embedding_match(
     sieve_margin``) with the exact sequential-fold cosine re-evaluated
     on survivors (bit-identical to the plain block join, which remains
     available via ``sieve=False`` and for blocks whose combined
-    population exceeds ``max_sieve_block``).
+    population exceeds ``max_sieve_block`` rows or ``max_sieve_elems``
+    elements — the embedding_near_dup memory model).
     """
     a = new_df.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
@@ -418,7 +437,13 @@ def embedding_match(
     import pandas as pd
 
     id_type = new_df.schema[id_col].dataType.simpleString()
-    thr = threshold - sieve_margin
+    # The exact pass keeps round4(cos) >= threshold, which (round
+    # half-up) admits RAW cosines down to threshold - 5e-5; the sieve
+    # must prune no tighter or pairs in [threshold-5e-5, threshold)
+    # that round up would be join-path-kept but sieve-dropped
+    # (round-8 advice, high).  5e-5 = the round4 quantum's half;
+    # sieve_margin covers BLAS-vs-sequential-fold summation noise.
+    thr = threshold - 5e-5 - sieve_margin
 
     def _gram_sieve(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": []})
@@ -446,9 +471,14 @@ def embedding_match(
     both = a.select("blk", F.col("id_a").alias("_id"), F.col("va").alias("_v"), F.lit(0).alias("_side")).unionByName(
         b.select("blk", F.col("id_b").alias("_id"), F.col("vb").alias("_v"), F.lit(1).alias("_side"))
     )
-    sizes = both.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
-    small_blocks = F.broadcast(sizes.filter(F.col("_n") <= max_sieve_block))
-    big_blocks = F.broadcast(sizes.filter(F.col("_n") > max_sieve_block))
+    sizes = both.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("_n"), F.max(F.size("_v")).alias("_d")
+    )
+    fits = (F.col("_n") <= max_sieve_block) & (
+        F.col("_n") * F.col("_d") <= max_sieve_elems
+    )
+    small_blocks = F.broadcast(sizes.filter(fits))
+    big_blocks = F.broadcast(sizes.filter(~fits))
     cand = (
         both.join(small_blocks, "blk", "left_semi")
         .groupBy("blk")
@@ -472,6 +502,31 @@ def embedding_match(
 
 # --- product quantization (IVF-PQ's compression half) -----------------------
 #
+def embedding_store_update(
+    store_df: DataFrame,
+    new_df: DataFrame,
+    block_col: str = "cell",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """APPLY a batch to the stored vector table: append the batch's
+    (cell, id, vector) rows — ALL of them, kept and dropped, the
+    :func:`dedup.minhash_store_update` asymmetry: near-dup matching is
+    not transitive, so a vector dropped as someone's duplicate must stay
+    in the store to witness the NEXT copy.  Folding N batches equals the
+    union's vector table, which keeps :func:`embedding_match`'s
+    batch-equivalence valid at every step (round-trip-tested).
+
+    The batch's ``block_col`` must come from the SAME frozen centroids
+    as the store (:func:`ivf_assign` against the stored centroid table)
+    — re-training centroids re-blocks the corpus and voids matching
+    parity; production re-trains offline and rebuilds the store layout
+    (:func:`ivf_write_layout`) in one job.
+    """
+    cols = [block_col, id_col, vec_col]
+    return store_df.select(*cols).unionByName(new_df.select(*cols))
+
+
 # PQ splits each D-dim vector into m subvectors and replaces every
 # subvector with the index of its nearest codeword in a per-subspace
 # codebook (ksub entries) — D floats become m small ints.  Queries score

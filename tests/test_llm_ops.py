@@ -270,11 +270,26 @@ def test_seq_packing_two_phase_equals_global_window(spark):
         [c.unpersist() for c in caches]
     # empty input survives the quantile + offset machinery
     assert T.pack_sequences(docs.limit(0), capacity=97).collect() == []
-    # non-numeric id: the two-phase path refuses loudly, the global twin works
+    # non-numeric id: an EXPLICIT two-phase request refuses loudly; the
+    # global twin and the "auto" default both take the global path
     sdocs = docs.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
     with pytest.raises(TypeError, match="numeric"):
-        T.pack_sequences(sdocs)
+        T.pack_sequences(sdocs, n_buckets=64)
     assert len(T.pack_sequences(sdocs, n_buckets=1).collect()) == docs.count()
+    assert len(T.pack_sequences(sdocs).collect()) == docs.count()
+    # "auto" (round 9): small corpus -> global window; forcing the
+    # threshold to 0 -> two-phase.  Both bit-identical to the global form.
+    assert sorted(T.pack_sequences(docs, capacity=97).collect()) == want
+    caches = []
+    got_auto = sorted(
+        T.pack_sequences(
+            docs, capacity=97, auto_threshold=0, caches=caches
+        ).collect()
+    )
+    assert got_auto == want, "auto->two-phase diverged from the global window"
+    [c.unpersist() for c in caches]
+    with pytest.raises(ValueError, match="auto"):
+        T.pack_sequences(docs, n_buckets="always")
 
 
 def test_kmeans_train_matches_reference(spark, sf_dir):
@@ -1131,6 +1146,62 @@ def test_embedding_near_dup_sieve_equals_join(spark):
         assert len(base) >= 24  # the planted duplicates are actually found
 
 
+def test_sieve_keeps_round4_boundary_pairs(spark):
+    """Round 9 (advice, high): the exact pass keeps round4(cos) >=
+    threshold, admitting RAW cosines down to threshold - 5e-5; the sieve
+    must prune no tighter.  A pair whose raw cosine sits in
+    [thr - 5e-5, thr - 1e-6) — kept by the join path because it rounds
+    up to thr — was dropped by the round-8 sieve's thr - 1e-6 prune."""
+    import math
+
+    from agile_lakehouse_spark.operators import similarity as S
+
+    thr = 0.9
+    raw = 0.899965  # rounds half-up to 0.9000 >= thr; > thr - 5e-5
+    ang = math.acos(raw)
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [math.cos(ang), math.sin(ang)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    base = S.embedding_near_dup(df, thr, block_col="label", sieve=False).collect()
+    assert len(base) == 1 and base[0]["cos"] == 0.9  # join path keeps it
+    got = S.embedding_near_dup(df, thr, block_col="label").collect()
+    assert got == base, "sieve dropped a round4-boundary pair the join keeps"
+    # bipartite form, same boundary
+    new = df.filter("vec_id = 1").withColumnRenamed("label", "cell")
+    old = df.filter("vec_id = 2").withColumnRenamed("label", "cell")
+    mbase = S.embedding_match(new, old, thr, sieve=False).collect()
+    mgot = S.embedding_match(new, old, thr).collect()
+    assert len(mbase) == 1 and mgot == mbase
+
+
+def test_sieve_elem_cap_dimension_aware(spark):
+    """Round 9 (advice): max_sieve_elems caps rows x dim — a wide-vector
+    block over the element cap must take the join fallback and still
+    return identical rows."""
+    import random
+
+    from agile_lakehouse_spark.operators import similarity as S
+
+    rnd = random.Random(9)
+    dim = 32
+    rows = [(i, 0, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(40)]
+    rows += [(i + 100, 0, [x * 1.5 for x in rows[i][2]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    base = S.embedding_near_dup(df, 0.9, block_col="label", sieve=False).collect()
+    # 50 rows x 32 dims = 1600 elements > 512 -> join fallback despite row cap
+    capped = S.embedding_near_dup(
+        df, 0.9, block_col="label", max_sieve_elems=512
+    ).collect()
+    assert capped == base
+    new = df.filter("vec_id < 50").withColumnRenamed("label", "cell")
+    old = df.filter("vec_id >= 100").withColumnRenamed("label", "cell")
+    mbase = S.embedding_match(new, old, 0.9, sieve=False).collect()
+    mcapped = S.embedding_match(new, old, 0.9, max_sieve_elems=512).collect()
+    assert mcapped == mbase and len(mbase) >= 10
+
+
 def test_minhash_incremental_equals_batch_filtered(spark, sf_dir):
     """Round 8: incremental dedup (new batch vs stored corpus signature
     table) must equal the BATCH pipeline over the union restricted to
@@ -1189,6 +1260,130 @@ def test_exact_dedup_incremental_corpus_wins(spark):
         3: (2, False),
         20: (12, False),  # seen text -> corpus keeper
     }
+
+
+def test_store_update_roundtrip_trio(spark, sf_dir):
+    """Round 9: the store-MAINTENANCE half of the incremental trio.  For
+    each op, folding N batches through its *_store_update (ids increasing
+    across batches) must land in exactly the state one batch run over the
+    union produces — and the per-batch keep decisions must concatenate to
+    the batch pipeline's survivor set."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.operators import similarity as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(240)
+    # plant exact dups crossing every batch boundary
+    clones = docs.filter(F.col("doc_id") % 37 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    full = docs.select("doc_id", "text").unionByName(clones).persist()
+    ids = sorted(r.doc_id for r in full.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    batches = [
+        full.filter(F.col("doc_id") <= cut1),
+        full.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        full.filter(F.col("doc_id") > cut2),
+    ]
+
+    # --- exact: folded store == exact_dedup_store(union) ------------------
+    store = dedup.exact_dedup_store(batches[0])
+    for b in batches[1:]:
+        store = dedup.exact_dedup_store_update(store, b)
+    want = sorted(map(tuple, dedup.exact_dedup_store(full).collect()))
+    got = sorted(map(tuple, store.collect()))
+    assert got == want, "exact store round trip != union store"
+
+    # --- minhash: folded sig store == signatures(union); folded keeps ----
+    sig_store = dedup.minhash_signatures(batches[0])
+    kept: set[int] = {r.doc_id for r in batches[0].select("doc_id").collect()}
+    kept -= {
+        r.id_b for r in dedup.minhash_near_dup(batches[0]).collect()
+    }  # batch 0 = plain batch dedup
+    for b in batches[1:]:
+        sigs = dedup.minhash_signatures(b)
+        pairs = dedup.minhash_incremental_pairs(
+            b, sig_store, persist_sigs=False, new_sigs=sigs
+        )
+        kept |= {r.doc_id for r in b.select("doc_id").collect()}
+        kept -= {r.id_b for r in pairs.collect()}
+        sig_store = dedup.minhash_store_update(sig_store, sigs)
+    want_sigs = sorted(map(tuple, dedup.minhash_signatures(full).collect()))
+    assert sorted(map(tuple, sig_store.collect())) == want_sigs
+    batch_kept = {r.doc_id for r in full.select("doc_id").collect()} - {
+        r.id_b for r in dedup.minhash_near_dup(full).collect()
+    }
+    assert kept == batch_kept, "incremental minhash keeps != batch keeps"
+
+    # --- embedding: folded vector store == union; folded keeps ------------
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(150)
+        .withColumn("cell", (F.col("vec_id") % 4).cast("int"))
+        .persist()
+    )
+    vids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    vc1, vc2 = vids[len(vids) // 3], vids[2 * len(vids) // 3]
+    vbatches = [
+        emb.filter(F.col("vec_id") <= vc1),
+        emb.filter((F.col("vec_id") > vc1) & (F.col("vec_id") <= vc2)),
+        emb.filter(F.col("vec_id") > vc2),
+    ]
+    thr = 0.9
+    vstore = vbatches[0]
+    vkept = {r.vec_id for r in vbatches[0].select("vec_id").collect()} - {
+        r.id_b
+        for r in S.embedding_near_dup(vbatches[0], thr, block_col="cell").collect()
+    }
+    for b in vbatches[1:]:
+        within = S.embedding_near_dup(b, thr, block_col="cell")
+        cross = S.embedding_match(b, vstore, thr, block_col="cell")
+        vkept |= {r.vec_id for r in b.select("vec_id").collect()}
+        vkept -= {r.id_b for r in within.collect()}
+        vkept -= {r.vec_id for r in cross.collect()}
+        vstore = S.embedding_store_update(vstore, b)
+    want_vecs = sorted(
+        (r.cell, r.vec_id) for r in emb.select("cell", "vec_id").collect()
+    )
+    assert sorted((r.cell, r.vec_id) for r in vstore.collect()) == want_vecs
+    batch_vkept = {r.vec_id for r in emb.select("vec_id").collect()} - {
+        r.id_b for r in S.embedding_near_dup(emb, thr, block_col="cell").collect()
+    }
+    assert vkept == batch_vkept, "incremental embedding keeps != batch keeps"
+    full.unpersist()
+    emb.unpersist()
+
+
+def test_curate_corpus_incremental_equals_batch(spark, sf_dir):
+    """Round 9: N batches through curate_corpus_incremental (ids increasing
+    across batches, static test split) concatenate to exactly one
+    curate_corpus run over the union — the dq124b contract."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.operators.pipeline import (
+        curate_corpus,
+        curate_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = [r.doc_id for r in curate_corpus(docs).collect()]
+
+    test_df = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    ids = sorted(r.doc_id for r in train.select("doc_id").collect())
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    batches = [
+        train.filter(F.col("doc_id") <= cut1),
+        train.filter((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)),
+        train.filter(F.col("doc_id") > cut2),
+    ]
+    got, state, caches = [], None, []
+    for b in batches:
+        out, state = curate_corpus_incremental(b, test_df, state, caches=caches)
+        got.extend(r.doc_id for r in out.collect())
+    assert sorted(got) == want, "incremental pipeline != batch pipeline"
+    [c.unpersist() for c in caches]
 
 
 def test_embedding_match_sieve_equals_join(spark):
