@@ -191,16 +191,24 @@ def curate_corpus_incremental(
 
         warnings.warn(
             "curate_corpus_incremental(caches=None) persists the batch's "
-            "post-exact survivor frame it cannot unpersist (lazy return); "
-            "pass a caches= list and unpersist after materializing",
+            "post-exact survivor frame and its signature table, which it "
+            "cannot unpersist (lazy return); pass a caches= list and "
+            "unpersist after materializing",
             ResourceWarning,
             stacklevel=2,
         )
     else:
         caches.append(s1)
 
-    # near-dup stage: ONE signature pass feeds both the matcher and the store
-    sigs = dedup.minhash_signatures(s1.select(id_col, text_col), shingle_k, text_col=text_col, id_col=id_col)
+    # near-dup stage: ONE signature pass feeds the matcher's several plan
+    # branches (bucket probe, est-jaccard expansion, identity joins), the
+    # sig store, AND the next batch's probe against that store — persist
+    # it here (persist_sigs=False below: already persisted)
+    sigs = dedup.minhash_signatures(
+        s1.select(id_col, text_col), shingle_k, text_col=text_col, id_col=id_col
+    ).persist()
+    if caches is not None:
+        caches.append(sigs)
     pairs = dedup.minhash_incremental_pairs(
         s1.select(id_col, text_col),
         state["sigs"],
@@ -208,7 +216,7 @@ def curate_corpus_incremental(
         threshold=near_dup_threshold,
         text_col=text_col,
         id_col=id_col,
-        persist_sigs=False,  # sigs is shared below; persist s1 covers reuse
+        persist_sigs=False,
         new_sigs=sigs,
     )
     drop_near = pairs.select(F.col("id_b").alias(id_col)).distinct()

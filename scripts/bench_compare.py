@@ -1,0 +1,81 @@
+"""Noise-normalized cross-round bench comparison.
+
+Usage:
+    python scripts/bench_compare.py BENCH_r08.json BENCH_LATEST.json
+
+Rounds 5-8 kept flagging phantom per-entry regressions because the box's
+in-session noise floor (measured by bench.py's post-suite probe rerun:
+median ~15%, max ~18% relative; ~0.1-0.8 s absolute) exceeds most
+entry-to-entry deltas.  This tool reads two bench artifacts (either the
+driver's BENCH_r*.json wrapper with a "parsed" field, or bench.py's
+sidecar schema) and classifies each common entry:
+
+- REGRESSED / IMPROVED: |delta| exceeds BOTH the relative noise band and
+  the absolute jitter floor — worth a plan diff;
+- noise: inside the band — reported only in aggregate.
+
+The noise band comes from the NEWER artifact's recorded protocol
+(probe_spread_max / probe_delta_max_s) when present (bench.py schema 3,
+round 9+), else the conservative defaults measured in round 9.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+DEFAULT_REL_BAND = 0.20  # round-9 measured probe_spread_max ~0.18
+DEFAULT_ABS_FLOOR = 0.3  # seconds; round-9 probe_delta on sub-second entries
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        d = json.load(fh)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no queries payload")
+    return d
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    proto = new.get("protocol", {})
+    rel_band = max(proto.get("probe_spread_max", 0.0), DEFAULT_REL_BAND)
+    abs_floor = max(proto.get("probe_delta_max_s", 0.0), DEFAULT_ABS_FLOOR)
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    moved, noise_deltas = [], []
+    for name in common:
+        a, b = old["queries"][name], new["queries"][name]
+        if a <= 0:
+            continue
+        delta, ratio = b - a, b / a
+        if abs(delta) > abs_floor and abs(ratio - 1.0) > rel_band:
+            moved.append((name, a, b, ratio))
+        else:
+            noise_deltas.append(ratio)
+    print(
+        f"{len(common)} common entries; noise band: ±{rel_band:.0%} rel "
+        f"AND ±{abs_floor:.2f}s abs (from {'recorded protocol' if proto else 'defaults'})"
+    )
+    if noise_deltas:
+        noise_deltas.sort()
+        med = noise_deltas[len(noise_deltas) // 2]
+        print(
+            f"{len(noise_deltas)} entries inside the band (median ratio "
+            f"{med:.2f}x — a uniform shift here is box drift, not the engine)"
+        )
+    for name, a, b, ratio in sorted(moved, key=lambda m: -abs(m[3] - 1)):
+        tag = "REGRESSED" if ratio > 1 else "IMPROVED "
+        print(f"{tag} {name}: {a:.2f}s -> {b:.2f}s ({ratio:.2f}x)")
+    if not moved:
+        print("no entry moved beyond the noise band")
+    for key in ("value", "core_total", "tail_total"):
+        if key in old or key in new:
+            print(f"{key}: {old.get(key, '—')} -> {new.get(key, '—')}")
+
+
+if __name__ == "__main__":
+    main()
