@@ -1433,7 +1433,24 @@ def test_incremental_ops_plan_shapes(spark, sf_dir):
             tagged.filter("vec_id % 5 = 0"), tagged.filter("vec_id % 5 != 0")
         ),
     }
+    # round 9: the store-MAINTENANCE half and the end-to-end ingest must
+    # hold the same shape (unions + key joins, never a cartesian)
+    plans["exact_store"] = dedup.exact_dedup_store_update(
+        dedup.exact_dedup_store(old_d), new_d
+    )
+    plans["embedding_store"] = similarity.embedding_store_update(
+        tagged.filter("vec_id % 5 != 0"), tagged.filter("vec_id % 5 = 0")
+    )
+    from agile_lakehouse_spark.operators.pipeline import curate_corpus_incremental
+
+    caches: list = []
+    surv, state = curate_corpus_incremental(
+        new_d, docs.limit(20), caches=caches
+    )
+    plans["curate_incremental"] = surv
+    plans["curate_state_sigs"] = state["sigs"]
     for name, df in plans.items():
         plan = explain.formatted_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
+    [c.unpersist() for c in caches]
