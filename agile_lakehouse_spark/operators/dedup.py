@@ -197,6 +197,10 @@ def exact_dedup_store_update(
 
     Cost: one hash agg over the batch + one anti-join on the text key
     against the store — never a scan of the old corpus's documents.
+    At a 10 B-row store the anti-join's store-side EXCHANGE becomes the
+    bill: persist the store BUCKETED on the text key (the dq160
+    co-located-join layout) so only the batch side shuffles; the union
+    then appends the novel rows as new files in their buckets.
     """
     newmin = new_df.groupBy(text_col).agg(
         F.min(id_col).cast("bigint").alias("keep_id")

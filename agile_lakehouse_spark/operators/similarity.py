@@ -521,7 +521,10 @@ def embedding_store_update(
     as the store (:func:`ivf_assign` against the stored centroid table)
     — re-training centroids re-blocks the corpus and voids matching
     parity; production re-trains offline and rebuilds the store layout
-    (:func:`ivf_write_layout`) in one job.
+    (:func:`ivf_write_layout`) in one job.  Persist the store
+    PARTITIONED by cell (that same layout) so :func:`embedding_match`'s
+    block join prunes to the batch's cells at the file level and the
+    append lands each batch's vectors in their cell directories.
     """
     cols = [block_col, id_col, vec_col]
     return store_df.select(*cols).unionByName(new_df.select(*cols))

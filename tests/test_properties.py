@@ -605,3 +605,39 @@ def test_duplicate_spans_match_python_model(spark, docs, L):
         for r_ in run:
             want.append((i, r_[0], r_[-1] + L, len(r_)))
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=6), min_size=1, max_size=30
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=29), min_size=1, max_size=2),
+)
+def test_exact_store_roundtrip_model(spark, texts, cuts):
+    """Round 9: folding id-increasing batches through
+    exact_dedup_store_update must equal exact_dedup_store over the union
+    for ANY text multiset and ANY split points — the dq21j contract
+    checked against a plain-dict reference model (tiny alphabet forces
+    heavy duplicate collisions)."""
+    from agile_lakehouse_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bounds = sorted(set(min(c, len(rows)) for c in cuts))
+    batches, lo = [], 0
+    for b in bounds + [len(rows)]:
+        if b > lo:
+            batches.append(df.filter(f"doc_id >= {lo} AND doc_id < {b}"))
+            lo = b
+    if not batches:
+        return
+    store = dedup.exact_dedup_store(batches[0])
+    for batch in batches[1:]:
+        store = dedup.exact_dedup_store_update(store, batch)
+    got = sorted(map(tuple, store.collect()))
+    model: dict[str, int] = {}
+    for i, t in rows:
+        model.setdefault(t, i)  # first occurrence = min id (ids increase)
+    want = sorted((t, k) for t, k in model.items())
+    assert got == want
