@@ -94,6 +94,37 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert explain.num_shuffles(joined) == 0, explain.formatted_plan(joined)
 
 
+def test_exact_store_update_bucketed_saves_store_exchange(spark, sf_dir):
+    """Round 9: the exact_dedup_store_update docstring's 100 TB claim,
+    pinned — a store persisted BUCKETED on the text key joins the batch
+    anti-join without shuffling the store (fewer Exchanges than the
+    plain-parquet store), and the result is identical."""
+    from agile_lakehouse_spark.operators import dedup
+    from agile_lakehouse_spark.plans import bucketing
+    from agile_lakehouse_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_d = docs.filter("doc_id % 4 != 0").select("doc_id", "text")
+    new_d = docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+    store = dedup.exact_dedup_store(old_d)
+    bucketing.write_bucketed(store, "store_b", ["text"], num_buckets=4, sort_cols=["text"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the exchange count reflects layout, not table size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = dedup.exact_dedup_store_update(store, new_d)
+        bucketed = dedup.exact_dedup_store_update(spark.table("store_b"), new_d)
+        assert explain.num_shuffles(bucketed) < explain.num_shuffles(plain), (
+            explain.formatted_plan(bucketed)
+        )
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS store_b")
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     from agile_lakehouse_spark.plans.skew import salted_join
     from agile_lakehouse_spark.sources.catalog import load_table
