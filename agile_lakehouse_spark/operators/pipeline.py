@@ -134,7 +134,10 @@ def curate_corpus_incremental(
 
     Returns ``(survivors, new_state)``.  ``state`` carries two frames a
     production job persists between batches (a lakehouse table each —
-    plans/snapshots.py):
+    plans/snapshots.py); the returned frames are ALSO ``.persist()``-ed
+    here (registered in ``caches``) so in-session multi-batch callers
+    don't recompute every prior batch's pipeline inside each later
+    batch's store join (quadratic lineage — round-9 advice):
 
     - ``"fps"``   — (norm_fp, keep_id): the normalized-fingerprint exact
       store.  One representative per fp exists, so storing survivors'
@@ -229,8 +232,16 @@ def curate_corpus_incremental(
         .join(contam, id_col, "left_anti")
         .orderBy(id_col)
     )
+    # Persist the RETURNED state frames too (round-9 advice): they chain a
+    # union per batch, so an un-persisted store's lineage re-runs every
+    # prior batch's quality/normalize/signature pipeline inside every
+    # later batch — quadratic in batch count.  Persisted here, each
+    # batch's store reads the previous batch's cached store plus one new
+    # delta; registered in ``caches`` under the same lifetime contract.
     new_state = {
-        "fps": state["fps"].unionByName(novel),
-        "sigs": dedup.minhash_store_update(state["sigs"], sigs),
+        "fps": state["fps"].unionByName(novel).persist(),
+        "sigs": dedup.minhash_store_update(state["sigs"], sigs).persist(),
     }
+    if caches is not None:
+        caches.extend([new_state["fps"], new_state["sigs"]])
     return survivors, new_state

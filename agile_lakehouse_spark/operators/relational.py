@@ -2156,7 +2156,10 @@ def array_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     set algebra (union/intersect/except), membership, position, slicing,
     flatten — every array OUTPUT is sorted first, because Spark's set
     operations preserve first-seen order while DuckDB's preserve theirs:
-    unordered-set results must never be compared as ordered lists."""
+    unordered-set results must never be compared as ordered lists.
+    Array outputs are then serialized with ``array_join`` (dq29 pattern)
+    so every top-level column is scalar — the driver's pandas
+    canonicalizer cannot hash list-valued cells."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     per_user = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
@@ -2164,13 +2167,19 @@ def array_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed = F.array(F.lit("view"), F.lit("click"), F.lit("order"))
     return per_user.select(
         "user_id",
-        F.col("types"),
-        F.sort_array(F.array_union(F.col("types"), fixed)).alias("union_fixed"),
-        F.sort_array(F.array_intersect(F.col("types"), fixed)).alias("intersect_fixed"),
-        F.sort_array(F.array_except(F.col("types"), fixed)).alias("except_fixed"),
+        F.array_join(F.col("types"), ",").alias("types_csv"),
+        F.array_join(
+            F.sort_array(F.array_union(F.col("types"), fixed)), ","
+        ).alias("union_fixed"),
+        F.array_join(
+            F.sort_array(F.array_intersect(F.col("types"), fixed)), ","
+        ).alias("intersect_fixed"),
+        F.array_join(
+            F.sort_array(F.array_except(F.col("types"), fixed)), ","
+        ).alias("except_fixed"),
         F.array_contains(F.col("types"), "purchase").alias("has_purchase"),
         F.array_position(F.col("types"), "click").cast("bigint").alias("click_pos"),
-        F.slice(F.col("types"), 1, 2).alias("first_two"),
+        F.array_join(F.slice(F.col("types"), 1, 2), ",").alias("first_two"),
         F.size(F.flatten(F.array(F.col("types"), fixed))).cast("bigint").alias("flat_size"),
     ).orderBy("user_id")
 

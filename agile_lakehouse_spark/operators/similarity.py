@@ -1080,6 +1080,128 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_update(
+    new_df: DataFrame,
+    centroids: DataFrame,
+    state: dict[str, DataFrame] | None = None,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    caches: list | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """One INGEST STEP of :func:`semantic_dedup` — the semantic member of
+    the incremental-store family (:func:`dedup.exact_dedup_store_update`,
+    :func:`dedup.minhash_store_update`, :func:`embedding_store_update`),
+    closing the trio's missing corner: cluster-level dedup with state.
+
+    Returns ``(assign, new_state)`` where ``assign`` covers EVERY vector
+    seen so far with the same (cell, grp, kept) columns as the batch
+    operator, and ``new_state`` carries two frames a production job
+    persists between batches:
+
+    - ``"vectors"`` — (cell, id, vector) for ALL seen vectors, kept and
+      dropped (near-dup is not transitive; a dropped vector must witness
+      the next copy — the embedding_store_update contract).
+    - ``"assign"``  — the current (id, cell, grp, kept) table.
+
+    Why folding batches equals :func:`semantic_dedup` on the union
+    (equivalence-tested; dq148b gates a 2-batch split against the SAME
+    oracle SQL as dq148): pairs only form within a cell, so components
+    are cell-contained, and a batch can only change components in the
+    cells it touches (the DIRTY cells).  Per batch we re-solve exactly
+    those cells: edges = bipartite batch-vs-store pairs
+    (:func:`embedding_match`, gram-sieved), within-batch pairs, plus one
+    STRUCTURAL edge id→grp per old dirty-cell member — the star to its
+    old representative preserves the old component's connectivity
+    without re-scoring any old-old pair.  Min-label CC over that edge
+    set yields the union's components on dirty cells (merges included:
+    a new vector bridging two old groups relabels both to the smaller
+    representative, exactly as the batch run would); clean cells pass
+    through untouched.  Centroids must stay FROZEN across batches
+    (re-training re-blocks the corpus and voids the cell-containment
+    argument — production re-trains offline and rebuilds, the
+    embedding_store_update contract).  Unlike the exact store, ids need
+    NOT increase across batches: CC recomputes the true min id over
+    every merged component, so the representative is order-independent.
+
+    Scale shape: the batch never joins the clean-cell corpus (the dirty
+    semi-join prunes at the partition level when the store is written
+    partitionBy(cell)); per-batch cost is the bipartite sieve within
+    shared cells — linear in dirty-cell population, the honest
+    embedding_match ladder story.  State frames are persisted HERE
+    (registered in ``caches``) so lineage does not compound across
+    batches (the curate_corpus_incremental round-9 advice).
+    """
+    from agile_lakehouse_spark.operators import graph
+
+    if caches is None:
+        import warnings
+
+        warnings.warn(
+            "semantic_dedup_update(caches=None) persists state frames it "
+            "cannot unpersist (lazy return); pass a caches= list and "
+            "unpersist after the final batch materializes",
+            ResourceWarning,
+            stacklevel=2,
+        )
+
+    def _register(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if caches is not None:
+            caches.append(df)
+        return df
+
+    new_assigned = ivf_assign(new_df, centroids, vec_col, id_col)
+    tagged_new = _register(
+        new_df.join(new_assigned, id_col).select(
+            F.col("cell").cast("bigint").alias("cell"), F.col(id_col), F.col(vec_col)
+        )
+    )
+
+    if state is None:
+        assign = _register(
+            semantic_dedup(
+                new_df, centroids, threshold, vec_col, id_col,
+                persist_cells=False,  # tagged_new already persists the assignment
+            )
+        )
+        return assign, {"vectors": tagged_new, "assign": assign}
+
+    vectors, old_assign = state["vectors"], state["assign"]
+    dirty = tagged_new.select("cell").distinct()  # ≤ m rows — broadcast side
+    store_dirty = vectors.join(F.broadcast(dirty), "cell")
+    old_dirty = old_assign.join(F.broadcast(dirty), "cell")
+
+    cross_pairs = embedding_match(
+        tagged_new, store_dirty, threshold,
+        block_col="cell", vec_col=vec_col, id_col=id_col,
+    ).select(F.col(id_col).alias("id_a"), F.col("match_id").alias("id_b"))
+    within_pairs = embedding_near_dup(
+        tagged_new, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
+    ).select("id_a", "id_b")
+    old_edges = old_dirty.filter(F.col("grp") != F.col(id_col)).select(
+        F.col(id_col).alias("id_a"), F.col("grp").alias("id_b")
+    )
+    edges = cross_pairs.unionByName(within_pairs).unionByName(old_edges)
+    comps = graph.connected_components(edges, src="id_a", dst="id_b", id_col=id_col)
+
+    dirty_ids = old_dirty.select(id_col, "cell").unionByName(
+        tagged_new.select(id_col, "cell")
+    )
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    dirty_assign = dirty_ids.join(comps, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell").cast("bigint").alias("cell"),
+        rep.cast("bigint").alias("grp"),
+        (rep == F.col(id_col)).alias("kept"),
+    )
+    assign = _register(
+        old_assign.join(F.broadcast(dirty), "cell", "left_anti").unionByName(dirty_assign)
+    )
+    new_vectors = _register(vectors.unionByName(tagged_new))
+    return assign, {"vectors": new_vectors, "assign": assign}
+
+
 def cosine_topk_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -228,6 +228,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_buckets: int | str = "auto",
     auto_threshold: int = 20_000_000,
+    approx_rows: int | None = None,
     caches: list | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing (DQ47): assign docs, in id order,
@@ -264,22 +265,46 @@ def pack_sequences(
     bucket-sum action and the final plan — pass ``caches`` to unpersist
     after materializing (the lm_fluency lifetime discipline).
 
-    ``n_buckets="auto"`` (round 9, the default): one cheap row ``count()``
-    picks the global window below ``auto_threshold`` rows and 64 buckets
-    above — the SCALE.md ladder measured the crossover at ~20-50 M docs
-    on local[32] (two-phase fixed costs: sketch pass + bucket-sum action
-    + persist; 7.6 s vs 1.1 s at 0.5 M docs), so small corpora stop
-    paying ~7x for scale insurance.  Non-numeric ids under "auto" take
-    the global path instead of raising (the explicit-request contract is
-    unchanged).  Both paths are bit-identical (equivalence-tested), so
-    the choice never moves a result.
+    ``n_buckets="auto"`` (round 9, the default): pick the global window
+    below ``auto_threshold`` rows and 64 buckets above — the SCALE.md
+    ladder measured the crossover at ~20-50 M docs on local[32]
+    (two-phase fixed costs: sketch pass + bucket-sum action + persist;
+    7.6 s vs 1.1 s at 0.5 M docs), so small corpora stop paying ~7x for
+    scale insurance.  The row estimate (round 10 — an eager ``count()``
+    here double-evaluated expensive upstreams) NEVER runs a job: callers
+    that know their corpus pass ``approx_rows``; otherwise the Catalyst
+    optimized-plan row-count statistic is used when defined, else
+    ``sizeInBytes`` over a deliberately LOW 64 bytes/row floor.  File
+    sources always report a real size; RDD-backed frames
+    (``createDataFrame`` locals) report UNKNOWN (Long.MaxValue), which
+    lands on two-phase.  Both the floor and the unknown case err toward
+    the two-phase path (a few seconds of fixed cost on a mid-size
+    corpus) and never toward funneling a huge corpus through one window
+    task — and both paths are bit-identical (equivalence-tested), so a
+    misestimate can only move seconds, never a result.  (The two-phase
+    path itself still runs its quantile-sketch + bucket-sum actions at
+    CALL time — unchanged since round 9 — so callers with expensive
+    upstreams who want full laziness pass a small ``approx_rows`` or
+    ``n_buckets=1``.)  Non-numeric ids under "auto" take the global path
+    instead of raising (the explicit-request contract is unchanged).
     """
     from pyspark.sql.types import NumericType
     from pyspark.sql.window import Window as W
 
     if n_buckets == "auto":
         numeric = isinstance(df.schema[id_col].dataType, NumericType)
-        n_buckets = 64 if numeric and df.count() >= auto_threshold else 1
+        if not numeric:
+            n_buckets = 1
+        else:
+            est = approx_rows
+            if est is None:
+                stats = df._jdf.queryExecution().optimizedPlan().stats()
+                rc = stats.rowCount()
+                if rc.isDefined():
+                    est = int(str(rc.get()))
+                else:
+                    est = int(str(stats.sizeInBytes())) // 64
+            n_buckets = 64 if est >= auto_threshold else 1
     elif isinstance(n_buckets, str):
         raise ValueError(f"n_buckets must be an int or 'auto', got {n_buckets!r}")
 

@@ -5,18 +5,24 @@ Usage:
 
 Rounds 5-8 kept flagging phantom per-entry regressions because the box's
 in-session noise floor (measured by bench.py's post-suite probe rerun:
-median ~15%, max ~18% relative; ~0.1-0.8 s absolute) exceeds most
-entry-to-entry deltas.  This tool reads two bench artifacts (either the
-driver's BENCH_r*.json wrapper with a "parsed" field, or bench.py's
-sidecar schema) and classifies each common entry:
+r09 sidecar — relative spread median 0.107, max 0.29 on a 1.1 s probe;
+absolute delta up to ~0.69 s) exceeds most entry-to-entry deltas.  This
+tool reads two bench artifacts (either the driver's BENCH_r*.json
+wrapper with a "parsed" field, or bench.py's sidecar schema) and
+classifies each common entry PER ENTRY (bench.py's own stated rule —
+deltas under ``max(probe_delta_max, ~10% of mean)`` are noise):
 
-- REGRESSED / IMPROVED: |delta| exceeds BOTH the relative noise band and
-  the absolute jitter floor — worth a plan diff;
+- REGRESSED / IMPROVED: |delta| > max(abs jitter floor,
+  rel_band * old mean) — worth a plan diff.  The relative band is the
+  probe-spread MEDIAN, not the max: the max is driven by the sub-second
+  jitter floor, and applying it globally AND-ed with the absolute floor
+  masked genuine ~25% regressions on multi-second entries (round-9
+  advice).  The absolute floor alone absorbs the sub-second jitter.
 - noise: inside the band — reported only in aggregate.
 
-The noise band comes from the NEWER artifact's recorded protocol
-(probe_spread_max / probe_delta_max_s) when present (bench.py schema 3,
-round 9+), else the conservative defaults measured in round 9.
+Thresholds come from the NEWER artifact's recorded protocol
+(probe_spread_median / probe_delta_max_s) when present (bench.py schema
+3, round 9+), else the round-9 sidecar's measured values.
 """
 
 from __future__ import annotations
@@ -24,8 +30,8 @@ from __future__ import annotations
 import json
 import sys
 
-DEFAULT_REL_BAND = 0.20  # round-9 measured probe_spread_max ~0.18
-DEFAULT_ABS_FLOOR = 0.3  # seconds; round-9 probe_delta on sub-second entries
+DEFAULT_REL_BAND = 0.11  # r09 sidecar probe_spread_median 0.107
+DEFAULT_ABS_FLOOR = 0.69  # seconds; r09 sidecar probe_delta_max_s 0.687
 
 
 def load(path: str) -> dict:
@@ -43,7 +49,7 @@ def main() -> None:
         raise SystemExit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
     proto = new.get("protocol", {})
-    rel_band = max(proto.get("probe_spread_max", 0.0), DEFAULT_REL_BAND)
+    rel_band = max(proto.get("probe_spread_median", 0.0), DEFAULT_REL_BAND)
     abs_floor = max(proto.get("probe_delta_max_s", 0.0), DEFAULT_ABS_FLOOR)
     common = sorted(set(old["queries"]) & set(new["queries"]))
     moved, noise_deltas = [], []
@@ -52,13 +58,14 @@ def main() -> None:
         if a <= 0:
             continue
         delta, ratio = b - a, b / a
-        if abs(delta) > abs_floor and abs(ratio - 1.0) > rel_band:
+        if abs(delta) > max(abs_floor, rel_band * a):
             moved.append((name, a, b, ratio))
         else:
             noise_deltas.append(ratio)
     print(
-        f"{len(common)} common entries; noise band: ±{rel_band:.0%} rel "
-        f"AND ±{abs_floor:.2f}s abs (from {'recorded protocol' if proto else 'defaults'})"
+        f"{len(common)} common entries; per-entry noise band: "
+        f"max(±{abs_floor:.2f}s, ±{rel_band:.0%} of old mean) "
+        f"(from {'recorded protocol' if proto else 'defaults'})"
     )
     if noise_deltas:
         noise_deltas.sort()

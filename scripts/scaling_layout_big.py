@@ -183,19 +183,31 @@ def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
             out["grid_band_s"] = band_times
             out["grid_pts_per_s"] = round(n / grid_s)
 
-        # --- quadtree(depth 3) in five cell-aligned bands ----------------
-        # importance cuts (framework.rs:169-219): levels 0-2 hold
-        # i < 21/85 of the mass; level 3 the rest, x-banded at 256
-        # (a multiple of the level-3 cell edge 1024/8 = 128).
-        cut = 21.0 / 85.0
+        # --- quadtree(depth 3) in seven cell-aligned bands ---------------
+        # importance cuts (framework.rs:169-219): cumulative cell counts
+        # 1/5/21/85 make the level slabs i ∈ [0,1/85) / [1/85,5/85) /
+        # [5/85,21/85) / [21/85,1).  Round 9 ran levels 0-2 as ONE band
+        # (494 M rows at 2 B) and it cost 2-2.5x the per-row rate of the
+        # 376 M level-3 bands — 39-53% of every run (r9 verdict item 4).
+        # Round 10 splits it by LEVEL: levels 0-1 (5/85 ≈ 118 M) as one
+        # band, level 2 (16/85 ≈ 376 M) as two x-bands at 512 (level-2
+        # cell edge is 1024/4 = 256, so 512 is cell-aligned); level 3
+        # stays x-banded at 256 (cell edge 128).  Every band is now
+        # ≤ 376 M rows, the steady-state shuffle size.
+        cut_l2, cut_l3 = 5.0 / 85.0, 21.0 / 85.0
         out["qt_cache_dropped"] = _drop_caches() if "qt" in want else None
         out["qt_meminfo_before"] = _meminfo()
         qt_s = qt_convert_s = 0.0
         total_rows = 0
         band_times = []
-        bands = [pts.filter(F.col("i") < cut)] + [
+        l2 = (F.col("i") >= cut_l2) & (F.col("i") < cut_l3)
+        bands = [
+            pts.filter(F.col("i") < cut_l2),
+            pts.filter(l2 & (F.col("x") < 512.0)),
+            pts.filter(l2 & (F.col("x") >= 512.0)),
+        ] + [
             pts.filter(
-                (F.col("i") >= cut) & (F.col("x") >= lo) & (F.col("x") < lo + 256.0)
+                (F.col("i") >= cut_l3) & (F.col("x") >= lo) & (F.col("x") < lo + 256.0)
             )
             for lo in (0.0, 256.0, 512.0, 768.0)
         ]

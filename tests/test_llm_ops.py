@@ -243,7 +243,7 @@ def test_seq_packing_bins_are_monotone_and_tight(spark):
     assert bins == [(30 * i) // 100 for i in range(20)]
 
 
-def test_seq_packing_two_phase_equals_global_window(spark):
+def test_seq_packing_two_phase_equals_global_window(spark, tmp_path):
     """The scale-safe two-phase form (quantile id-buckets -> driver
     prefix-sum -> bucket-local cumsum + offset) must be bit-identical to
     the single global window at ANY input partitioning, including bucket
@@ -277,8 +277,9 @@ def test_seq_packing_two_phase_equals_global_window(spark):
         T.pack_sequences(sdocs, n_buckets=64)
     assert len(T.pack_sequences(sdocs, n_buckets=1).collect()) == docs.count()
     assert len(T.pack_sequences(sdocs).collect()) == docs.count()
-    # "auto" (round 9): small corpus -> global window; forcing the
-    # threshold to 0 -> two-phase.  Both bit-identical to the global form.
+    # "auto" (round 9/10): RDD-backed locals have UNKNOWN plan stats ->
+    # scale-safe two-phase; forcing the threshold to 0 -> two-phase too.
+    # Both bit-identical to the global form.
     assert sorted(T.pack_sequences(docs, capacity=97).collect()) == want
     caches = []
     got_auto = sorted(
@@ -290,6 +291,41 @@ def test_seq_packing_two_phase_equals_global_window(spark):
     [c.unpersist() for c in caches]
     with pytest.raises(ValueError, match="auto"):
         T.pack_sequences(docs, n_buckets="always")
+    # round 10: "auto" decides from plan statistics (or approx_rows), never
+    # an eager count() (the r9 advice: the count double-evaluated expensive
+    # upstreams at call time).  When the decision lands on the GLOBAL path,
+    # the call runs ZERO jobs — fully lazy.
+    tracker = spark.sparkContext.statusTracker()
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    bus.waitUntilEmpty()  # status tracker is listener-fed: drain prior jobs
+    before = len(tracker.getJobIdsForGroup())
+    T.pack_sequences(docs, capacity=97, approx_rows=300)  # lazy, discarded
+    bus.waitUntilEmpty()
+    assert len(tracker.getJobIdsForGroup()) == before, "known-small ran a job"
+    # file sources report a real size: small parquet corpus -> global
+    # window, zero call-time jobs
+    pq = str(tmp_path / "docs_pq")
+    docs.write.mode("overwrite").parquet(pq)
+    fdocs = spark.read.parquet(pq)
+    bus.waitUntilEmpty()
+    before = len(tracker.getJobIdsForGroup())
+    T.pack_sequences(fdocs, capacity=97)  # lazy, discarded
+    bus.waitUntilEmpty()
+    assert len(tracker.getJobIdsForGroup()) == before, "parquet-small ran a job"
+    # UNKNOWN stats (RDD-backed local) land on the scale-safe two-phase
+    # path: the persisted bucket table registers in caches at call time
+    caches = []
+    lazy_unknown = T.pack_sequences(docs, capacity=97, caches=caches)
+    assert caches, "unknown-stats input should choose two-phase"
+    assert sorted(lazy_unknown.collect()) == want
+    [c.unpersist() for c in caches]
+    # callers that know their corpus force the two-phase path via approx_rows
+    caches = []
+    got_big = sorted(
+        T.pack_sequences(docs, capacity=97, approx_rows=10**9, caches=caches).collect()
+    )
+    assert got_big == want and caches, "approx_rows didn't select two-phase"
+    [c.unpersist() for c in caches]
 
 
 def test_kmeans_train_matches_reference(spark, sf_dir):
@@ -851,6 +887,81 @@ def test_semantic_dedup_groups_and_reps(spark):
     assert out[0]["kept"] and out[0]["grp"] == 0
     assert not out[1]["kept"] and out[1]["grp"] == 0
     assert out[2]["kept"] and out[2]["grp"] == 2
+
+
+def test_semantic_dedup_update_merges_old_groups(spark):
+    """Round 10: a batch-2 vector that bridges two batch-1 singletons must
+    MERGE them — the old representative loses kept, everyone relabels to
+    the component minimum, exactly as the batch run over the union."""
+    # |v| = 1 each; cos(v1,v5) = 0.8 < 0.9, but v3 reaches both (>= 0.9)
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v5 = [0.8, 0.0, 0.6, 0.0]
+    v3 = [0.95, 0.0, 0.31225, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    schema = "vec_id bigint, embedding array<double>"
+    b1 = spark.createDataFrame([(1, v1), (5, v5), (9, ortho)], schema)
+    b2 = spark.createDataFrame([(3, v3)], schema)
+    caches: list = []
+    a1, state = similarity.semantic_dedup_update(b1, cents, threshold=0.9, caches=caches)
+    rows1 = {r.vec_id: r for r in a1.collect()}
+    assert rows1[1].kept and rows1[5].kept and rows1[9].kept
+    a2, _ = similarity.semantic_dedup_update(b2, cents, state, threshold=0.9, caches=caches)
+    rows2 = {r.vec_id: r for r in a2.collect()}
+    assert rows2[1].grp == 1 and rows2[3].grp == 1 and rows2[5].grp == 1
+    assert rows2[1].kept and not rows2[3].kept and not rows2[5].kept
+    assert rows2[9].kept and rows2[9].grp == 9  # clean cell untouched
+    want = {
+        (r.vec_id, r.cell, r.grp, r.kept)
+        for r in similarity.semantic_dedup(
+            b1.unionByName(b2), cents, threshold=0.9, persist_cells=False
+        ).collect()
+    }
+    assert {(r.vec_id, r.cell, r.grp, r.kept) for r in a2.collect()} == want
+    for c in caches:
+        c.unpersist()
+
+
+def test_semantic_dedup_update_equals_batch(spark, sf_dir):
+    """Round 10: folding N batches through semantic_dedup_update (frozen
+    centroids) must equal one semantic_dedup over the union — including
+    with NON-increasing ids across batches (vec_id % 3 split), since CC
+    recomputes the true component minimum regardless of arrival order."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(150)
+        .persist()
+    )
+    cents = similarity.default_centroids(emb, 4)
+    thr = 0.9
+    caches: list = []
+    state = None
+    assign = None
+    for i in range(3):
+        b = emb.filter(F.col("vec_id") % 3 == i)
+        assign, state = similarity.semantic_dedup_update(
+            b, cents, state, threshold=thr, caches=caches
+        )
+    got = sorted((r.vec_id, r.cell, r.grp, r.kept) for r in assign.collect())
+    want = sorted(
+        (r.vec_id, r.cell, r.grp, r.kept)
+        for r in similarity.semantic_dedup(
+            emb, cents, threshold=thr, persist_cells=False
+        ).collect()
+    )
+    assert got == want, "folded semantic dedup != batch over union"
+    store = sorted((r.cell, r.vec_id) for r in state["vectors"].collect())
+    tagged = emb.join(similarity.ivf_assign(emb, cents), "vec_id")
+    assert store == sorted(
+        (r.cell, r.vec_id) for r in tagged.select("cell", "vec_id").collect()
+    ), "folded vector store != union assignment"
+    for c in caches:
+        c.unpersist()
+    emb.unpersist()
 
 
 def test_fill_token_budget_two_phase_equals_global_window(spark):

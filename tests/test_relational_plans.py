@@ -30,6 +30,24 @@ def test_no_python_udf_in_declared_queries(spark, sf_dir):
         assert not explain.uses_python_udf(df), f"{name} fell off the JVM fast path"
 
 
+def test_no_complex_output_columns_in_declared_queries(spark, sf_dir):
+    """Driver-canon compatibility: the correctness driver canonicalizes
+    results with pandas sort_values + hashing, which cannot hash
+    list/dict-valued cells.  Every registry output column must therefore
+    be scalar-typed (dq114 regression class, VERDICT r9 item 2).  Plan-only:
+    schemas resolve without executing the query."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in declared.SPARK_QUERIES.items():
+        df = fn(spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, complex_types):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"complex-typed output columns break driver canon: {offenders}"
+
+
 def test_knn_is_take_ordered(spark, sf_dir):
     df = declared.SPARK_QUERIES["dq08_pc_knn"](spark, sf_dir)
     assert explain.is_top_k(df)
