@@ -1019,7 +1019,7 @@ def ivfpq_topk_on_layout(
 
 def semantic_dedup(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1039,8 +1039,28 @@ def semantic_dedup(
     paper's own trick), and grouping is the O(diameter) min-label CC
     engine.  Near-dup groups have tiny diameters (similarity is almost
     transitive at high thresholds), so CC converges in 2-3 rounds.
+
+    ``centroids=None`` selects PRE-ASSIGNED mode (round 10): ``df`` must
+    already carry a ``cell`` column — the production shape, since at
+    100 TB the assignment is computed once at ingest and written
+    ``partitionBy(cell)``; re-deriving it per dedup run would repeat the
+    m-way argmax over the whole corpus.
     """
     from agile_lakehouse_spark.operators import graph
+
+    if centroids is None:
+        tagged = df
+        pairs = embedding_near_dup(
+            tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
+        )
+        comps = graph.connected_components(pairs, src="id_a", dst="id_b", id_col=id_col)
+        rep = F.coalesce(F.col("component"), F.col(id_col))
+        return tagged.join(comps, id_col, "left").select(
+            F.col(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            rep.cast("bigint").alias("grp"),
+            (rep == F.col(id_col)).alias("kept"),
+        )
 
     assigned = ivf_assign(df, centroids, vec_col, id_col)
     if persist_cells:
@@ -1082,7 +1102,7 @@ def semantic_dedup(
 
 def semantic_dedup_update(
     new_df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     state: dict[str, DataFrame] | None = None,
     threshold: float = 0.9,
     vec_col: str = "embedding",
@@ -1151,12 +1171,18 @@ def semantic_dedup_update(
             caches.append(df)
         return df
 
-    new_assigned = ivf_assign(new_df, centroids, vec_col, id_col)
-    tagged_new = _register(
-        new_df.join(new_assigned, id_col).select(
+    if centroids is None:
+        # pre-assigned mode (semantic_dedup's contract): the batch already
+        # carries its cell — frozen-assignment discipline is the caller's
+        tagged = new_df.select(
             F.col("cell").cast("bigint").alias("cell"), F.col(id_col), F.col(vec_col)
         )
-    )
+    else:
+        new_assigned = ivf_assign(new_df, centroids, vec_col, id_col)
+        tagged = new_df.join(new_assigned, id_col).select(
+            F.col("cell").cast("bigint").alias("cell"), F.col(id_col), F.col(vec_col)
+        )
+    tagged_new = _register(tagged)
 
     if state is None:
         assign = _register(

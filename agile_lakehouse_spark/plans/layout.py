@@ -121,6 +121,7 @@ def write_grid_layout(
     importance_col: str = "i",
     max_records_per_file: int = DEFAULT_BATCH_SIZE,
     curve: str = "morton",
+    keep_cell_cols: bool = False,
 ) -> None:
     """Grid layout: shuffle on (cell_x, cell_y[, islice]), cluster, write.
 
@@ -149,6 +150,15 @@ def write_grid_layout(
         out = out.join(F.broadcast(cells), ["cell_x", "cell_y"])
     else:
         raise ValueError(f"unknown curve {curve!r} (morton | hilbert)")
+    # cell ids are pure floor arithmetic over (x, y) — any reader can
+    # recompute them, no reader prunes on them (pruning = footer x/y
+    # stats + zkey file clustering), and each rides the exchange as a
+    # fixed 8-byte UnsafeRow field: dropping both BEFORE the shuffle cuts
+    # ~20% of exchange bytes on the disk-bound 2 B layout jobs (round 10).
+    # ``keep_cell_cols=True`` opts back into materialized cell ids for
+    # consumers that want them on disk.
+    if not keep_cell_cols:
+        out = out.drop("cell_x", "cell_y")
     sort_keys = ["zkey"]
     if importance_splits > 1:
         out = out.withColumn(
@@ -194,6 +204,7 @@ def write_quadtree_layout(
     importance_col: str = "i",
     origin: tuple[float, float] = (0.0, 0.0),
     max_records_per_file: int = DEFAULT_BATCH_SIZE,
+    keep_cell_cols: bool = False,
 ) -> None:
     """Importance-stratified quadtree layout (framework.rs:169-219).
 
@@ -216,6 +227,12 @@ def write_quadtree_layout(
     """
     out = quadtree_cells(df, depth, side, x=x, y=y, importance_col=importance_col, origin=origin)
     out = out.withColumn("zkey", zorder_key("qx", "qy"))
+    # qx/qy are recomputable floor arithmetic and nothing reads them back
+    # (level directories + footer x/y stats do the pruning) — dropping
+    # them pre-shuffle cuts two 8-byte fields from every exchanged row
+    # (~20% of exchange bytes at 2 B, round 10); keep_cell_cols opts back in.
+    if not keep_cell_cols:
+        out = out.drop("qx", "qy")
     # x rides along as a tie-breaker PARTITION key (same rationale as
     # write_grid_layout): a level-3 band holds only ~16 cells, so the
     # range partitioner otherwise collapses to one fat task per cell

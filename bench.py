@@ -310,7 +310,13 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
 
         # the viz.rs per-level render over the quadtree layout
         # (viz.rs:160-200): one viewport cell per level, level= hits the
-        # partition dir (pruned before listing), qx/qy hit footer stats
+        # partition dir (pruned before listing), the cell's x/y RANGE hits
+        # footer stats.  Round 10: the layout no longer materializes
+        # qx/qy (dropped pre-shuffle — recomputable floor arithmetic), so
+        # the viewport filter is the equivalent half-open geometry
+        # predicate (selects the identical rows: floor(x/cell) == qx
+        # <=> qx*cell <= x < (qx+1)*cell) — which is also the predicate
+        # form parquet can actually prune with.
         qt = spark.read.parquet(f"{tmp}/qt")
         per = []
         for lv in range(3):
@@ -319,7 +325,9 @@ def layout_jobs(spark, sf_dir: str, timings: dict[str, float], stats=None) -> No
             t0 = time.time()
             execute_fully(
                 qt.filter(
-                    (F.col("level") == lv) & (F.col("qx") == qx) & (F.col("qy") == qy)
+                    (F.col("level") == lv)
+                    & (F.col("x") >= qx * cell) & (F.col("x") < (qx + 1) * cell)
+                    & (F.col("y") >= qy * cell) & (F.col("y") < (qy + 1) * cell)
                 )
             )
             per.append(time.time() - t0)

@@ -131,7 +131,75 @@ def protocol_header(spark) -> dict:
     }
 
 
-def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
+def _footer_stats(root: str, acc: dict) -> int:
+    """The reference's evaluation job (``scripts/evaluation.py:36-103``)
+    over one layout band: FOOTER-ONLY row-group stats via pyarrow
+    metadata (no data pages read), accumulated per quadtree level so the
+    band-split union can be audited for row-group tightness exactly the
+    way the reference audits its single-job outputs.  Returns the band's
+    row count (footer ``num_rows`` — replaces the validation count scan
+    when stats are on)."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for path in g.glob(f"{root}/**/*.parquet", recursive=True):
+        lvl = "?"
+        for part in path.split("/"):
+            if part.startswith("level="):
+                lvl = part.split("=", 1)[1]
+        md = pq.read_metadata(path)
+        s = acc.setdefault(
+            lvl, {"files": 0, "rows": 0, "rg": 0, "rg_rows": [], "dx": [], "dy": []}
+        )
+        s["files"] += 1
+        s["rows"] += md.num_rows
+        s["rg"] += md.num_row_groups
+        total += md.num_rows
+        for r in range(md.num_row_groups):
+            rg = md.row_group(r)
+            s["rg_rows"].append(rg.num_rows)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                st = col.statistics
+                if st is None or st.max is None or st.min is None:
+                    continue
+                if col.path_in_schema == "x":
+                    s["dx"].append(st.max - st.min)
+                elif col.path_in_schema == "y":
+                    s["dy"].append(st.max - st.min)
+    return total
+
+
+def _summarize_level_stats(acc: dict) -> dict:
+    import numpy as np
+
+    out = {}
+    for lvl, s in sorted(acc.items()):
+        rg_rows = np.array(s["rg_rows"]) if s["rg_rows"] else np.array([0])
+        dx = np.array(s["dx"]) if s["dx"] else np.array([0.0])
+        dy = np.array(s["dy"]) if s["dy"] else np.array([0.0])
+        out[lvl] = {
+            "files": s["files"],
+            "rows": s["rows"],
+            "row_groups": s["rg"],
+            "rg_rows_mean": round(float(rg_rows.mean()), 1),
+            "rg_rows_std": round(float(rg_rows.std()), 1),
+            "rg_dx_mean": round(float(dx.mean()), 2),
+            "rg_dy_mean": round(float(dy.mean()), 2),
+        }
+    return out
+
+
+def run_scale_banded(
+    spark,
+    n: int,
+    layouts: str = "grid,qt",
+    stats: bool = False,
+    qtbands: int = 7,
+    keep_cells: bool = False,
+) -> dict:
     """The 1 B-point decade via the reference's own windowed discipline
     (``pc-cli/src/partition.rs:249-374``): generate -> layout -> validate
     -> delete one BAND at a time, so peak disk is one band's convert +
@@ -201,31 +269,47 @@ def run_scale_banded(spark, n: int, layouts: str = "grid,qt") -> dict:
         total_rows = 0
         band_times = []
         l2 = (F.col("i") >= cut_l2) & (F.col("i") < cut_l3)
-        bands = [
-            pts.filter(F.col("i") < cut_l2),
-            pts.filter(l2 & (F.col("x") < 512.0)),
-            pts.filter(l2 & (F.col("x") >= 512.0)),
-        ] + [
+        if qtbands == 7:
+            head_bands = [
+                pts.filter(F.col("i") < cut_l2),
+                pts.filter(l2 & (F.col("x") < 512.0)),
+                pts.filter(l2 & (F.col("x") >= 512.0)),
+            ]
+        else:  # the round-9 5-band protocol: levels 0-2 as ONE band
+            head_bands = [pts.filter(F.col("i") < cut_l3)]
+        out["qt_bands"] = qtbands
+        out["qt_keep_cells"] = keep_cells
+        bands = head_bands + [
             pts.filter(
                 (F.col("i") >= cut_l3) & (F.col("x") >= lo) & (F.col("x") < lo + 256.0)
             )
             for lo in (0.0, 256.0, 512.0, 768.0)
         ]
+        level_acc: dict = {}
         for band in bands if "qt" in want else ():
             t0 = time.time()
             band.write.mode("overwrite").parquet(f"{tmp}/bconv")
             qt_convert_s += time.time() - t0
             stored = spark.read.parquet(f"{tmp}/bconv")
             t0 = time.time()
-            layout.write_quadtree_layout(stored, f"{tmp}/bqt", depth=3, side=1024.0)
+            layout.write_quadtree_layout(
+                stored, f"{tmp}/bqt", depth=3, side=1024.0, keep_cell_cols=keep_cells
+            )
             dt = time.time() - t0
             qt_s += dt
             # layout-only, same convention as grid_band_s — converts are
             # reported in their own scalar so band lists stay comparable
             band_times.append(round(dt, 2))
-            total_rows += spark.read.parquet(f"{tmp}/bqt").count()
+            if stats:
+                # footer-only per-level audit doubles as the validation
+                # count (num_rows comes from the same footers)
+                total_rows += _footer_stats(f"{tmp}/bqt", level_acc)
+            else:
+                total_rows += spark.read.parquet(f"{tmp}/bqt").count()
             shutil.rmtree(f"{tmp}/bqt", ignore_errors=True)
             shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
+        if "qt" in want and stats:
+            out["qt_level_stats"] = _summarize_level_stats(level_acc)
         if "qt" in want:
             assert total_rows == n, f"quadtree bands lost rows: {total_rows} != {n}"
             out["quadtree_s"] = round(qt_s, 2)
@@ -242,16 +326,35 @@ def main() -> None:
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     banded = "--banded" in flags
+    stats = "--stats" in flags
     layouts = "grid,qt"
+    qtbands_seq = [7]
+    qtcells_seq = ["drop"]
     for f in flags:
         if f.startswith("--layouts="):
             layouts = f.split("=", 1)[1]
+        if f.startswith("--qtbands="):
+            # comma list enables in-session alternating A/B (e.g. 7,5,7,5)
+            # — the drift-controlled way to compare band protocols on a
+            # box whose disk throughput swings 30-50% between windows
+            qtbands_seq = [int(v) for v in f.split("=", 1)[1].split(",")]
+        if f.startswith("--qtcells="):
+            # same alternating discipline for the keep/drop-cell-columns
+            # axis (e.g. --qtcells=keep,drop,keep,drop)
+            qtcells_seq = f.split("=", 1)[1].split(",")
     sizes = [int(a) for a in args] or [500_000_000]
     spark = get_session("scaling-big-layout")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
         if banded:
-            print(json.dumps(run_scale_banded(spark, n, layouts)), flush=True)
+            n_runs = max(len(qtbands_seq), len(qtcells_seq))
+            for k in range(n_runs):
+                qb = qtbands_seq[k % len(qtbands_seq)]
+                kc = qtcells_seq[k % len(qtcells_seq)] == "keep"
+                print(
+                    json.dumps(run_scale_banded(spark, n, layouts, stats, qb, kc)),
+                    flush=True,
+                )
         else:
             print(json.dumps(run_scale(spark, n)), flush=True)
     spark.stop()

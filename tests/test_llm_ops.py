@@ -964,6 +964,47 @@ def test_semantic_dedup_update_equals_batch(spark, sf_dir):
     emb.unpersist()
 
 
+def test_semantic_dedup_preassigned_mode(spark, sf_dir):
+    """Round 10: centroids=None uses an existing ``cell`` column (the
+    write-time-layout production shape).  Pre-assigned batch == centroid
+    path on the same assignment; pre-assigned incremental fold == batch."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(120)
+        .persist()
+    )
+    cents = similarity.default_centroids(emb, 4)
+    tagged = emb.join(similarity.ivf_assign(emb, cents), "vec_id").persist()
+    thr = 0.9
+    key = lambda r: (r.vec_id, r.cell, r.grp, r.kept)  # noqa: E731
+    want = sorted(
+        key(r)
+        for r in similarity.semantic_dedup(
+            emb, cents, threshold=thr, persist_cells=False
+        ).collect()
+    )
+    got = sorted(
+        key(r) for r in similarity.semantic_dedup(tagged, None, threshold=thr).collect()
+    )
+    assert got == want, "pre-assigned batch != centroid path"
+    caches: list = []
+    state = None
+    assign = None
+    for i in range(2):
+        b = tagged.filter(F.col("vec_id") % 2 == i)
+        assign, state = similarity.semantic_dedup_update(
+            b, None, state, threshold=thr, caches=caches
+        )
+    assert sorted(key(r) for r in assign.collect()) == want, (
+        "pre-assigned incremental fold != batch"
+    )
+    for c in caches:
+        c.unpersist()
+    tagged.unpersist()
+    emb.unpersist()
+
+
 def test_fill_token_budget_two_phase_equals_global_window(spark):
     """The bucket-decomposed fill must equal the single global-window rule,
     including the whole-source and zero-budget edges."""
