@@ -5036,6 +5036,23 @@ SPARK_QUERIES["dq148b_semantic_dedup_incr"] = semantic_dedup_incremental_q
 ORACLES["dq148b_semantic_dedup_incr"] = ORACLES["dq148_semantic_dedup"]
 
 
+def semantic_dedup_preassigned_q(spark, sf_dir):
+    """dq148c: SemDeDup in PRE-ASSIGNED mode (centroids=None) — the
+    write-time-layout production shape: the corpus already carries its
+    ``cell`` column (here tagged once via ivf_assign against the same
+    frozen centroids dq148 derives), and the dedup pass runs without
+    re-deriving the assignment.  Gated by the SAME oracle SQL as dq148,
+    so the driver hash proves the mode is exactly the centroid path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, IVF_M)
+    tagged = emb.join(similarity.ivf_assign(emb, cents), "vec_id")
+    return similarity.semantic_dedup(tagged, None, threshold=EMB_COS_T).orderBy("vec_id")
+
+
+SPARK_QUERIES["dq148c_semantic_dedup_preassigned"] = semantic_dedup_preassigned_q
+ORACLES["dq148c_semantic_dedup_preassigned"] = ORACLES["dq148_semantic_dedup"]
+
+
 # --- round-8 head rotation ----------------------------------------------------
 # 74 of 194 registry entries had never appeared in a driver
 # CORRECTNESS_r*.json (they are covered by the judge's full-registry
@@ -5124,7 +5141,8 @@ SPARK_QUERIES = {
 # NOTE: add new queries ABOVE this block or they land outside the head.
 
 _ROT10_HEAD = [
-    "dq148b_semantic_dedup_incr", "dq114_array_breadth", "dq47_seq_packing",
+    "dq148b_semantic_dedup_incr", "dq148c_semantic_dedup_preassigned",
+    "dq114_array_breadth", "dq47_seq_packing",
     "dq124b_curate_incremental",
     "dq148_semantic_dedup", "dq117_gopher_quality", "dq118_dup_ngram_coverage",
     "dq119_contamination",
@@ -5144,7 +5162,7 @@ _ROT10_HEAD = [
     "dq20_time_bucket", "dq21_dedup_exact", "dq22_ann_topk", "dq23_text_stats",
     "dq24_pc_grid_cells", "dq25_multimodal_features", "dq54_stream_time_bucket",
     "dq55_stream_dedup",
-    "dq56_stream_static_join", "dq57_stream_interval_join",
+    "dq56_stream_static_join",
 ]
 assert len(_ROT10_HEAD) == 50, len(_ROT10_HEAD)
 assert all(n in SPARK_QUERIES for n in _ROT10_HEAD), "rotation names must exist"

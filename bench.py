@@ -101,6 +101,7 @@ TAIL_QUERIES: list[str] = [
     "dq21j_exact_store_roundtrip",  # store-apply half of incremental dedup (round 9)
     "dq124b_curate_incremental",  # 2-batch incremental curation pipeline (round 9)
     "dq148b_semantic_dedup_incr",  # 2-batch incremental SemDeDup (round 10)
+    "dq148c_semantic_dedup_preassigned",  # write-time-layout SemDeDup mode (round 10)
 ]
 
 BENCH_QUERIES = CORE_QUERIES + TAIL_QUERIES
