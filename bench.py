@@ -121,6 +121,22 @@ PROBE_QUERIES = [
 ]
 
 
+def _compact_key(name: str) -> str:
+    """Stdout-line key for a bench entry: registry names carry a unique
+    ``dqNNN[a-z]`` prefix, so the compact JSON line (which must fit the
+    driver's 2000-byte stdout tail window WHOLE — see the budget note in
+    main) keeps only that prefix; workload/layout names (w_*, layout_*)
+    are already short and ambiguous under truncation, so they pass
+    through.  Full names + full-precision timings always live in the
+    sidecar, and scripts/bench_compare.py normalizes both schemes, so
+    cross-round per-entry comparison is unaffected.  At 82 entries the
+    full-name line had outgrown 1980 B even at 1 decimal (the round-10
+    0-decimal rung would have erased sub-second resolution from the
+    driver's recorded artifact); prefixes buy ~1.1 kB of headroom and
+    keep 2-decimal resolution past ~120 entries."""
+    return name.split("_", 1)[0] if name.startswith("dq") else name
+
+
 def _meminfo() -> dict:
     """Box-state snapshot (/proc/meminfo keys that move with page cache +
     memory pressure, in MB) — recorded so cross-round comparisons can tell
@@ -466,9 +482,10 @@ def main() -> None:
         "unit": "sec",
         "core": round(core_total, 1),
         "tail": round(tail_total, 1),
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {_compact_key(k): round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
+    assert len(compact["queries"]) == len(timings), "compact-key collision"
     # Budget math: the driver keeps the LAST 2000 bytes of stdout and this
     # line is the final output (progress bars land earlier in the window),
     # so line + "\n" must be <= 2000; 1980 leaves a 19-byte margin.  At 80
@@ -480,7 +497,7 @@ def main() -> None:
         if len(line) <= 1980:
             break
         compact["queries"] = {
-            k: (round(v, decimals) if decimals else int(round(v)))
+            _compact_key(k): (round(v, decimals) if decimals else int(round(v)))
             for k, v in timings.items()
         }
         line = json.dumps(compact, separators=(",", ":"))

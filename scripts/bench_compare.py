@@ -34,6 +34,15 @@ DEFAULT_REL_BAND = 0.11  # r09 sidecar probe_spread_median 0.107
 DEFAULT_ABS_FLOOR = 0.69  # seconds; r09 sidecar probe_delta_max_s 0.687
 
 
+def _compact_key(name: str) -> str:
+    """bench.py's stdout-line key rule (round 10): dq-registry names are
+    reduced to their unique dqNNN[a-z] prefix so the compact line fits the
+    driver's 2000-byte window; sidecars keep full names.  Normalizing both
+    artifacts through the same rule lets a full-name sidecar compare
+    against a prefix-keyed driver artifact (and vice versa)."""
+    return name.split("_", 1)[0] if name.startswith("dq") else name
+
+
 def load(path: str) -> dict:
     with open(path) as fh:
         d = json.load(fh)
@@ -41,6 +50,9 @@ def load(path: str) -> dict:
         d = d["parsed"]
     if "queries" not in d:
         raise SystemExit(f"{path}: no queries payload")
+    q = {_compact_key(k): v for k, v in d["queries"].items()}
+    if len(q) == len(d["queries"]):  # no collision — safe to normalize
+        d = dict(d, queries=q)
     return d
 
 

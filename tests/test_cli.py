@@ -37,3 +37,33 @@ def test_cli_benchmark_runs(sf_dir, capsys, monkeypatch):
     r = _run(capsys, ["benchmark", sf_dir, "--runs", "1"])
     assert r["runs"] == 1
     assert set(r["queries"]) >= {"w_s_rect", "w_m_circle", "w_knn_1000", "w_sampling"}
+
+
+def test_bench_compact_keys_unique_and_short():
+    """The bench stdout line keys dq-entries by their dqNNN[a-z] prefix so
+    the line stays inside the driver's 2000-byte tail window at 2-decimal
+    resolution (round 10: the full-name line outgrew the window at 82
+    entries and would have fallen to the 0-decimal rung).  Pin (a) the
+    prefix rule is collision-free over the CURRENT suite — a new entry
+    whose prefix collides must pick a fresh dq number — and (b) workload/
+    layout names pass through unchanged, since truncating "w_s_rect" and
+    "w_m_rect" to "w" WOULD collide."""
+    import bench
+
+    names = bench.BENCH_QUERIES + [
+        "w_s_rect", "w_m_rect", "layout_grid1", "layout_quadtree",
+    ]
+    keys = [bench._compact_key(n) for n in names]
+    assert len(set(keys)) == len(keys)
+    assert bench._compact_key("dq148c_semantic_dedup_preassigned") == "dq148c"
+    assert bench._compact_key("w_s_rect") == "w_s_rect"
+    # the sidecar/driver-artifact normalizer must agree with bench.py
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", "scripts/bench_compare.py"
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    for n in names:
+        assert bc._compact_key(n) == bench._compact_key(n)
