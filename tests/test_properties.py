@@ -641,3 +641,57 @@ def test_exact_store_roundtrip_model(spark, texts, cuts):
         model.setdefault(t, i)  # first occurrence = min id (ids increase)
     want = sorted((t, k) for t, k in model.items())
     assert got == want
+
+
+@given(
+    # each vector is one of 5 base directions (same direction = cosine 1.0
+    # near-dup pair, orthogonal = cosine 0.0), so duplicate GROUPS form at
+    # random sizes; cells are random too — pairs may only form within one
+    pattern=st.lists(st.integers(0, 4), min_size=8, max_size=28),
+    cells=st.lists(st.integers(0, 2), min_size=8, max_size=28),
+    batch_of=st.lists(st.integers(0, 2), min_size=8, max_size=28),
+)
+@settings(max_examples=3, deadline=None)  # ~40 s/example: 2-3 update
+# passes, each a gram sieve + an iterative CC — job-count-bound, so more
+# examples buy little over the hand-built merge cases in test_llm_ops
+def test_semantic_dedup_update_fold_matches_batch_random(
+    spark, pattern, cells, batch_of
+):
+    """Randomized version of the dq148b invariant: ANY 1-3-batch split of
+    ANY corpus, folded through semantic_dedup_update (pre-assigned mode),
+    equals semantic_dedup over the union — duplicate-group merges across
+    batches and arbitrary id arrival order included.  Hand-built cases pin
+    the merge path (test_llm_ops); this pins the rest of the space."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.operators import similarity
+
+    n = min(len(pattern), len(cells), len(batch_of))
+    base = [
+        [1.0, 0.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = [(i, cells[i], base[pattern[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell long, embedding array<float>"
+    ).persist()
+    key = lambda r: (r.vec_id, r.cell, r.grp, r.kept)  # noqa: E731
+    want = sorted(
+        key(r)
+        for r in similarity.semantic_dedup(df, None, threshold=0.9).collect()
+    )
+    caches: list = []
+    state, assign = None, None
+    for b in sorted(set(batch_of[:n])):
+        batch = df.filter(F.col("vec_id").isin(
+            [i for i in range(n) if batch_of[i] == b]
+        ))
+        assign, state = similarity.semantic_dedup_update(
+            batch, None, state, threshold=0.9, caches=caches
+        )
+    got = sorted(key(r) for r in assign.collect())
+    for c in caches:
+        c.unpersist()
+    df.unpersist()
+    assert got == want
