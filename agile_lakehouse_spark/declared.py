@@ -5171,3 +5171,92 @@ SPARK_QUERIES = {
     n: SPARK_QUERIES[n]
     for n in _ROT10_HEAD + [m for m in SPARK_QUERIES if m not in _rot10_set]
 }
+
+
+def semantic_dedup_store_q(spark, sf_dir):
+    """dq148d: the PRODUCTION shape of dq148b — two SemDeDup ingest
+    batches with state persisted in TransactionalTable stores
+    (``{store}/vectors`` clustered by cell so commit-log min/max stats
+    prune the dirty-cell read at the FILE level; ``{store}/assign``
+    maintained by candidate-pruned copy-on-write delete + append).
+    Clean-cell vector files are never opened — pinned destructively in
+    tests/test_semantic_store.py (they are garbage on disk and the fold
+    still lands).  Same oracle SQL as dq148: the driver hash proves
+    store-backed fold == batch.  The store tmpdir is removed before
+    return; the tiny assign result is persisted+materialized first (the
+    dq148b one-shot-process cache discipline)."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.operators.similarity import semantic_dedup_store_update
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, IVF_M)
+    cut = emb.agg(
+        ((F.min("vec_id") + F.max("vec_id")) / 2).cast("bigint")
+    ).collect()[0][0]
+    store = tempfile.mkdtemp(prefix="dq148d_store_")
+    caches: list = []
+    try:
+        semantic_dedup_store_update(
+            spark, emb.filter(F.col("vec_id") <= cut), cents, store,
+            threshold=EMB_COS_T, caches=caches,
+        )
+        assign = semantic_dedup_store_update(
+            spark, emb.filter(F.col("vec_id") > cut), cents, store,
+            threshold=EMB_COS_T, caches=caches,
+        )
+        out = assign.orderBy("vec_id").persist()
+        out.count()  # materialize off the store files before rmtree
+        caches.append(out)
+        return out
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        # persisted frames in `caches` live until session eviction — the
+        # documented dq148b discipline for one-shot driver/bench processes
+
+
+SPARK_QUERIES["dq148d_semantic_dedup_store"] = semantic_dedup_store_q
+ORACLES["dq148d_semantic_dedup_store"] = ORACLES["dq148_semantic_dedup"]
+
+
+# --- round-11 head rotation ---------------------------------------------------
+# Freshness maintenance (the round-10 invariant — every entry has a driver
+# artifact — held; staleness computed from CORRECTNESS_r01..r10): head =
+# the 1 NEW entry (dq148d store-backed SemDeDup) + the entries whose code
+# paths round 11 touched (dq47: pack_sequences _jdf guard; dq148b: the
+# incremental twin of the new store path; the snapshots.py family —
+# delete_where grew candidate_files and the manifest gained
+# prune_files_by_values/scan_values) + the stalest entries (last sampled
+# r04, r06, r07).
+# NOTE: add new queries ABOVE this block or they land outside the head.
+
+_ROT11_HEAD = [
+    "dq148d_semantic_dedup_store", "dq47_seq_packing",
+    "dq148b_semantic_dedup_incr", "dq146_mor_delete", "dq156_time_travel",
+    "dq164_optimize_zorder", "dq154_apply_cdc", "dq132_table_diff",
+    "dq133_scd2_history", "dq161_schema_evolution",
+    "dq165_stream_acid_upsert", "dq166_incremental_view",
+    "dq57_stream_interval_join", "dq115_transform_points",
+    "dq116_hausdorff", "dq131_train_val_test_split",
+    "dq136_theta_set_algebra", "dq34_spatial_join", "dq39_interval_join",
+    "dq62_knn_join", "dq120_corpus_mixture", "dq121_variant_extract",
+    "dq125_try_arithmetic", "dq126_point_in_polygon",
+    "dq127_partition_transforms", "dq129_pagerank", "dq130_bfs_hops",
+    "dq134_approx_distinct", "dq137_approx_topk", "dq138_wav_decode",
+    "dq141_image_resize", "dq142_ppm_decode", "dq143_dedup_paragraphs",
+    "dq144_sq8_topk", "dq145_redact_pii", "dq147_ivfpq_topk",
+    "dq149_resample_interpolate", "dq150_profile_table",
+    "dq151_sessionize_capped", "dq153_fill_token_budget",
+    "dq155_orc_roundtrip", "dq157_salted_join", "dq158_jsonl_roundtrip",
+    "dq159_csv_roundtrip", "dq160_bucketed_join", "dq162_filtered_ann",
+    "dq163_ann_join", "dq167_arrow_ipc_roundtrip", "dq168_ply_roundtrip",
+    "dq169_lod_sweep",
+]
+assert len(_ROT11_HEAD) == 50, len(_ROT11_HEAD)
+assert all(n in SPARK_QUERIES for n in _ROT11_HEAD), "rotation names must exist"
+_rot11_set = set(_ROT11_HEAD)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n]
+    for n in _ROT11_HEAD + [m for m in SPARK_QUERIES if m not in _rot11_set]
+}

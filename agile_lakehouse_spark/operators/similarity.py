@@ -1228,6 +1228,104 @@ def semantic_dedup_update(
     return assign, {"vectors": new_vectors, "assign": assign}
 
 
+def semantic_dedup_store_update(
+    spark,
+    new_df: DataFrame,
+    centroids: DataFrame | None,
+    store_path: str,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    caches: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`semantic_dedup_update`: state lives
+    in two :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
+    stores under ``store_path`` instead of session-cached DataFrames, and
+    the dirty-cell semi-join prunes the vector-store read at the FILE
+    level from the commit-log stats — clean-cell vector files are never
+    opened (pinned by ``tests/test_semantic_store.py``, which corrupts
+    them on disk and still folds correctly).
+
+    - ``{store_path}/vectors`` — (cell, id, vector) for every vector
+      seen, written ``repartitionByRange(cell)`` so files hold DISJOINT
+      cell ranges and the manifest's per-file min/max on ``cell`` makes
+      ``prune_files_by_values`` tight.  Append-only: a batch commits
+      only its own rows.
+    - ``{store_path}/assign`` — the current (id, cell, grp, kept) table;
+      per batch the dirty cells are deleted (``delete_where`` rewrites
+      only the files that contain them) and re-appended.
+
+    Returns the full assignment snapshot read FROM the store, so the
+    caller's result survives this process.  Centroids stay frozen across
+    batches (the :func:`semantic_dedup_update` contract); pass
+    ``centroids=None`` with a pre-tagged ``cell`` column for the
+    write-time-layout mode.  At 100 TB the per-batch cost is: one scan
+    of the batch, one pruned read of the dirty vector files, the
+    bipartite gram sieve within shared cells, and a rewrite of the dirty
+    assign files — never the clean-cell corpus.
+    """
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    own: list = [] if caches is None else caches
+    vec_tbl = TransactionalTable(f"{store_path}/vectors")
+    asg_tbl = TransactionalTable(f"{store_path}/assign")
+
+    if centroids is None:
+        tagged = new_df.select(
+            F.col("cell").cast("bigint").alias("cell"), F.col(id_col), F.col(vec_col)
+        )
+    else:
+        assigned = ivf_assign(new_df, centroids, vec_col, id_col)
+        tagged = new_df.join(assigned, id_col).select(
+            F.col("cell").cast("bigint").alias("cell"), F.col(id_col), F.col(vec_col)
+        )
+    tagged = tagged.persist()
+    own.append(tagged)
+
+    # dirty-cell list: bounded by the centroid count (<= m rows) — the one
+    # sanctioned driver-side collect of this family.  It also sizes the
+    # RANGE clustering below: repartitionByRange gives files DISJOINT cell
+    # ranges, so the manifest min/max prune is tight (hash clustering
+    # interleaves cells across files and a file's [min, max] spans cells
+    # it does not contain; AQE can also coalesce a no-count repartition
+    # to one file at small scale, erasing pruning entirely).
+    dirty_vals = [r[0] for r in tagged.select("cell").distinct().collect()]
+    n_part = max(1, len(dirty_vals))
+
+    if vec_tbl.latest_version() is None:
+        # first batch: the batch operator IS the fold base
+        assign = semantic_dedup(
+            tagged, None, threshold, vec_col, id_col, persist_cells=False
+        )
+        vec_tbl.append(tagged.repartitionByRange(n_part, "cell"))
+        asg_tbl.append(assign.repartitionByRange(n_part, "cell"))
+        return asg_tbl.read(spark)
+    store_dirty = vec_tbl.scan_values(spark, "cell", dirty_vals)
+    old_assign = asg_tbl.read(spark)
+    assign, _ = semantic_dedup_update(
+        tagged,
+        None,
+        {"vectors": store_dirty, "assign": old_assign},
+        threshold,
+        vec_col,
+        id_col,
+        caches=own,
+    )
+    # materialize the dirty slice BEFORE delete_where rewrites the files
+    # old_assign's lineage points at
+    dirty_assign = assign.filter(F.col("cell").isin(dirty_vals)).persist()
+    own.append(dirty_assign)
+    dirty_assign.count()
+    vec_tbl.append(tagged.repartitionByRange(n_part, "cell"))
+    asg_tbl.delete_where(
+        spark,
+        F.col("cell").isin(dirty_vals),
+        candidate_files=asg_tbl.prune_files_by_values("cell", dirty_vals),
+    )
+    asg_tbl.append(dirty_assign.repartitionByRange(n_part, "cell"))
+    return asg_tbl.read(spark)
+
+
 def cosine_topk_join(
     queries: DataFrame,
     corpus: DataFrame,

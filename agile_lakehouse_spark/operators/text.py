@@ -298,12 +298,19 @@ def pack_sequences(
         else:
             est = approx_rows
             if est is None:
-                stats = df._jdf.queryExecution().optimizedPlan().stats()
-                rc = stats.rowCount()
-                if rc.isDefined():
-                    est = int(str(rc.get()))
-                else:
-                    est = int(str(stats.sizeInBytes())) // 64
+                # _jdf/queryExecution is private PySpark API — stable in
+                # practice but unversioned, so a Spark major could remove
+                # it.  Fall back to the SAFE direction (two-phase, the
+                # scale-insurance path) rather than erroring "auto" out.
+                try:
+                    stats = df._jdf.queryExecution().optimizedPlan().stats()
+                    rc = stats.rowCount()
+                    if rc.isDefined():
+                        est = int(str(rc.get()))
+                    else:
+                        est = int(str(stats.sizeInBytes())) // 64
+                except Exception:
+                    est = auto_threshold  # unknown -> assume big -> two-phase
             n_buckets = 64 if est >= auto_threshold else 1
     elif isinstance(n_buckets, str):
         raise ValueError(f"n_buckets must be an int or 'auto', got {n_buckets!r}")

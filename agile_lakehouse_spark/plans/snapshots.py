@@ -463,13 +463,25 @@ class TransactionalTable:
         found = {_localpath(r._file) for r in rows}
         return [f for f in files if f in found]
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        candidate_files: list[str] | None = None,
+    ) -> int:
         """Copy-on-write DELETE (Delta-style): rewrite ONLY the files that
         contain matching rows; untouched files are carried into the new
         snapshot as-is.
 
         ``condition``: SQL string or Column.  Old files remain on disk for
         time travel until :func:`vacuum`.
+
+        ``candidate_files``: optional manifest-pruned superset of the
+        files that can contain matching rows (e.g. from
+        :meth:`prune_files_by_values` for a key IN-list delete) — the
+        affected-file search then scans only those instead of the whole
+        table.  The caller is responsible for the superset property;
+        stats-based pruning is conservative, so manifest prunes qualify.
         """
         from pyspark.sql import functions as F
 
@@ -477,12 +489,15 @@ class TransactionalTable:
         latest = self.latest_version()
         dvs = self._read_manifest(latest).get("deletes", [])
         files = self._read_manifest(latest)["files"]
+        search = files if candidate_files is None else candidate_files
+        if not search:
+            return latest
         # version-schema reads: a post-evolution file set is heterogeneous,
         # and a bare parquet read would take one file's footer as THE schema
         # (dropping newer columns from rewritten survivors); _live applies
         # deletion vectors so MOR-deleted rows can't resurrect in a rewrite
-        tagged = self._live_tagged(spark, files, latest)
-        affected = self._affected_files(spark, files, tagged.filter(cond))
+        tagged = self._live_tagged(spark, search, latest)
+        affected = self._affected_files(spark, search, tagged.filter(cond))
         if not affected:
             return latest  # nothing to delete — no new version needed
         survivors = (
@@ -788,6 +803,50 @@ class TransactionalTable:
             if keep:
                 kept.append(f)
         return kept
+
+    def prune_files_by_values(
+        self, col: str, values, version: int | None = None
+    ) -> list[str]:
+        """Files an IN-list scan ``col IN (values)`` must read, from
+        manifest min/max stats alone (no file opened; files without
+        recorded stats for ``col`` are conservatively kept — the same
+        Inexact contract as :meth:`prune_files`).
+
+        The incremental-dedup shape: state tables are written clustered
+        by a blocking key (``repartition(key)`` before append puts each
+        key in exactly one file), so a batch's dirty-key list prunes the
+        store read to the dirty files — the partition-level semi-join
+        the reference's row-group R-tree performs inside one file
+        (``pc-io/src/helpers.rs:35-125``), lifted to the commit log.
+        """
+        v = self.latest_version() if version is None else version
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        vals = sorted(set(values))
+        kept = []
+        for f in manifest["files"]:
+            st = stats.get(f)
+            if not st or col not in st.get("min", {}):
+                kept.append(f)
+                continue
+            lo, hi = st["min"][col], st["max"][col]
+            if any(lo <= x <= hi for x in vals):
+                kept.append(f)
+        return kept
+
+    def scan_values(
+        self, spark: SparkSession, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``col IN (values)``: manifest-pruned file list
+        + exact re-filter (pruning is file-granular, a kept file may hold
+        other keys too)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        files = self.prune_files_by_values(col, values, v)
+        if not files:
+            return self.read(spark, v).limit(0)
+        return self._live(spark, files, v).filter(F.col(col).isin(list(values)))
 
     def scan(
         self,

@@ -102,6 +102,7 @@ TAIL_QUERIES: list[str] = [
     "dq124b_curate_incremental",  # 2-batch incremental curation pipeline (round 9)
     "dq148b_semantic_dedup_incr",  # 2-batch incremental SemDeDup (round 10)
     "dq148c_semantic_dedup_preassigned",  # write-time-layout SemDeDup mode (round 10)
+    "dq148d_semantic_dedup_store",  # store-backed SemDeDup, pruned reads (round 11)
 ]
 
 BENCH_QUERIES = CORE_QUERIES + TAIL_QUERIES
@@ -135,6 +136,17 @@ def _compact_key(name: str) -> str:
     driver's recorded artifact); prefixes buy ~1.1 kB of headroom and
     keep 2-decimal resolution past ~120 entries."""
     return name.split("_", 1)[0] if name.startswith("dq") else name
+
+
+# Fail at import, not after the ~2-minute suite: a new BENCH_QUERIES entry
+# whose dq-prefix collides with an existing one would silently merge two
+# timings in the compact line (the pytest pin covers the committed list;
+# this covers ad-hoc runtime additions too).
+_prefixes = [_compact_key(n) for n in BENCH_QUERIES]
+if len(set(_prefixes)) != len(_prefixes):
+    _dupes = sorted(p for p in set(_prefixes) if _prefixes.count(p) > 1)
+    raise RuntimeError(f"BENCH_QUERIES compact-prefix collision: {_dupes}")
+del _prefixes
 
 
 def _meminfo() -> dict:
@@ -387,19 +399,37 @@ def main() -> None:
     spark.createDataFrame([(0, 1.0)], "k int, v double").groupBy("k").applyInPandas(
         lambda p: p, schema="k int, v double"
     ).count()
-    # compile every measured plan shape once at sf0.001: whole-stage-codegen
-    # sources are literal-identical across scale factors, so the tiny pass
-    # populates the codegen/JIT caches and the timed section below measures
-    # steady-state execution, not one-time Janino compilation
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir):
-        for name in BENCH_QUERIES:
-            execute_fully(declared.SPARK_QUERIES[name](spark, warm_dir))
+    # --- box-speed canary (round 11, VERDICT r10 item 2) ------------------
+    # One fixed micro-probe — the dq01 scan-count, warmed once then timed
+    # 3x, median — recorded IN THE COMPACT LINE so any reader can normalize
+    # a driver artifact that landed in a degraded disk/steal window without
+    # digging up the committed sidecar (r10's artifact ran uniformly 1.23x
+    # its same-code sidecar; the 2 B ladder has seen 7-15x windows).  The
+    # canary moves with the box, not the code: identical plan + data every
+    # round.
+    canary_fn = declared.SPARK_QUERIES["dq01_pc_scan_count"]
+    execute_fully(canary_fn(spark, sf_dir))  # plan/codegen warm
+    canary_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        execute_fully(canary_fn(spark, sf_dir))
+        canary_runs.append(time.time() - t0)
+    canary_s = round(sorted(canary_runs)[1], 3)
+    protocol["canary_s"] = canary_s
+    protocol["canary_runs"] = [round(t, 4) for t in canary_runs]
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = declared.SPARK_QUERIES[name]
+        # Every entry gets ONE unrecorded warm run AT THE MEASURED SF first
+        # (round 11, VERDICT r10 item 3): the former sf0.001 warm pass
+        # compiled the literal plan shape but AQE/broadcast decisions and
+        # Python-worker spin-up differ at sf0.1, so first-execution cost
+        # kept landing on a different entry each round and bench_compare
+        # flagged phantom regressions.  The warm run pays that cost off
+        # the books; the timed reps below measure steady state.
+        execute_fully(fn(spark, sf_dir))
         # ADAPTIVE runs: start at 2 (single-run numbers drift ±40% under
         # a 70-entry suite's JVM pressure) and keep rerunning until the
         # STANDARD ERROR of the recorded mean is <= 7.5% of the mean
@@ -482,10 +512,18 @@ def main() -> None:
         "unit": "sec",
         "core": round(core_total, 1),
         "tail": round(tail_total, 1),
+        "canary": canary_s,
         "queries": {_compact_key(k): round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
-    assert len(compact["queries"]) == len(timings), "compact-key collision"
+    if len(compact["queries"]) != len(timings):
+        # explicit raise, not assert: asserts vanish under python -O and
+        # this must fail loudly even for ad-hoc runtime entry additions
+        dupes = sorted(
+            k for k in {_compact_key(n) for n in timings}
+            if sum(1 for n in timings if _compact_key(n) == k) > 1
+        )
+        raise RuntimeError(f"compact-key collision on prefixes {dupes}")
     # Budget math: the driver keeps the LAST 2000 bytes of stdout and this
     # line is the final output (progress bars land earlier in the window),
     # so line + "\n" must be <= 2000; 1980 leaves a 19-byte margin.  At 80

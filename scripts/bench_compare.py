@@ -53,7 +53,21 @@ def load(path: str) -> dict:
     q = {_compact_key(k): v for k, v in d["queries"].items()}
     if len(q) == len(d["queries"]):  # no collision — safe to normalize
         d = dict(d, queries=q)
+    else:
+        print(
+            f"WARNING: {path}: compact-key normalization skipped (prefix "
+            "collision) — comparing against a prefix-keyed artifact will "
+            "silently shrink the common-entry set",
+            file=sys.stderr,
+        )
     return d
+
+
+def _canary(d: dict) -> float | None:
+    """Box-speed canary seconds, wherever the artifact schema put it:
+    compact line (round 11+) -> "canary"; sidecar -> protocol.canary_s."""
+    v = d.get("canary", d.get("protocol", {}).get("canary_s"))
+    return float(v) if v else None
 
 
 def main() -> None:
@@ -63,10 +77,23 @@ def main() -> None:
     proto = new.get("protocol", {})
     rel_band = max(proto.get("probe_spread_median", 0.0), DEFAULT_REL_BAND)
     abs_floor = max(proto.get("probe_delta_max_s", 0.0), DEFAULT_ABS_FLOOR)
+    # Box-drift normalization (round 11): when both artifacts carry the
+    # fixed micro-probe canary, a uniform timing shift equal to the canary
+    # ratio is the BOX (disk window / host steal), not the engine — scale
+    # the new numbers back by it before classifying.  r10's driver
+    # artifact ran uniformly 1.23x its same-code sidecar; without the
+    # canary every such window costs a flagged-then-cleared round trip.
+    c_old, c_new = _canary(old), _canary(new)
+    box = c_new / c_old if c_old and c_new else 1.0
+    if box != 1.0:
+        print(
+            f"canary: {c_old:.3f}s -> {c_new:.3f}s (box ratio {box:.2f}x) — "
+            "new timings divided by this before classification"
+        )
     common = sorted(set(old["queries"]) & set(new["queries"]))
     moved, noise_deltas = [], []
     for name in common:
-        a, b = old["queries"][name], new["queries"][name]
+        a, b = old["queries"][name], new["queries"][name] / box
         if a <= 0:
             continue
         delta, ratio = b - a, b / a

@@ -360,6 +360,16 @@ def main() -> None:
             "spark.rpc.lookupTimeout": "600s",
         },
     )
+    # get_session uses getOrCreate: a pre-existing session in this process
+    # would silently drop the stall-tolerance conf and reintroduce the
+    # heartbeat aborts this script exists to survive — fail loudly instead.
+    hb = spark.conf.get("spark.executor.heartbeatInterval", "unset")
+    if hb != "60s":
+        raise RuntimeError(
+            f"stall-tolerance conf not applied (heartbeatInterval={hb}); "
+            "a SparkSession already existed in this process — run this "
+            "script in a fresh interpreter"
+        )
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
         if banded:

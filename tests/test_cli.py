@@ -60,8 +60,11 @@ def test_bench_compact_keys_unique_and_short():
     # the sidecar/driver-artifact normalizer must agree with bench.py
     import importlib.util
 
+    from pathlib import Path
+
     spec = importlib.util.spec_from_file_location(
-        "bench_compare", "scripts/bench_compare.py"
+        "bench_compare",
+        str(Path(__file__).resolve().parents[1] / "scripts" / "bench_compare.py"),
     )
     bc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bc)

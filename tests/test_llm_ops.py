@@ -326,6 +326,27 @@ def test_seq_packing_two_phase_equals_global_window(spark, tmp_path):
     )
     assert got_big == want and caches, "approx_rows didn't select two-phase"
     [c.unpersist() for c in caches]
+    # round 11: the plan-stats probe reaches into private _jdf API — if a
+    # Spark upgrade removes it, "auto" must fall back to the SAFE two-phase
+    # path, not raise.  Proxy _jdf so only queryExecution() breaks (the
+    # rest of the DataFrame machinery keeps working).
+    class _NoQE:
+        def __init__(self, real):
+            self._real = real
+
+        def queryExecution(self):
+            raise AttributeError("private API removed in this Spark")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    fdocs2 = fdocs.select("*")
+    fdocs2._jdf = _NoQE(fdocs2._jdf)
+    caches = []
+    got_fb = sorted(T.pack_sequences(fdocs2, capacity=97, caches=caches).collect())
+    assert caches, "broken plan-stats probe should fall back to two-phase"
+    assert got_fb == want, "fallback path diverged from the global window"
+    [c.unpersist() for c in caches]
 
 
 def test_kmeans_train_matches_reference(spark, sf_dir):
