@@ -70,3 +70,60 @@ def test_bench_compact_keys_unique_and_short():
     spec.loader.exec_module(bc)
     for n in names:
         assert bc._compact_key(n) == bench._compact_key(n)
+
+
+def _load_bench_compare():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare_canary",
+        str(Path(__file__).resolve().parents[1] / "scripts" / "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    return bc
+
+
+def test_bench_compare_canary_normalizes_box_drift(tmp_path, capsys, monkeypatch):
+    """Round 11: when both artifacts carry the fixed micro-probe canary, a
+    uniform timing shift equal to the canary ratio is classified as BOX
+    drift (zero flags), while a genuine regression still surfaces after
+    normalization.  This is the r10 failure mode (driver artifact
+    uniformly 1.23x its same-code sidecar) made a unit test."""
+    import json as J
+    import sys
+
+    bc = _load_bench_compare()
+    old = {
+        "value": 10.0, "canary": 0.4,
+        "queries": {"dq01_scan": 2.0, "dq58_q3": 4.0, "w_s_rect": 4.0},
+    }
+    # same code, 1.5x slower box: every entry AND the canary scale by 1.5
+    new_uniform = {
+        "value": 15.0, "canary": 0.6,
+        "queries": {"dq01_scan": 3.0, "dq58_q3": 6.0, "w_s_rect": 6.0},
+    }
+    a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    with open(a, "w") as fh:
+        J.dump(old, fh)
+    with open(b, "w") as fh:
+        J.dump(new_uniform, fh)
+    monkeypatch.setattr(sys, "argv", ["bench_compare", a, b])
+    bc.main()
+    out = capsys.readouterr().out
+    assert "box ratio 1.50x" in out
+    assert "no entry moved beyond the noise band" in out
+    # a real 3x regression on one entry survives the 1.5x normalization
+    new_regressed = dict(new_uniform, queries=dict(new_uniform["queries"], dq58_q3=12.0))
+    with open(b, "w") as fh:
+        J.dump(new_regressed, fh)
+    bc.main()
+    out = capsys.readouterr().out
+    assert "REGRESSED dq58" in out
+    # sidecar schema: canary under protocol.canary_s is found too
+    old2 = {"value": 10.0, "protocol": {"canary_s": 0.4}, "queries": {"dq01_scan": 2.0}}
+    with open(a, "w") as fh:
+        J.dump(old2, fh)
+    bc.main()
+    assert "box ratio" in capsys.readouterr().out
