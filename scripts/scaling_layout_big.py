@@ -358,6 +358,13 @@ def main() -> None:
             "spark.network.timeout": "1200s",
             "spark.rpc.askTimeout": "600s",
             "spark.rpc.lookupTimeout": "600s",
+            # parquet-mr 1.16 vectored IO enforces a HARDCODED 300 s
+            # per-range fetch deadline (ParquetFileReader.
+            # HADOOP_VECTORED_READ_TIMEOUT_SECONDS) — a round-11 grid run
+            # died on it when a host stall held a 134 MB range past 300 s.
+            # Blocking IO has no deadline; on healthy storage vectored IO
+            # is a win, so this stays runner-local, not in get_session.
+            "spark.hadoop.parquet.hadoop.vectored.io.enabled": "false",
         },
     )
     # get_session uses getOrCreate: a pre-existing session in this process
