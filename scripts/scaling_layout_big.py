@@ -199,6 +199,7 @@ def run_scale_banded(
     stats: bool = False,
     qtbands: int = 7,
     keep_cells: bool = False,
+    gate: float | None = None,
 ) -> dict:
     """The 1 B-point decade via the reference's own windowed discipline
     (``pc-cli/src/partition.rs:249-374``): generate -> layout -> validate
@@ -235,6 +236,17 @@ def run_scale_banded(
             t0 = time.time()
             band.write.mode("overwrite").parquet(f"{tmp}/bconv")
             convert_s += time.time() - t0
+            # mid-run canary gate (round-12, verdict item 1): the convert
+            # step is the per-run box-speed canary (identical code + data
+            # every run; healthy band 42-91 s total at 2 B).  Once the
+            # CUMULATIVE convert alone exceeds the gate the sample can no
+            # longer qualify as healthy-window — abort instead of spending
+            # 30+ min measuring a degraded host.
+            if gate is not None and convert_s > gate:
+                out["aborted"] = "convert_gate"
+                out["convert_s_partial"] = round(convert_s, 2)
+                out["grid_band_s_partial"] = band_times
+                return out
             stored = spark.read.parquet(f"{tmp}/bconv")
             t0 = time.time()
             layout.write_grid_layout(stored, f"{tmp}/bgrid", 100.0, 100.0)
@@ -290,6 +302,11 @@ def run_scale_banded(
             t0 = time.time()
             band.write.mode("overwrite").parquet(f"{tmp}/bconv")
             qt_convert_s += time.time() - t0
+            if gate is not None and qt_convert_s > gate:
+                out["aborted"] = "convert_gate"
+                out["qt_convert_s_partial"] = round(qt_convert_s, 2)
+                out["qt_band_s_partial"] = band_times
+                return out
             stored = spark.read.parquet(f"{tmp}/bconv")
             t0 = time.time()
             layout.write_quadtree_layout(
@@ -322,6 +339,23 @@ def run_scale_banded(
     return out
 
 
+def probe_gate(spark, n: int, gate: float) -> dict:
+    """Up-front window gate (round-12, verdict item 1): convert n/10
+    points — 1/10th of the run's own canary workload — and compare
+    against gate/10.  A 10x-degraded window (the round-11 mode: canaries
+    289-1028 s vs healthy 42-91 s) fails this in seconds instead of
+    being discovered 30 minutes into a doomed measurement.  A stall can
+    still begin mid-run; the cumulative mid-run gate catches that."""
+    tmp = tempfile.mkdtemp(prefix="gate_probe_")
+    try:
+        t0 = time.time()
+        synth_points(spark, n // 10).write.mode("overwrite").parquet(f"{tmp}/p")
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"probe_convert_s": round(dt, 2), "ok": dt <= gate / 10.0}
+
+
 def main() -> None:
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -330,6 +364,10 @@ def main() -> None:
     layouts = "grid,qt"
     qtbands_seq = [7]
     qtcells_seq = ["drop"]
+    gate = None
+    samples = 1
+    max_attempts = 12
+    retry_sleep = 120.0
     for f in flags:
         if f.startswith("--layouts="):
             layouts = f.split("=", 1)[1]
@@ -342,6 +380,17 @@ def main() -> None:
             # same alternating discipline for the keep/drop-cell-columns
             # axis (e.g. --qtcells=keep,drop,keep,drop)
             qtcells_seq = f.split("=", 1)[1].split(",")
+        if f.startswith("--gate="):
+            # healthy-window convert budget in seconds (2 B grid: ~130 =
+            # 1.5x the 42-91 s healthy band).  Enables the probe gate +
+            # mid-run abort + retry-until-healthy sampling loop.
+            gate = float(f.split("=", 1)[1])
+        if f.startswith("--samples="):
+            samples = int(f.split("=", 1)[1])
+        if f.startswith("--max-attempts="):
+            max_attempts = int(f.split("=", 1)[1])
+        if f.startswith("--retry-sleep="):
+            retry_sleep = float(f.split("=", 1)[1])
     sizes = [int(a) for a in args] or [500_000_000]
     # The sandbox's virtual host stalls the whole guest for minutes at a
     # time (dmesg hrtimer-interrupt warnings; observed 8-minute windows
@@ -379,7 +428,42 @@ def main() -> None:
         )
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        if banded:
+        if banded and gate is not None:
+            # retry-until-healthy sampling: only runs whose TOTAL convert
+            # canary lands under the gate count as samples; probe-gated
+            # and mid-run-aborted attempts are printed (for the protocol
+            # record) but not counted.
+            collected, attempts = 0, 0
+            # one unrecorded warm write so the first probe measures the
+            # box, not JVM/codegen warmup (the bench.py per-entry-warmup
+            # discipline, round 10)
+            wtmp = tempfile.mkdtemp(prefix="gate_warm_")
+            try:
+                synth_points(spark, 1_000_000).write.mode("overwrite").parquet(f"{wtmp}/w")
+            finally:
+                shutil.rmtree(wtmp, ignore_errors=True)
+            while collected < samples and attempts < max_attempts:
+                attempts += 1
+                pr = probe_gate(spark, n, gate)
+                pr.update({"attempt": attempts, "n_points": n, "gate": gate})
+                print(json.dumps(pr), flush=True)
+                if not pr["ok"]:
+                    time.sleep(retry_sleep)
+                    continue
+                rec = run_scale_banded(spark, n, layouts, stats,
+                                       qtbands_seq[0], qtcells_seq[0] == "keep",
+                                       gate=gate)
+                rec["attempt"] = attempts
+                print(json.dumps(rec), flush=True)
+                conv = rec.get("convert_s", rec.get("quadtree_convert_s", 1e18))
+                if "aborted" not in rec and conv <= gate:
+                    rec["healthy_sample"] = True
+                    collected += 1
+                else:
+                    time.sleep(retry_sleep)
+            print(json.dumps({"gated_samples_collected": collected,
+                              "attempts": attempts, "gate": gate}), flush=True)
+        elif banded:
             n_runs = max(len(qtbands_seq), len(qtcells_seq))
             for k in range(n_runs):
                 qb = qtbands_seq[k % len(qtbands_seq)]
