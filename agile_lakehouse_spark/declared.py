@@ -5183,8 +5183,9 @@ def semantic_dedup_store_q(spark, sf_dir):
     tests/test_semantic_store.py (they are garbage on disk and the fold
     still lands).  Same oracle SQL as dq148: the driver hash proves
     store-backed fold == batch.  The store tmpdir is removed before
-    return; the tiny assign result is persisted+materialized first (the
-    dq148b one-shot-process cache discipline)."""
+    return; the tiny assign result is eagerly localCheckpoint'ed first —
+    lineage truncated, so no cache eviction can recompute from the
+    deleted store files."""
     import shutil
     import tempfile
 
@@ -5206,10 +5207,11 @@ def semantic_dedup_store_q(spark, sf_dir):
             spark, emb.filter(F.col("vec_id") > cut), cents, store,
             threshold=EMB_COS_T, caches=caches,
         )
-        out = assign.orderBy("vec_id").persist()
-        out.count()  # materialize off the store files before rmtree
-        caches.append(out)
-        return out
+        # localCheckpoint (eager): materializes the small assign result AND
+        # truncates lineage, so the returned frame can never recompute from
+        # the store files rmtree'd below — persist alone would leave a
+        # recompute path open to cache eviction (r11 advice)
+        return assign.orderBy("vec_id").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(store, ignore_errors=True)
         # persisted frames in `caches` live until session eviction — the
@@ -5259,4 +5261,146 @@ _rot11_set = set(_ROT11_HEAD)
 SPARK_QUERIES = {
     n: SPARK_QUERIES[n]
     for n in _ROT11_HEAD + [m for m in SPARK_QUERIES if m not in _rot11_set]
+}
+
+
+# --- round 12: the store-backed incremental-dedup trio completed --------------
+# minhash (dq21k) and exact (dq21l) signatures/state move into
+# TransactionalTable stores with bloom-pruned probes; embeddings (dq22f)
+# mirror dq148d's range-clustered vectors store.  Each is gated by the SAME
+# oracle SQL as its in-memory incremental twin, so the driver hash proves
+# store-backed == in-memory == batch.
+
+
+def minhash_store_backed_q(spark, sf_dir):
+    """dq21k: the PRODUCTION shape of dq21h — yesterday's corpus
+    (doc_id % 5 != 0) folded into a TransactionalTable LSH signature
+    store (one bucket-membership row per (doc, band), commit-log BLOOMS
+    on the band key), today's batch (doc_id % 5 == 0) matched against a
+    store read pruned to the files its own band keys bloom-hit.  Same
+    oracle SQL as dq21h: the driver hash proves store-backed ==
+    in-memory incremental == batch.  The store tmpdir is removed before
+    return; the result is eagerly localCheckpoint'ed first (lineage
+    truncated — no recompute from deleted files)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="dq21k_store_")
+    caches: list = []
+    try:
+        dedup.minhash_store_backed_update(
+            spark, old, store, k=SHINGLE_K, threshold=MINHASH_T, caches=caches
+        )
+        pairs = dedup.minhash_store_backed_update(
+            spark, new, store, k=SHINGLE_K, threshold=MINHASH_T, caches=caches
+        )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SPARK_QUERIES["dq21k_minhash_store_backed"] = minhash_store_backed_q
+ORACLES["dq21k_minhash_store_backed"] = ORACLES["dq21h_dedup_incremental"]
+
+
+def exact_store_backed_q(spark, sf_dir):
+    """dq21l: the PRODUCTION shape of dq21i — the (text, keep_id) state
+    in a TransactionalTable with blooms on the text key; the batch's
+    store read pruned to files bloom-hit by its own distinct texts.
+    Same oracle SQL as dq21i (store-backed == in-memory incremental)."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="dq21l_store_")
+    caches: list = []
+    try:
+        dedup.exact_dedup_store_backed_update(spark, old, store, caches=caches)
+        verdicts = dedup.exact_dedup_store_backed_update(
+            spark, new, store, caches=caches
+        )
+        return verdicts.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SPARK_QUERIES["dq21l_exact_store_backed"] = exact_store_backed_q
+ORACLES["dq21l_exact_store_backed"] = ORACLES["dq21i_exact_incremental"]
+
+
+def embedding_store_backed_q(spark, sf_dir):
+    """dq22f: the PRODUCTION shape of dq22e — the corpus vector table in
+    a TransactionalTable range-clustered by IVF cell (the dq148d vectors
+    store), the batch's bipartite match reading only dirty-cell files
+    from the commit-log min/max stats.  Same frozen default centroids
+    and the same oracle SQL as dq22e (store-backed == in-memory)."""
+    import shutil
+    import tempfile
+
+    from agile_lakehouse_spark.operators.similarity import (
+        embedding_store_backed_update,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.default_centroids(emb, IVF_M)
+    tagged = emb.join(similarity.ivf_assign(emb, cents), "vec_id")
+    old = tagged.filter(F.col("vec_id") % 5 != 0)
+    new = tagged.filter(F.col("vec_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="dq22f_store_")
+    caches: list = []
+    try:
+        embedding_store_backed_update(spark, old, store, threshold=EMB_COS_T, caches=caches)
+        matches = embedding_store_backed_update(
+            spark, new, store, threshold=EMB_COS_T, caches=caches
+        )
+        return matches.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SPARK_QUERIES["dq22f_embedding_store_backed"] = embedding_store_backed_q
+ORACLES["dq22f_embedding_store_backed"] = ORACLES["dq22e_embedding_match_incr"]
+
+
+# --- round-12 head rotation ---------------------------------------------------
+# Head = the 3 NEW store-backed trio entries (dq21k/dq21l/dq22f) + the
+# entries whose code paths round 12 touched (dq148d: localCheckpoint +
+# null-cell guard; dq148b: similarity sibling; dq164: optimize() grew
+# cluster_by; dq21h/dq21i/dq22e: the in-memory twins the new store paths
+# wrap) + the stalest entries (last sampled r07, then r08).
+# NOTE: add new queries ABOVE this block or they land outside the head.
+
+_ROT12_HEAD = [
+    "dq21k_minhash_store_backed", "dq21l_exact_store_backed",
+    "dq22f_embedding_store_backed",
+    "dq148d_semantic_dedup_store", "dq148b_semantic_dedup_incr",
+    "dq164_optimize_zorder", "dq21h_dedup_incremental",
+    "dq21i_exact_incremental", "dq22e_embedding_match_incr",
+    "dq61_ann_recall", "dq94_tpch_q9", "dq68_tpch_q22",
+    "dq63_stream_session_window", "dq72_stream_sliding_window",
+    "dq43_recursive_cte", "dq170_duplicate_spans", "dq171_stream_fp_dedup",
+    "dq172_png_decode", "dq173_lm_fluency",
+    "dq73_stream_watermark_append", "dq64_stream_stateful",
+    "dq92_stream_dedup_watermark", "dq106_stream_update_mode",
+    "dq35_percentile", "dq36_stratified_sample", "dq37_tfidf",
+    "dq38_gap_fill", "dq40_levenshtein_near_dup", "dq41_range_frame",
+    "dq42_histogram", "dq44_lateral", "dq45_hof_vector", "dq46_chunking",
+    "dq48_null_semantics", "dq49_decimal_revenue", "dq50_integrity_audit",
+    "dq51_window_breadth", "dq52_exact_moments", "dq53_bool_bit_aggs",
+    "dq60_percent_rank", "dq69_group_topk_sample", "dq70_pc_zorder_cells",
+    "dq102_pc_zorder3_cells", "dq103_knn_join_grid",
+    "dq104_events_since_marker", "dq107_normalize_text", "dq108_upsample",
+    "dq105_percent_of_group", "dq71_weighted_sample", "dq84_funnel",
+]
+assert len(_ROT12_HEAD) == 50, len(_ROT12_HEAD)
+assert all(n in SPARK_QUERIES for n in _ROT12_HEAD), "rotation names must exist"
+_rot12_set = set(_ROT12_HEAD)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n]
+    for n in _ROT12_HEAD + [m for m in SPARK_QUERIES if m not in _rot12_set]
 }

@@ -211,7 +211,63 @@ def exact_dedup_store_update(
     )
 
 
-def minhash_store_update(corpus_sigs: DataFrame, new_sigs: DataFrame) -> DataFrame:
+def exact_dedup_store_backed_update(
+    spark,
+    new_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_files: int = 8,
+    caches: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`exact_dedup_incremental` +
+    :func:`exact_dedup_store_update`: the (text, keep_id) state lives in
+    a :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
+    under ``store_path`` with commit-log BLOOMS on the text key, and the
+    batch's store read is pruned at the file level to files containing
+    at least one batch text (``prune_files_by_keys`` — hash-scattered
+    keys, so blooms prune where range stats cannot; the
+    :func:`minhash_store_backed_update` discipline on the exact member).
+
+    Returns the batch verdicts (doc_id, keep_id, kept) — identical to
+    :func:`exact_dedup_incremental` against the full store, because a
+    batch text missing from every kept file is missing from the store
+    (blooms have no false negatives), so the pruned left join and the
+    novel-text anti-join see exactly the store rows that can match —
+    then appends the novel (text, keep_id) rows hash-clustered on the
+    text key (same key -> one file per commit, keeping future probes
+    O(1) files per key).
+
+    A real 100 TB deployment keys the store on a 128-bit content hash
+    instead of the text itself (smaller probe list, fixed-width blooms);
+    the text key keeps the declared oracle exact, per
+    :func:`exact_dedup_store`.  The driver-side probe list is bounded by
+    the batch's distinct texts.
+    """
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    own: list = [] if caches is None else caches
+    tbl = TransactionalTable(f"{store_path}/state", bloom_columns=(text_col,))
+    if tbl.latest_version() is None:
+        store = new_df.select(
+            F.col(text_col), F.lit(0).cast("bigint").alias("keep_id")
+        ).limit(0)
+    else:
+        probe = [r[0] for r in new_df.select(text_col).distinct().collect()]
+        store = tbl.scan_keys(spark, text_col, probe).persist()
+        own.append(store)
+    verdicts = exact_dedup_incremental(new_df, store, text_col, id_col)
+    novel = new_df.groupBy(text_col).agg(
+        F.min(id_col).cast("bigint").alias("keep_id")
+    ).join(store.select(text_col), text_col, "left_anti")
+    # repartitionByRange, NOT repartition(n, text): the groupBy above
+    # already hash-partitions on the text key, so a hash repartition on
+    # the same key is elided as redundant and the write follows the
+    # AQE-coalesced agg shuffle — one file, no per-file bloom selectivity.
+    # Range partitioning is a different distribution, forcing a real
+    # exchange with the explicit partition count.
+    tbl.append(novel.repartitionByRange(max(1, target_files), text_col))
+    return verdicts
     """APPLY a batch to the stored MinHash signature table: append the
     batch's signatures — ALL of them, kept AND dropped.  The batch
     operator (:func:`minhash_near_dup`) computes candidate pairs against
@@ -229,6 +285,104 @@ def minhash_store_update(corpus_sigs: DataFrame, new_sigs: DataFrame) -> DataFra
     parameter, so the batch is never re-shingled.
     """
     return corpus_sigs.unionByName(new_sigs)
+
+
+def minhash_store_backed_update(
+    spark,
+    new_df: DataFrame,
+    store_path: str,
+    k: int = 5,
+    num_perms: int = DEFAULT_NUM_PERMS,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    max_bucket_size: int | None = None,
+    target_files: int = 8,
+    caches: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`minhash_incremental_pairs` +
+    :func:`minhash_store_update`: the signature store lives in ONE
+    :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
+    under ``store_path`` as an LSH bucket-membership index — one row per
+    (doc, band) carrying ``bkey`` (the band's bucket key) plus the doc's
+    FULL signature — and the incremental match's store read is pruned at
+    the FILE level from the commit-log BLOOMS on ``bkey``: a batch probes
+    only files that contain at least one of its own band keys (the
+    dq148d ``repartitionByRange`` + ``prune_files_by_values`` discipline,
+    adapted to hash-scattered LSH keys where range stats can't prune but
+    per-file blooms can — files a batch's keys miss are never opened,
+    pinned destructively in ``tests/test_semantic_store.py``).
+
+    Returns the batch's near-dup pairs (id_a, id_b, est_jaccard) — at
+    least one side new, bit-identical to
+    ``minhash_near_dup(old UNION new)`` filtered to pairs touching a new
+    id (the dq21h contract) — and appends the batch's bucket rows to the
+    store (ALL of them, kept and dropped: near-dup is not transitive, a
+    dropped doc must witness the next copy — the
+    :func:`minhash_store_update` contract).
+
+    Why the pruned read is EXACT, not approximate: an old signature can
+    reach the output only through (a) the cross band-bucket join — which
+    requires sharing an exact ``bkey`` with a new signature — or (b) the
+    identical-signature equality join — and an identical signature shares
+    ALL its band keys.  Either way the old doc has a bucket row whose
+    ``bkey`` is in the batch's probe set, blooms have no false negatives,
+    and every bucket row carries the full signature, so the candidate
+    set reconstructed from the kept files is a superset of every
+    signature that can matter.  The ``max_bucket_size`` cap stays exact
+    too: a DIRTY bucket's full membership is in the kept files, and only
+    dirty buckets produce pairs.
+
+    Scale: per-batch store bytes read grow with the batch's band-key
+    population (each key lives in O(1) files per commit — hash-clustered
+    writes), never with the clean corpus; the denormalized signature
+    costs ``bands``x storage (4x at defaults) — the classic LSH
+    index/storage trade.  The driver-side ``bkey`` probe list is bounded
+    by batch_size x bands; at a 1 M-doc batch carry the probe as a
+    DataFrame semi-join on the bucket table instead (the manifest prune
+    then degrades gracefully to a scan of files whose blooms the batch
+    saturates).
+    """
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    own: list = [] if caches is None else caches
+    tbl = TransactionalTable(f"{store_path}/sigs", bloom_columns=("bkey",))
+    mh_cols = [f"mh{j}" for j in range(num_perms)]
+
+    new_sigs = minhash_signatures(new_df, k, num_perms, text_col, id_col, seed).persist()
+    own.append(new_sigs)
+    bucket_rows = (
+        _lsh_buckets(new_sigs, bands, rows_per_band, id_col)
+        .withColumn("bkey", F.concat_ws(":", F.col("band").cast("string"), F.col("key")))
+        .join(new_sigs, id_col)
+        .select("bkey", id_col, *mh_cols)
+    )
+
+    if tbl.latest_version() is None:
+        cand = new_sigs.limit(0)  # empty corpus: within-batch pairs only
+    else:
+        probe = [r[0] for r in bucket_rows.select("bkey").distinct().collect()]
+        cand = (
+            tbl.scan_keys(spark, "bkey", probe)
+            .select(id_col, *mh_cols)
+            .distinct()
+            .persist()
+        )
+        own.append(cand)
+    pairs = minhash_incremental_pairs(
+        new_df, cand, num_perms, bands, rows_per_band, threshold,
+        k, text_col, id_col, seed,
+        persist_sigs=False, max_bucket_size=max_bucket_size,
+        caches=own, new_sigs=new_sigs,
+    )
+    # append AFTER building the (lazy) match plan is safe: the table is
+    # append-only here, so the files the plan's pruned read points at are
+    # immutable — but materialize via the caller before vacuum/optimize.
+    tbl.append(bucket_rows.repartition(max(1, target_files), "bkey"))
+    return pairs
 
 
 def shingle_df(df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -530,6 +530,65 @@ def embedding_store_update(
     return store_df.select(*cols).unionByName(new_df.select(*cols))
 
 
+def embedding_store_backed_update(
+    spark,
+    new_df: DataFrame,
+    store_path: str,
+    threshold: float = 0.9,
+    block_col: str = "cell",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    caches: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`embedding_match` +
+    :func:`embedding_store_update`: the corpus vector table lives in a
+    :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
+    under ``store_path`` — written ``repartitionByRange(cell)`` exactly
+    like :func:`semantic_dedup_store_update`'s vectors store, so the
+    commit-log min/max stats prune the bipartite match's store read to
+    the batch's DIRTY cells at the file level — then the batch's vectors
+    (ALL of them, kept and dropped: the witness asymmetry of
+    :func:`dedup.minhash_store_update`) are appended.
+
+    Returns the batch's matches (vec_id, match_id, cos) against the
+    stored corpus within shared cells — identical to
+    :func:`embedding_match` against the full store, since pairs only
+    form within a cell and clean-cell files hold no dirty-cell rows
+    (range clustering + exact re-filter).  Batch cells must come from
+    the SAME frozen centroids as every earlier batch (the
+    :func:`embedding_store_update` contract).  Per-batch cost: one scan
+    of the batch, one file-pruned read of the dirty cells, the bipartite
+    gram sieve — never the clean corpus.
+    """
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    own: list = [] if caches is None else caches
+    tbl = TransactionalTable(f"{store_path}/vectors")
+    tagged = new_df.select(
+        F.col(block_col).cast("bigint").alias(block_col), F.col(id_col), F.col(vec_col)
+    ).persist()
+    own.append(tagged)
+    dirty_vals = [r[0] for r in tagged.select(block_col).distinct().collect()]
+    if any(v is None for v in dirty_vals):
+        raise ValueError(
+            "embedding_store_backed_update: batch contains rows with a "
+            f"NULL {block_col} assignment; every vector must carry a "
+            "non-null cell"
+        )
+    n_part = max(1, len(dirty_vals))
+    if tbl.latest_version() is None:
+        matches = embedding_match(
+            tagged, tagged.limit(0), threshold, block_col, vec_col, id_col
+        )
+    else:
+        store_dirty = tbl.scan_values(spark, block_col, dirty_vals)
+        matches = embedding_match(
+            tagged, store_dirty, threshold, block_col, vec_col, id_col
+        )
+    tbl.append(tagged.repartitionByRange(n_part, block_col))
+    return matches
+
+
 # PQ splits each D-dim vector into m subvectors and replaces every
 # subvector with the index of its nearest codeword in a per-subspace
 # codebook (ksub entries) — D floats become m small ints.  Queries score
@@ -1290,6 +1349,16 @@ def semantic_dedup_store_update(
     # it does not contain; AQE can also coalesce a no-count repartition
     # to one file at small scale, erasing pruning entirely).
     dirty_vals = [r[0] for r in tagged.select("cell").distinct().collect()]
+    if any(v is None for v in dirty_vals):
+        # a null cell would crash prune_files_by_values (None vs int sort)
+        # and Column.isin would silently DROP the null-cell rows — fail
+        # loudly at the boundary instead (r11 advice)
+        raise ValueError(
+            "semantic_dedup_store_update: batch contains rows with a NULL "
+            "cell assignment; every vector must carry a non-null cell "
+            "(pre-assigned mode requires the caller's cell column to be "
+            "complete, and ivf_assign never emits null)"
+        )
     n_part = max(1, len(dirty_vals))
 
     if vec_tbl.latest_version() is None:
@@ -1312,8 +1381,16 @@ def semantic_dedup_store_update(
         caches=own,
     )
     # materialize the dirty slice BEFORE delete_where rewrites the files
-    # old_assign's lineage points at
-    dirty_assign = assign.filter(F.col("cell").isin(dirty_vals)).persist()
+    # old_assign's lineage points at.  Literal IN-list while the dirty set
+    # is centroid-bounded; past ~10^4 cells a literal list bloats the plan
+    # (and its hashing) — switch to a broadcast semi-join on the same
+    # distinct frame (r11 verdict item 8)
+    if len(dirty_vals) <= 10_000:
+        dirty_pred = F.col("cell").isin(dirty_vals)
+        dirty_assign = assign.filter(dirty_pred).persist()
+    else:
+        dirty_df = tagged.select("cell").distinct()
+        dirty_assign = assign.join(F.broadcast(dirty_df), "cell", "left_semi").persist()
     own.append(dirty_assign)
     dirty_assign.count()
     vec_tbl.append(tagged.repartitionByRange(n_part, "cell"))

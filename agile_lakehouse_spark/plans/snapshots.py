@@ -834,6 +834,50 @@ class TransactionalTable:
                 kept.append(f)
         return kept
 
+    def prune_files_by_keys(
+        self, col: str, values, version: int | None = None
+    ) -> list[str]:
+        """Files an IN-list probe ``col IN (values)`` must read, from the
+        manifest BLOOMS — the multi-key form of :meth:`prune_files_by_key`
+        and the point-lookup complement of :meth:`prune_files_by_values`
+        (whose min/max path needs the table RANGE-clustered on ``col``;
+        blooms prune hash-scattered keys too).  A file is kept iff its
+        bloom admits AT LEAST ONE probe key; files without a bloom for
+        ``col`` are conservatively kept (the Inexact contract).
+
+        The LSH-index shape (round 12): a near-dup batch probes the
+        signature store with its band keys — each key lives in O(1) files
+        per commit (hash-clustered writes), so the batch reads the files
+        holding true bucket collisions instead of the whole store.
+        """
+        v = self.latest_version() if version is None else version
+        manifest = self._read_manifest(v)
+        stats = manifest.get("stats", {})
+        probes = [self._bloom_positions(x) for x in set(values)]
+        kept = []
+        for f in manifest["files"]:
+            bloom_hex = (stats.get(f) or {}).get("bloom", {}).get(col)
+            if bloom_hex is None:
+                kept.append(f)
+                continue
+            bits = int(bloom_hex, 16)
+            if any(all(bits >> pos & 1 for pos in ps) for ps in probes):
+                kept.append(f)
+        return kept
+
+    def scan_keys(
+        self, spark: SparkSession, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of ``col IN (values)`` via bloom file skipping +
+        exact re-filter (blooms admit false positives, never negatives)."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        files = self.prune_files_by_keys(col, values, v)
+        if not files:
+            return self.read(spark, v).limit(0)
+        return self._live(spark, files, v).filter(F.col(col).isin(list(values)))
+
     def scan_values(
         self, spark: SparkSession, col: str, values, version: int | None = None
     ) -> DataFrame:
@@ -890,25 +934,46 @@ class TransactionalTable:
         spark: SparkSession,
         zorder_by: tuple[str, str] | None = None,
         target_files: int = 8,
+        cluster_by: str | tuple[str, ...] | None = None,
     ) -> int:
-        """OPTIMIZE [ZORDER BY (a, b)]: rewrite the snapshot so per-file
-        min/max stats become TIGHT on the clustering columns (new version;
-        time travel to the pre-optimize layout still works).
+        """OPTIMIZE [ZORDER BY (a, b) | CLUSTER BY (cols)]: rewrite the
+        snapshot so per-file min/max stats become TIGHT on the clustering
+        columns (new version; time travel to the pre-optimize layout still
+        works).
 
-        Without ``zorder_by`` this is plain compaction.  With it, rows are
-        range-partitioned on a Morton interleave of the two columns and
-        sorted within files — each file then owns a spatially contiguous
-        block, so :meth:`prune_files` / reader row-group pruning skip most
-        files for range predicates (Delta ``OPTIMIZE ZORDER BY``, built
-        from the same `plans/layout.zorder_key` the layout engine uses;
-        oracle-verified bit-for-bit in dq70).
+        Without either option this is plain compaction.  With
+        ``zorder_by``, rows are range-partitioned on a Morton interleave
+        of the two columns and sorted within files — each file then owns a
+        spatially contiguous block, so :meth:`prune_files` / reader
+        row-group pruning skip most files for range predicates (Delta
+        ``OPTIMIZE ZORDER BY``, built from the same
+        `plans/layout.zorder_key` the layout engine uses; oracle-verified
+        bit-for-bit in dq70).  With ``cluster_by`` (round 12), rows are
+        range-partitioned on the given column(s) directly — the
+        maintenance companion of the incremental-dedup stores, whose
+        appends grow one file-set per batch: after N batches the manifest
+        prune lists grow linearly, and re-clustering restores DISJOINT
+        per-file key ranges so :meth:`prune_files_by_values` is tight
+        again (reference analogue: the merge/compaction lifecycle,
+        ``pc-cli/src/merge.rs:46-84``).
 
-        Scale: one shuffle (the range partitioner samples the z-key), one
+        Scale: one shuffle (the range partitioner samples the key), one
         write; the rewrite parallelizes per output file.
         """
-        if zorder_by is None:
+        if zorder_by is None and cluster_by is None:
             return self.compact(spark, target_files)
         from pyspark.sql import functions as F
+
+        if cluster_by is not None:
+            if zorder_by is not None:
+                raise ValueError("pass zorder_by or cluster_by, not both")
+            cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            clustered = (
+                self.read(spark)
+                .repartitionByRange(target_files, *cols)
+                .sortWithinPartitions(*cols)
+            )
+            return self.overwrite(clustered)
 
         from agile_lakehouse_spark.plans.layout import zorder_key
 

@@ -103,6 +103,9 @@ TAIL_QUERIES: list[str] = [
     "dq148b_semantic_dedup_incr",  # 2-batch incremental SemDeDup (round 10)
     "dq148c_semantic_dedup_preassigned",  # write-time-layout SemDeDup mode (round 10)
     "dq148d_semantic_dedup_store",  # store-backed SemDeDup, pruned reads (round 11)
+    "dq21k_minhash_store_backed",  # LSH signature store, bloom-pruned probes (round 12)
+    "dq21l_exact_store_backed",  # exact-dedup state store, bloom-pruned probes (round 12)
+    "dq22f_embedding_store_backed",  # vector store, range-pruned dirty cells (round 12)
 ]
 
 BENCH_QUERIES = CORE_QUERIES + TAIL_QUERIES

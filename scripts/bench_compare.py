@@ -65,9 +65,16 @@ def load(path: str) -> dict:
 
 def _canary(d: dict) -> float | None:
     """Box-speed canary seconds, wherever the artifact schema put it:
-    compact line (round 11+) -> "canary"; sidecar -> protocol.canary_s."""
+    compact line (round 11+) -> "canary"; sidecar -> protocol.canary_s.
+    ``is not None`` (not truthiness): a canary recorded as 0.0 is a
+    degenerate MEASUREMENT (sub-ms probe rounded away), not a missing
+    one — treat it as unusable rather than silently disabling
+    normalization as if the schema lacked the field (r11 advice)."""
     v = d.get("canary", d.get("protocol", {}).get("canary_s"))
-    return float(v) if v else None
+    if v is None:
+        return None
+    v = float(v)
+    return v if v > 0.0 else None
 
 
 def main() -> None:
@@ -85,20 +92,49 @@ def main() -> None:
     # canary every such window costs a flagged-then-cleared round trip.
     c_old, c_new = _canary(old), _canary(new)
     box = c_new / c_old if c_old and c_new else 1.0
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    # Trust clamp (r11 advice): the canary is a single ~0.4 s micro-probe
+    # that runs the engine under test, so an extreme ratio is ambiguous —
+    # a 10x-degraded host OR a genuine engine-wide regression would both
+    # inflate it.  Outside [0.7, 1.5] we only normalize when the raw
+    # per-entry median corroborates the shift (a real engine regression
+    # concentrated in some subsystem would NOT move the median of every
+    # entry by the same factor the canary moved).
+    raw_ratios = sorted(
+        new["queries"][n] / old["queries"][n] for n in common if old["queries"][n] > 0
+    )
+    med_raw = raw_ratios[len(raw_ratios) // 2] if raw_ratios else 1.0
+    if box != 1.0 and not (0.7 <= box <= 1.5):
+        corroborated = med_raw > 0 and max(box, med_raw) / min(box, med_raw) <= 1.3
+        if corroborated:
+            print(
+                f"canary ratio {box:.2f}x outside the trust clamp [0.7, 1.5] "
+                f"but corroborated by the raw per-entry median ({med_raw:.2f}x) "
+                "— applying"
+            )
+        else:
+            print(
+                f"canary ratio {box:.2f}x outside the trust clamp [0.7, 1.5] "
+                f"and NOT corroborated by the raw per-entry median "
+                f"({med_raw:.2f}x) — normalization DISABLED; classify raw and "
+                "investigate the canary path (dq01/scan) directly"
+            )
+            box = 1.0
     if box != 1.0:
         print(
-            f"canary: {c_old:.3f}s -> {c_new:.3f}s (box ratio {box:.2f}x) — "
-            "new timings divided by this before classification"
+            f"canary: {c_old:.3f}s -> {c_new:.3f}s (box ratio {box:.2f}x, raw "
+            f"per-entry median {med_raw:.2f}x) — new timings divided by the "
+            "box ratio before classification; movers print raw AND normalized"
         )
-    common = sorted(set(old["queries"]) & set(new["queries"]))
     moved, noise_deltas = [], []
     for name in common:
-        a, b = old["queries"][name], new["queries"][name] / box
+        a, b_raw = old["queries"][name], new["queries"][name]
         if a <= 0:
             continue
+        b = b_raw / box
         delta, ratio = b - a, b / a
         if abs(delta) > max(abs_floor, rel_band * a):
-            moved.append((name, a, b, ratio))
+            moved.append((name, a, b, ratio, b_raw))
         else:
             noise_deltas.append(ratio)
     print(
@@ -113,9 +149,10 @@ def main() -> None:
             f"{len(noise_deltas)} entries inside the band (median ratio "
             f"{med:.2f}x — a uniform shift here is box drift, not the engine)"
         )
-    for name, a, b, ratio in sorted(moved, key=lambda m: -abs(m[3] - 1)):
+    for name, a, b, ratio, b_raw in sorted(moved, key=lambda m: -abs(m[3] - 1)):
         tag = "REGRESSED" if ratio > 1 else "IMPROVED "
-        print(f"{tag} {name}: {a:.2f}s -> {b:.2f}s ({ratio:.2f}x)")
+        raw_note = f" [raw {b_raw:.2f}s]" if box != 1.0 else ""
+        print(f"{tag} {name}: {a:.2f}s -> {b:.2f}s ({ratio:.2f}x){raw_note}")
     if not moved:
         print("no entry moved beyond the noise band")
     for key in ("value", "core_total", "tail_total"):

@@ -77,17 +77,24 @@ def main() -> int:
             "-p", "no:cacheprovider", f"--basetemp={base}",
             *[f"tests/{f}" for f in files],
         ]
-        procs.append(
-            (i, files, log.name,
-             subprocess.Popen(cmd, cwd=ROOT, env=env, stdout=log, stderr=log))
-        )
+        proc = subprocess.Popen(cmd, cwd=ROOT, env=env, stdout=log, stderr=log)
+        log.close()  # the child owns its own fd; don't leak the parent copy
+        procs.append((i, files, log.name, proc))
     failed = False
     totals = {"passed": 0, "failed": 0, "skipped": 0, "error": 0}
     for i, files, logname, p in procs:
         rc = p.wait()
-        tail = Path(logname).read_text()[-2000:]
-        m = re.findall(r"(\d+) (passed|failed|skipped|error)", tail)
-        counts = {k: int(v) for v, k in m}
+        full = Path(logname).read_text()
+        tail = full[-2000:]
+        # parse the FINAL pytest summary line from the whole log, searched
+        # backwards — a long traceback or warnings block after the counts
+        # line must not silently zero the aggregate tally (r11 advice)
+        counts: dict[str, int] = {}
+        for line in reversed(full.splitlines()):
+            m = re.findall(r"(\d+) (passed|failed|skipped|error)", line)
+            if m and (" in " in line or "no tests ran" in line):
+                counts = {k: int(v) for v, k in m}
+                break
         for k in totals:
             totals[k] += counts.get(k, 0)
         status = "ok" if rc == 0 else f"RC={rc}"

@@ -127,3 +127,51 @@ def test_bench_compare_canary_normalizes_box_drift(tmp_path, capsys, monkeypatch
         J.dump(old2, fh)
     bc.main()
     assert "box ratio" in capsys.readouterr().out
+
+
+def test_bench_compare_canary_trust_clamp(tmp_path, capsys, monkeypatch):
+    """Round 12 (r11 advice): an extreme canary ratio is only trusted when
+    the raw per-entry median corroborates it — a genuine engine-wide
+    regression inflates the canary too, and blind normalization would
+    silently absorb it."""
+    import json as J
+    import sys
+
+    bc = _load_bench_compare()
+    a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    old = {"canary": 0.4, "queries": {"dq01_scan": 2.0, "dq58_q3": 4.0, "w_s_rect": 4.0}}
+    with open(a, "w") as fh:
+        J.dump(old, fh)
+    monkeypatch.setattr(sys, "argv", ["bench_compare", a, b])
+
+    # 3x canary, entries unchanged (an engine change that only hits the
+    # canary path): NOT corroborated -> normalization disabled, entries
+    # classified raw (none move)
+    with open(b, "w") as fh:
+        J.dump({"canary": 1.2, "queries": dict(old["queries"])}, fh)
+    bc.main()
+    out = capsys.readouterr().out
+    assert "NOT corroborated" in out and "DISABLED" in out
+    assert "no entry moved beyond the noise band" in out
+
+    # 3x canary AND a uniform 3x entry shift (true degraded window):
+    # corroborated -> applied, everything lands in-band, movers would
+    # print raw values
+    with open(b, "w") as fh:
+        J.dump(
+            {"canary": 1.2, "queries": {k: v * 3 for k, v in old["queries"].items()}},
+            fh,
+        )
+    bc.main()
+    out = capsys.readouterr().out
+    assert "corroborated by the raw per-entry median" in out
+    assert "no entry moved beyond the noise band" in out
+
+    # canary recorded as 0.0 is a degenerate measurement, not a missing
+    # field: normalization quietly stays off and nothing crashes
+    with open(b, "w") as fh:
+        J.dump({"canary": 0.0, "queries": dict(old["queries"])}, fh)
+    bc.main()
+    out = capsys.readouterr().out
+    assert "box ratio" not in out
+    assert "no entry moved beyond the noise band" in out

@@ -1,0 +1,249 @@
+"""Round 12: the store-backed incremental-dedup trio (VERDICT r11 items
+2/3/5) — MinHash signatures, exact-dedup state, and embedding vectors in
+TransactionalTable stores with file-level pruned reads, plus the
+compaction cadence that keeps those prunes tight across many batches.
+
+Each prune proof is destructive, the tests/test_semantic_store.py
+pattern: after batch 1 commits, every store file the batch-2 probe does
+NOT need is overwritten with garbage bytes on disk; batch 2 still folds
+to the in-memory operator's exact answer, which it could not do if any
+pruned file were opened (the parquet footer parse would throw).
+
+Reference parity: the reference prunes row groups inside one file via
+its footer-stats R-tree (pc-io/src/helpers.rs:35-125) and compacts via
+merge (pc-cli/src/merge.rs:46-84); the stores lift both mechanisms into
+the commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agile_lakehouse_spark.operators import dedup, similarity
+from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+K, T = 5, 0.5
+
+
+def _docs(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _minhash_corpus(spark):
+    """40 distinct batch-1 texts + a duplicated group; batch 2 = exact
+    copies of group text 'gx' (identical signatures -> identical band
+    keys) with higher ids."""
+    b1 = [(i, f"unique document number {i} with some filler text body") for i in range(40)]
+    gx = "the shared group text that batch two duplicates exactly!"
+    b1 += [(100, gx), (101, gx)]
+    b2 = [(200, gx), (201, gx)]
+    return _docs(spark, b1), _docs(spark, b2)
+
+
+def test_minhash_store_backed_folds_and_prunes(spark, tmp_path):
+    b1, b2 = _minhash_corpus(spark)
+    store = str(tmp_path / "mhstore")
+    caches: list = []
+    dedup.minhash_store_backed_update(
+        spark, b1, store, k=K, threshold=T, target_files=8, caches=caches
+    )
+    spark.catalog.clearCache()  # state must come from disk, not lineage
+
+    tbl = TransactionalTable(f"{store}/sigs", bloom_columns=("bkey",))
+    v = tbl.latest_version()
+    files = tbl._read_manifest(v)["files"]
+    assert len(files) > 2, "hash-clustered append should yield several files"
+    # replicate batch 2's probe to find the files it may touch
+    sigs2 = dedup.minhash_signatures(b2, k=K)
+    probe = [
+        r[0]
+        for r in dedup._lsh_buckets(sigs2, dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND, "doc_id")
+        .withColumn("bkey", F.concat_ws(":", F.col("band").cast("string"), F.col("key")))
+        .select("bkey")
+        .distinct()
+        .collect()
+    ]
+    kept = set(tbl.prune_files_by_keys("bkey", probe, v))
+    pruned = [f for f in files if f not in kept]
+    assert pruned, "blooms must skip files holding only non-colliding signatures"
+    assert kept, "files holding the duplicated group's band keys must survive"
+    for f in pruned:
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+
+    got = dedup.minhash_store_backed_update(
+        spark, b2, store, k=K, threshold=T, caches=caches
+    )
+    expected = dedup.minhash_incremental_pairs(
+        b2, dedup.minhash_signatures(b1, k=K), threshold=T, k=K,
+        persist_sigs=False,
+    )
+    assert _pairs(got) == _pairs(expected), "store-backed diverged from in-memory"
+    # the duplicated group must actually produce cross-batch pairs
+    assert any(a in (100, 101) and b in (200, 201) for a, b, _ in _pairs(got))
+    for c in caches:
+        c.unpersist()
+
+
+def test_exact_store_backed_folds_and_prunes(spark, tmp_path):
+    b1 = _docs(spark, [(i, f"text number {i}") for i in range(40)] + [(100, "dup me")])
+    b2 = _docs(spark, [(200, "dup me"), (201, "novel text"), (202, "novel text")])
+    store = str(tmp_path / "exstore")
+    caches: list = []
+    dedup.exact_dedup_store_backed_update(spark, b1, store, target_files=8, caches=caches)
+    spark.catalog.clearCache()
+
+    tbl = TransactionalTable(f"{store}/state", bloom_columns=("text",))
+    v = tbl.latest_version()
+    files = tbl._read_manifest(v)["files"]
+    kept = set(tbl.prune_files_by_keys("text", ["dup me", "novel text"], v))
+    pruned = [f for f in files if f not in kept]
+    assert pruned and kept
+    for f in pruned:
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+
+    got = dedup.exact_dedup_store_backed_update(spark, b2, store, caches=caches)
+    expected = dedup.exact_dedup_incremental(b2, dedup.exact_dedup_store(b1))
+    assert _pairs(got) == _pairs(expected)
+    rows = {r["doc_id"]: (r["keep_id"], r["kept"]) for r in got.collect()}
+    # seen text keeps the corpus representative; novel text keeps batch min
+    assert rows[200] == (100, False)
+    assert rows[201] == (201, True) and rows[202] == (201, False)
+    for c in caches:
+        c.unpersist()
+
+
+def _vec_corpus(spark):
+    rows = []
+    for cell in range(6):
+        for j in range(12):
+            vid = cell * 100 + j
+            g = j // 3
+            vec = [1.0, float(g % 5), float((g * g) % 7), float(cell + 1)]
+            rows.append((vid, cell, vec))
+    return spark.createDataFrame(rows, "vec_id long, cell long, embedding array<float>")
+
+
+def test_embedding_store_backed_folds_and_never_opens_clean_files(spark, tmp_path):
+    corpus = _vec_corpus(spark)
+    b1 = corpus.filter((F.col("cell") < 5) | (F.col("vec_id") % 100 < 6))
+    b2 = corpus.filter((F.col("cell") == 5) & (F.col("vec_id") % 100 >= 6))
+    store = str(tmp_path / "embstore")
+    caches: list = []
+    first = similarity.embedding_store_backed_update(
+        spark, b1, store, threshold=0.9, caches=caches
+    )
+    assert first.count() == 0  # empty store: nothing to match against
+    spark.catalog.clearCache()
+
+    tbl = TransactionalTable(f"{store}/vectors")
+    v = tbl.latest_version()
+    files = tbl._read_manifest(v)["files"]
+    dirty = set(tbl.prune_files_by_values("cell", [5], v))
+    clean = [f for f in files if f not in dirty]
+    assert clean and dirty
+    for f in clean:
+        with open(f, "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE")
+
+    got = similarity.embedding_store_backed_update(
+        spark, b2, store, threshold=0.9, caches=caches
+    )
+    expected = similarity.embedding_match(b2, b1, threshold=0.9)
+    assert _pairs(got) == _pairs(expected)
+    assert got.count() > 0, "cell-5 duplicates must match across batches"
+    for c in caches:
+        c.unpersist()
+
+
+def test_semantic_store_compaction_cadence(spark, tmp_path):
+    """VERDICT r11 item 2: fold FIVE batches through
+    semantic_dedup_store_update (manifest and file count grow one
+    file-set per batch), OPTIMIZE both stores with single-column range
+    clustering, and show (a) the file count drops, (b) the dirty-cell
+    prune fraction recovers to the fresh-store level, (c) the assignment
+    still equals the batch operator over the union, and (d) a FURTHER
+    batch folds correctly on top of the compacted store."""
+    corpus = _vec_corpus(spark)
+    store = str(tmp_path / "cadence")
+    caches: list = []
+    # five batches: cells {0,1} / {2,3} / {4} / first half of 5 / rest of 5
+    batches = [
+        corpus.filter(F.col("cell") < 2),
+        corpus.filter((F.col("cell") >= 2) & (F.col("cell") < 4)),
+        corpus.filter(F.col("cell") == 4),
+        corpus.filter((F.col("cell") == 5) & (F.col("vec_id") % 100 < 6)),
+        corpus.filter((F.col("cell") == 5) & (F.col("vec_id") % 100 >= 6)),
+    ]
+    for b in batches:
+        similarity.semantic_dedup_store_update(spark, b, None, store, 0.9, caches=caches)
+
+    vec_tbl = TransactionalTable(f"{store}/vectors")
+    asg_tbl = TransactionalTable(f"{store}/assign")
+    files_before = vec_tbl._read_manifest(vec_tbl.latest_version())["files"]
+    read_before = vec_tbl.prune_files_by_values("cell", [5])
+    # growth: cell 5 was written by TWO batches (one file-set each), so a
+    # dirty-cell probe must read >=2 files — per-batch range clustering is
+    # tight within a batch, but nothing re-clusters ACROSS batches
+    assert len(files_before) >= 5
+    assert len(read_before) >= 2
+
+    vec_tbl.optimize(spark, cluster_by="cell", target_files=3)
+    asg_tbl.optimize(spark, cluster_by="cell", target_files=3)
+    files_after = vec_tbl._read_manifest(vec_tbl.latest_version())["files"]
+    read_after = vec_tbl.prune_files_by_values("cell", [5])
+    assert len(files_after) < len(files_before)
+    assert len(read_after) < len(read_before)
+    assert len(read_after) <= 1, "range-clustered files hold disjoint cells"
+    # prune fraction recovers: most of the compacted store is skipped
+    assert len(read_after) / len(files_after) < 0.5
+
+    # correctness survives compaction: assignment == batch operator
+    expected = similarity.semantic_dedup(corpus, None, threshold=0.9)
+    got = sorted(tuple(r) for r in asg_tbl.read(spark).collect())
+    assert got == sorted(tuple(r) for r in expected.collect())
+
+    # and the NEXT batch folds on top of the compacted store
+    extra = spark.createDataFrame(
+        [(700 + j, 3, [1.0, 0.0, 0.0, 4.0]) for j in range(3)],
+        "vec_id long, cell long, embedding array<float>",
+    )
+    a6 = similarity.semantic_dedup_store_update(spark, extra, None, store, 0.9, caches=caches)
+    expected6 = similarity.semantic_dedup(corpus.unionByName(extra), None, threshold=0.9)
+    assert sorted(tuple(r) for r in a6.collect()) == sorted(
+        tuple(r) for r in expected6.collect()
+    )
+    for c in caches:
+        c.unpersist()
+
+
+def test_prune_files_by_keys_bloom_semantics(spark, tmp_path):
+    tbl = TransactionalTable(str(tmp_path / "bloomkv"), bloom_columns=("s",))
+    df = spark.createDataFrame(
+        [(f"key{k}", k) for k in range(16)], "s string, v long"
+    ).repartition(4, "s")
+    tbl.append(df)
+    files = tbl._read_manifest(tbl.latest_version())["files"]
+    kept = tbl.prune_files_by_keys("s", ["key3"])
+    assert set(kept) <= set(files) and len(kept) < len(files)
+    got = sorted(tuple(r) for r in tbl.scan_keys(spark, "s", ["key3", "key9"]).collect())
+    assert got == [("key3", 3), ("key9", 9)]
+    # empty probe list prunes everything; absent key returns no rows
+    assert tbl.prune_files_by_keys("s", []) == []
+    assert tbl.scan_keys(spark, "s", ["nope"]).count() == 0
+    # a column without blooms keeps every file (Inexact contract)
+    assert tbl.prune_files_by_keys("v", [3]) == files
+
+
+def test_optimize_cluster_by_rejects_both_options(spark, tmp_path):
+    tbl = TransactionalTable(str(tmp_path / "opt"))
+    tbl.append(spark.createDataFrame([(1, 2)], "a long, b long"))
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        tbl.optimize(spark, zorder_by=("a", "b"), cluster_by="a")
