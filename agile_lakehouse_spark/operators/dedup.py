@@ -342,9 +342,9 @@ def minhash_store_backed_update(
     costs ``bands``x storage (4x at defaults) — the classic LSH
     index/storage trade.  The driver-side ``bkey`` probe list is bounded
     by batch_size x bands; at a 1 M-doc batch carry the probe as a
-    DataFrame semi-join on the bucket table instead (the manifest prune
-    then degrades gracefully to a scan of files whose blooms the batch
-    saturates).
+    DataFrame through ``TransactionalTable.scan_in`` instead, which
+    prunes while the key set collects under its cap and degrades to a
+    broadcast semi-join over the full file list past it.
     """
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 

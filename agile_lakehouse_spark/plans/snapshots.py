@@ -878,6 +878,53 @@ class TransactionalTable:
             return self.read(spark, v).limit(0)
         return self._live(spark, files, v).filter(F.col(col).isin(list(values)))
 
+    def scan_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        keys,
+        version: int | None = None,
+        max_prune_keys: int = 100_000,
+    ) -> DataFrame:
+        """Snapshot read of ``col IN (keys)`` where ``keys`` may be a
+        Python iterable OR a single-column DataFrame — the 100 TB shape,
+        where a batch's probe set can exceed what a driver should collect
+        (the :func:`~agile_lakehouse_spark.operators.dedup.
+        minhash_store_backed_update` escape hatch).
+
+        DataFrame keys are taken up to ``max_prune_keys``: at or under
+        the cap the distinct key list drives manifest pruning — min/max
+        range stats AND blooms, intersected (each is a no-false-negative
+        filter, so their intersection is too) — plus an exact IN-list
+        re-filter.  Over the cap the read degrades gracefully to the full
+        file list with a broadcast semi-join: file pruning needs
+        driver-side literals by construction (the commit log is
+        driver-side metadata), so a probe set too large to collect is
+        also too large to prune with, and the semi-join is the honest
+        distributed fallback.
+        """
+        from pyspark.sql import functions as F
+
+        v = self.latest_version() if version is None else version
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(F.col(keys.columns[0]).alias(col)).distinct()
+            head = kdf.take(max_prune_keys + 1)
+            if len(head) > max_prune_keys:
+                return self.read(spark, v).join(F.broadcast(kdf), col, "left_semi")
+            vals = [r[0] for r in head]
+        else:
+            vals = list(keys)
+        files = set(self.prune_files_by_values(col, vals, v))
+        try:
+            files &= set(self.prune_files_by_keys(col, vals, v))
+        except TypeError:
+            pass  # float keys: blooms excluded by contract, range stats stand
+        manifest_files = self._read_manifest(v)["files"]
+        kept = [f for f in manifest_files if f in files]
+        if not kept:
+            return self.read(spark, v).limit(0)
+        return self._live(spark, kept, v).filter(F.col(col).isin(vals))
+
     def scan_values(
         self, spark: SparkSession, col: str, values, version: int | None = None
     ) -> DataFrame:

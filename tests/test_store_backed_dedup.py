@@ -240,6 +240,27 @@ def test_prune_files_by_keys_bloom_semantics(spark, tmp_path):
     assert tbl.prune_files_by_keys("v", [3]) == files
 
 
+def test_scan_in_list_dataframe_and_overcap_fallback(spark, tmp_path):
+    """scan_in: iterable keys and small DataFrame keys drive manifest
+    pruning (range stats AND blooms intersected); a DataFrame past
+    max_prune_keys degrades to a broadcast semi-join over the full file
+    list — same rows either way."""
+    tbl = TransactionalTable(str(tmp_path / "scanin"), bloom_columns=("k",))
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(16)], "k long, v long"
+    ).repartitionByRange(4, "k")
+    tbl.append(df)
+    want = [(3, 30), (9, 90)]
+    assert sorted(tuple(r) for r in tbl.scan_in(spark, "k", [3, 9]).collect()) == want
+    kdf = spark.createDataFrame([(3,), (9,)], "k long")
+    assert sorted(tuple(r) for r in tbl.scan_in(spark, "k", kdf).collect()) == want
+    # over the cap: semi-join fallback, identical rows
+    got = tbl.scan_in(spark, "k", kdf, max_prune_keys=1)
+    assert sorted(tuple(r) for r in got.collect()) == want
+    # pruning actually intersects: a value outside every file range reads 0 files
+    assert tbl.scan_in(spark, "k", [99]).count() == 0
+
+
 def test_optimize_cluster_by_rejects_both_options(spark, tmp_path):
     tbl = TransactionalTable(str(tmp_path / "opt"))
     tbl.append(spark.createDataFrame([(1, 2)], "a long, b long"))
