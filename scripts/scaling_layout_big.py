@@ -200,6 +200,7 @@ def run_scale_banded(
     qtbands: int = 7,
     keep_cells: bool = False,
     gate: float | None = None,
+    layout_gate: float | None = None,
 ) -> dict:
     """The 1 B-point decade via the reference's own windowed discipline
     (``pc-cli/src/partition.rs:249-374``): generate -> layout -> validate
@@ -253,6 +254,17 @@ def run_scale_banded(
             dt = time.time() - t0
             grid_s += dt
             band_times.append(round(dt, 2))
+            # layout-phase gate (round-12): host stalls land on layout
+            # phases the convert canary cannot see — attempt 23 ran FOUR
+            # bands at 2-5x healthy layout times while its cumulative
+            # convert stayed under the gate.  Healthy per-band grid
+            # layouts are 30-123 s (r10's 400.2 s sample); a single band
+            # past the layout gate means the sample cannot be healthy.
+            if layout_gate is not None and dt > layout_gate:
+                out["aborted"] = "layout_gate"
+                out["convert_s_partial"] = round(convert_s, 2)
+                out["grid_band_s_partial"] = band_times
+                return out
             total_rows += spark.read.parquet(f"{tmp}/bgrid").count()
             shutil.rmtree(f"{tmp}/bgrid", ignore_errors=True)
             shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
@@ -365,6 +377,7 @@ def main() -> None:
     qtbands_seq = [7]
     qtcells_seq = ["drop"]
     gate = None
+    layout_gate = None
     samples = 1
     max_attempts = 12
     retry_sleep = 120.0
@@ -385,6 +398,11 @@ def main() -> None:
             # 1.5x the 42-91 s healthy band).  Enables the probe gate +
             # mid-run abort + retry-until-healthy sampling loop.
             gate = float(f.split("=", 1)[1])
+        if f.startswith("--layout-gate="):
+            # per-band layout ceiling (2 B grid: ~300 = 2.5x the largest
+            # healthy band) — aborts runs whose stalls land on layout
+            # phases instead of converts
+            layout_gate = float(f.split("=", 1)[1])
         if f.startswith("--samples="):
             samples = int(f.split("=", 1)[1])
         if f.startswith("--max-attempts="):
@@ -452,7 +470,7 @@ def main() -> None:
                     continue
                 rec = run_scale_banded(spark, n, layouts, stats,
                                        qtbands_seq[0], qtcells_seq[0] == "keep",
-                                       gate=gate)
+                                       gate=gate, layout_gate=layout_gate)
                 rec["attempt"] = attempts
                 print(json.dumps(rec), flush=True)
                 conv = rec.get("convert_s", rec.get("quadtree_convert_s", 1e18))

@@ -150,12 +150,97 @@ def run_scale(spark, n: int) -> dict:
     return out
 
 
+def run_compaction(spark, n: int, n_batches: int = 6) -> dict:
+    """VERDICT r11 item 2: the store-MAINTENANCE rung.  Fold ``n_batches``
+    ingest batches whose rows scatter over ALL cells (the worst case for
+    store growth: every cell accumulates one file-set per batch, so a
+    1-cell probe reads ~n_batches files), OPTIMIZE both stores with
+    single-column range clustering, and measure the probe's file/byte
+    cost before vs after — then fold ONE MORE dirty-subset batch on the
+    compacted store and xor-checksum it against the batch operator over
+    the union (compaction must not change answers, reference lifecycle
+    analogue pc-cli/src/merge.rs:46-84)."""
+    cells = max(n // 8192, DIRTY_DIV)
+    out: dict[str, object] = {
+        "mode": "compaction", "n_vectors": n, "cells": cells, "n_batches": n_batches,
+    }
+    step = n // n_batches
+    # cut=n: every row takes the all-cells assignment; the extra batch
+    # below (ids >= n) lands in the dirty 1/10 subset per the generator
+    allvecs = synth_vectors(spark, n + step, cells, cut=n).persist()
+    allvecs.count()
+    vecs = allvecs.filter(F.col("vec_id") < n)
+    extra = allvecs.filter(F.col("vec_id") >= n)
+    store = tempfile.mkdtemp(prefix=f"semcompact_{n}_")
+    caches: list = []
+    try:
+        t0 = time.time()
+        for b in range(n_batches):
+            lo = b * step
+            hi = (b + 1) * step if b < n_batches - 1 else n
+            batch = vecs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            S.semantic_dedup_store_update(spark, batch, None, store, THR, caches=caches)
+        out["fold_s"] = round(time.time() - t0, 2)
+
+        vt = TransactionalTable(f"{store}/vectors")
+        at = TransactionalTable(f"{store}/assign")
+
+        def probe_stats(t, probe):
+            v = t.latest_version()
+            files = t._read_manifest(v)["files"]
+            kept = t.prune_files_by_values("cell", probe, v)
+            mb = round(sum(os.path.getsize(f) for f in kept) / 1e6, 2)
+            return len(files), len(kept), mb
+
+        probe = [0]
+        (out["vec_files_before"], out["probe_files_before"],
+         out["probe_mb_before"]) = probe_stats(vt, probe)
+        t0 = time.time()
+        tgt = max(4, cells // 64)
+        vt.optimize(spark, cluster_by="cell", target_files=tgt)
+        at.optimize(spark, cluster_by="cell", target_files=tgt)
+        out["optimize_s"] = round(time.time() - t0, 2)
+        (out["vec_files_after"], out["probe_files_after"],
+         out["probe_mb_after"]) = probe_stats(vt, probe)
+
+        cs = _checksum(at.read(spark))
+        cb = _checksum(S.semantic_dedup(vecs, None, threshold=THR))
+        assert (cs.s, cs.n) == (cb.s, cb.n), (cs, cb)
+
+        # post-compaction: a dirty-subset batch folds correctly AND its
+        # pruned read benefits from the re-clustered layout
+        dirty = [r[0] for r in extra.select("cell").distinct().collect()]
+        files = vt._read_manifest(vt.latest_version())["files"]
+        kept = vt.prune_files_by_values("cell", dirty)
+        out["extra_dirty_cells"] = len(dirty)
+        out["extra_files_read"] = len(kept)
+        out["extra_prune_frac"] = round(1 - len(kept) / max(len(files), 1), 3)
+        t0 = time.time()
+        a2 = S.semantic_dedup_store_update(spark, extra, None, store, THR, caches=caches)
+        c2 = _checksum(a2)
+        out["extra_fold_s"] = round(time.time() - t0, 2)
+        cb2 = _checksum(S.semantic_dedup(allvecs, None, threshold=THR))
+        assert (c2.s, c2.n) == (cb2.s, cb2.n), (c2, cb2)
+        out["agree"] = True
+        for c in caches:
+            c.unpersist()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        allvecs.unpersist()
+    return out
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [200_000, 1_000_000]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
     spark = get_session("scaling-semdedup-store")
     spark.sparkContext.setLogLevel("ERROR")
-    for nn in sizes:
-        print(json.dumps(run_scale(spark, nn)), flush=True)
+    if "--compact" in flags:
+        for nn in args or [200_000]:
+            print(json.dumps(run_compaction(spark, nn)), flush=True)
+    else:
+        for nn in args or [200_000, 1_000_000]:
+            print(json.dumps(run_scale(spark, nn)), flush=True)
     spark.stop()
 
 
