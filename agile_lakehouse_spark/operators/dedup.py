@@ -268,6 +268,9 @@ def exact_dedup_store_backed_update(
     # exchange with the explicit partition count.
     tbl.append(novel.repartitionByRange(max(1, target_files), text_col))
     return verdicts
+
+
+def minhash_store_update(corpus_sigs: DataFrame, new_sigs: DataFrame) -> DataFrame:
     """APPLY a batch to the stored MinHash signature table: append the
     batch's signatures — ALL of them, kept AND dropped.  The batch
     operator (:func:`minhash_near_dup`) computes candidate pairs against
