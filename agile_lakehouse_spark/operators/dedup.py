@@ -218,6 +218,7 @@ def exact_dedup_store_backed_update(
     text_col: str = "text",
     id_col: str = "doc_id",
     target_files: int = 8,
+    bloom_bits: int | None = None,
     caches: list | None = None,
 ) -> DataFrame:
     """The PRODUCTION shape of :func:`exact_dedup_incremental` +
@@ -247,7 +248,9 @@ def exact_dedup_store_backed_update(
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 
     own: list = [] if caches is None else caches
-    tbl = TransactionalTable(f"{store_path}/state", bloom_columns=(text_col,))
+    tbl = TransactionalTable(
+        f"{store_path}/state", bloom_columns=(text_col,), bloom_bits=bloom_bits
+    )
     if tbl.latest_version() is None:
         store = new_df.select(
             F.col(text_col), F.lit(0).cast("bigint").alias("keep_id")
@@ -304,6 +307,7 @@ def minhash_store_backed_update(
     seed: int = 7,
     max_bucket_size: int | None = None,
     target_files: int = 8,
+    bloom_bits: int | None = None,
     caches: list | None = None,
 ) -> DataFrame:
     """The PRODUCTION shape of :func:`minhash_incremental_pairs` +
@@ -352,7 +356,9 @@ def minhash_store_backed_update(
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 
     own: list = [] if caches is None else caches
-    tbl = TransactionalTable(f"{store_path}/sigs", bloom_columns=("bkey",))
+    tbl = TransactionalTable(
+        f"{store_path}/sigs", bloom_columns=("bkey",), bloom_bits=bloom_bits
+    )
     mh_cols = [f"mh{j}" for j in range(num_perms)]
 
     new_sigs = minhash_signatures(new_df, k, num_perms, text_col, id_col, seed).persist()

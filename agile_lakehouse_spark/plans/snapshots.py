@@ -57,7 +57,12 @@ class SchemaEvolutionError(ValueError):
 
 
 class TransactionalTable:
-    def __init__(self, path: str, bloom_columns: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        path: str,
+        bloom_columns: tuple[str, ...] = (),
+        bloom_bits: int | None = None,
+    ):
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -67,6 +72,13 @@ class TransactionalTable:
         # columns to build per-file bloom filters for at commit time
         # (point-lookup file skipping; min/max stats only help range scans)
         self.bloom_columns = tuple(bloom_columns)
+        # bloom sizing is a WRITE-side knob (Delta's bloom-index fpp
+        # equivalent): the default 2^16 bits saturates past ~5-10k distinct
+        # keys/file, and a saturated bloom admits everything — size it to
+        # >= ~15 bits per expected distinct key per file.  Each file's
+        # manifest entry records the bits it was BUILT with, so readers
+        # never need to know this knob (mixed-size tables probe correctly).
+        self.bloom_bits = self._BLOOM_BITS if bloom_bits is None else int(bloom_bits)
 
     # -- log helpers --------------------------------------------------------
 
@@ -218,17 +230,30 @@ class TransactionalTable:
         return str(value)
 
     @classmethod
-    def _bloom_positions(cls, value) -> list[int]:
+    def _bloom_positions(cls, value, bits: int | None = None) -> list[int]:
         """k bit positions for a key, from one md5 of
-        :meth:`_canonical_key`."""
+        :meth:`_canonical_key`, modulo the bloom's OWN bit count (each
+        manifest entry records the size it was built with)."""
         import hashlib
 
+        bits = cls._BLOOM_BITS if bits is None else bits
         digest = hashlib.md5(cls._canonical_key(value).encode()).digest()
         out = []
         for i in range(cls._BLOOM_HASHES):
             chunk = int.from_bytes(digest[2 * i : 2 * i + 4], "big")
-            out.append(chunk % cls._BLOOM_BITS)
+            out.append(chunk % bits)
         return out
+
+    @classmethod
+    def _bloom_entry(cls, entry) -> tuple[int, int] | None:
+        """Decode a manifest bloom entry -> (bits, bitmap).  Legacy plain
+        hex strings are the original fixed 2^16-bit format; dict entries
+        (round 12) carry their build-time size explicitly."""
+        if entry is None:
+            return None
+        if isinstance(entry, dict):
+            return int(entry["bits"]), int(entry["hex"], 16)
+        return cls._BLOOM_BITS, int(entry, 16)
 
     _BLOOM_TYPES = ("int", "bigint", "smallint", "tinyint", "string")
 
@@ -263,7 +288,7 @@ class TransactionalTable:
             positions = F.array(
                 *[
                     # digest[2i : 2i+4] big-endian == hex chars [4i+1, 4i+8]
-                    (F.conv(F.substring(md5hex, 1 + 4 * i, 8), 16, 10).cast("bigint") % self._BLOOM_BITS)
+                    (F.conv(F.substring(md5hex, 1 + 4 * i, 8), 16, 10).cast("bigint") % self.bloom_bits)
                     for i in range(self._BLOOM_HASHES)
                 ]
             )
@@ -284,8 +309,14 @@ class TransactionalTable:
                 # Java's long is signed: bit 63 comes back negative — mask
                 per_file.setdefault(path, 0)
                 per_file[path] |= (r["__m"] & ((1 << 64) - 1)) << (64 * r["__w"])
-            for path, bits in per_file.items():
-                out.setdefault(path, {})[c] = f"{bits:x}"
+            for path, bitmap in per_file.items():
+                if self.bloom_bits == self._BLOOM_BITS:
+                    out.setdefault(path, {})[c] = f"{bitmap:x}"  # legacy form
+                else:
+                    out.setdefault(path, {})[c] = {
+                        "bits": self.bloom_bits,
+                        "hex": f"{bitmap:x}",
+                    }
         return out
 
     def prune_files_by_key(self, col: str, value, version: int | None = None) -> list[str]:
@@ -297,12 +328,12 @@ class TransactionalTable:
         stats = manifest.get("stats", {})
         kept = []
         for f in manifest["files"]:
-            bloom_hex = (stats.get(f) or {}).get("bloom", {}).get(col)
-            if bloom_hex is None:
+            decoded = self._bloom_entry((stats.get(f) or {}).get("bloom", {}).get(col))
+            if decoded is None:
                 kept.append(f)
                 continue
-            bits = int(bloom_hex, 16)
-            if all(bits >> pos & 1 for pos in self._bloom_positions(value)):
+            nbits, bitmap = decoded
+            if all(bitmap >> pos & 1 for pos in self._bloom_positions(value, nbits)):
                 kept.append(f)
         return kept
 
@@ -853,15 +884,20 @@ class TransactionalTable:
         v = self.latest_version() if version is None else version
         manifest = self._read_manifest(v)
         stats = manifest.get("stats", {})
-        probes = [self._bloom_positions(x) for x in set(values)]
+        keys = set(values)
+        pos_cache: dict[int, list[list[int]]] = {}
         kept = []
         for f in manifest["files"]:
-            bloom_hex = (stats.get(f) or {}).get("bloom", {}).get(col)
-            if bloom_hex is None:
+            decoded = self._bloom_entry((stats.get(f) or {}).get("bloom", {}).get(col))
+            if decoded is None:
                 kept.append(f)
                 continue
-            bits = int(bloom_hex, 16)
-            if any(all(bits >> pos & 1 for pos in ps) for ps in probes):
+            nbits, bitmap = decoded
+            if nbits not in pos_cache:
+                pos_cache[nbits] = [self._bloom_positions(x, nbits) for x in keys]
+            if any(
+                all(bitmap >> pos & 1 for pos in ps) for ps in pos_cache[nbits]
+            ):
                 kept.append(f)
         return kept
 

@@ -196,7 +196,11 @@ def run_compaction(spark, n: int, n_batches: int = 6) -> dict:
         (out["vec_files_before"], out["probe_files_before"],
          out["probe_mb_before"]) = probe_stats(vt, probe)
         t0 = time.time()
-        tgt = max(4, cells // 64)
+        # granularity must track cell count (~2 cells/file): the first run
+        # used cells//64 -> 4 files spanning ~6 cells each, and the probe's
+        # BYTES rose 4x even as files read fell 6x (SCALE.md round-12
+        # caveat) — same lesson as the per-batch repartitionByRange(n_dirty)
+        tgt = max(4, min(cells // 2, 256))
         vt.optimize(spark, cluster_by="cell", target_files=tgt)
         at.optimize(spark, cluster_by="cell", target_files=tgt)
         out["optimize_s"] = round(time.time() - t0, 2)

@@ -261,6 +261,32 @@ def test_scan_in_list_dataframe_and_overcap_fallback(spark, tmp_path):
     assert tbl.scan_in(spark, "k", [99]).count() == 0
 
 
+def test_bloom_bits_knob_and_mixed_size_manifest(spark, tmp_path):
+    """Round 12: bloom_bits is a write-side knob (saturation fix for
+    high-key-count files); each manifest entry records its build-time
+    size, so commits of DIFFERENT sizes coexist in one table and legacy
+    plain-hex entries still decode as the 2^16 default."""
+    path = str(tmp_path / "bb")
+    big = TransactionalTable(path, bloom_columns=("s",), bloom_bits=1 << 18)
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(64)], "s string, v long"
+    ).repartition(4, "s")
+    big.append(df)
+    # second commit through a handle with the legacy default size
+    legacy = TransactionalTable(path, bloom_columns=("s",))
+    legacy.append(spark.createDataFrame([("extra", 99)], "s string, v long"))
+    m = legacy._read_manifest(legacy.latest_version())
+    entries = [(m["stats"][f].get("bloom") or {}).get("s") for f in m["files"]]
+    assert any(isinstance(e, dict) and e["bits"] == 1 << 18 for e in entries)
+    assert any(isinstance(e, str) for e in entries)  # legacy form preserved
+    kept = legacy.prune_files_by_keys("s", ["k3"])
+    assert set(kept) < set(m["files"])  # prunes across both formats
+    got = sorted(
+        tuple(r) for r in legacy.scan_keys(spark, "s", ["k3", "extra"]).collect()
+    )
+    assert got == [("extra", 99), ("k3", 3)]
+
+
 def test_optimize_cluster_by_rejects_both_options(spark, tmp_path):
     tbl = TransactionalTable(str(tmp_path / "opt"))
     tbl.append(spark.createDataFrame([(1, 2)], "a long, b long"))
