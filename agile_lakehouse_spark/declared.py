@@ -5367,6 +5367,38 @@ SPARK_QUERIES["dq22f_embedding_store_backed"] = embedding_store_backed_q
 ORACLES["dq22f_embedding_store_backed"] = ORACLES["dq22e_embedding_match_incr"]
 
 
+def exact_store_fp_q(spark, sf_dir):
+    """dq21m (round 13): dq21l's 100 TB key shape — the state store keyed
+    on the portable 128-bit md5 content fingerprint (text kept as
+    payload), blooms on the fixed-width ``fp``, probes routed through
+    ``scan_in``'s DataFrame form so nothing document-sized collects to
+    the driver.  Same oracle SQL as dq21i/dq21l: md5 equality == text
+    equality on the fixture (and at ~2^-64 everywhere else), so the
+    driver hash proves fingerprint-keyed == text-keyed == in-memory
+    incremental == batch."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    store = tempfile.mkdtemp(prefix="dq21m_store_")
+    caches: list = []
+    try:
+        dedup.exact_dedup_store_backed_update(
+            spark, old, store, key_mode="fingerprint", caches=caches
+        )
+        return dedup.exact_dedup_store_backed_update(
+            spark, new, store, key_mode="fingerprint", caches=caches
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+SPARK_QUERIES["dq21m_exact_store_fp"] = exact_store_fp_q
+ORACLES["dq21m_exact_store_fp"] = ORACLES["dq21i_exact_incremental"]
+
+
 # --- round-12 head rotation ---------------------------------------------------
 # Head = the 3 NEW store-backed trio entries (dq21k/dq21l/dq22f) + the
 # entries whose code paths round 12 touched (dq148d: localCheckpoint +

