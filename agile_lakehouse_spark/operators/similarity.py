@@ -24,6 +24,41 @@ from agile_lakehouse_spark.functions import vector
 from agile_lakehouse_spark.functions.portable import round4
 
 
+# --- sieve-path instrumentation (round 13, VERDICT r12 item 1) --------------
+# The r12 driver artifact timed dq148 at 12.98 s against a same-round
+# sidecar of 5.72 s on untouched code; the named hypothesis was the gram
+# sieve silently taking the distributed pair-join fallback.  When a
+# harness sets SIEVE_PATH_LOG to a list, every sieve-enabled
+# embedding_near_dup / embedding_match call EAGERLY evaluates its
+# small/big block split (one tiny count+dim aggregate job) and appends a
+# record, so a bench artifact can prove WHICH physical path each timed
+# run took.  The split is a deterministic function of the data and the
+# caps — never of memory pressure — so a run-to-run flip would indict
+# the operator and a stable record exonerates it.  None (the default)
+# costs nothing: the split stays lazy inside the plan.
+SIEVE_PATH_LOG: list | None = None
+
+
+def _log_sieve_split(op: str, sizes: DataFrame, fits) -> None:
+    if SIEVE_PATH_LOG is None:
+        return
+    row = sizes.agg(
+        F.sum(F.when(fits, 1).otherwise(0)).alias("small"),
+        F.sum(F.when(fits, 0).otherwise(1)).alias("big"),
+        F.max("_n").alias("max_rows"),
+        F.max(F.col("_n") * F.col("_d")).alias("max_elems"),
+    ).collect()[0]
+    SIEVE_PATH_LOG.append(
+        {
+            "op": op,
+            "small_blocks": int(row["small"] or 0),
+            "big_blocks": int(row["big"] or 0),
+            "max_block_rows": int(row["max_rows"] or 0),
+            "max_block_elems": int(row["max_elems"] or 0),
+        }
+    )
+
+
 def _query_array(qvec: list[float]):
     return F.array(*[F.lit(float(v)) for v in qvec])
 
@@ -355,6 +390,7 @@ def embedding_near_dup(
     fits = (F.col("_n") <= max_sieve_block) & (
         F.col("_n") * F.col("_d") <= max_sieve_elems
     )
+    _log_sieve_split("embedding_near_dup", sizes, fits)
     small_blocks = F.broadcast(sizes.filter(fits))
     big_blocks = F.broadcast(sizes.filter(~fits))
     small = df.select(
@@ -477,6 +513,7 @@ def embedding_match(
     fits = (F.col("_n") <= max_sieve_block) & (
         F.col("_n") * F.col("_d") <= max_sieve_elems
     )
+    _log_sieve_split("embedding_match", sizes, fits)
     small_blocks = F.broadcast(sizes.filter(fits))
     big_blocks = F.broadcast(sizes.filter(~fits))
     cand = (

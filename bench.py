@@ -424,6 +424,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
+    # sieve-path marker (round 13, VERDICT r12 item 1): record which
+    # physical path (gram sieve vs pair-join fallback) every sieve-capable
+    # entry took during its TIMED reps, so a timing outlier like r12's
+    # dq148 (2.28x the sidecar on untouched code) is attributable from the
+    # artifact itself — a stable marker exonerates the plan choice.
+    from agile_lakehouse_spark.operators import similarity
+
+    similarity.SIEVE_PATH_LOG = []
     for name in BENCH_QUERIES:
         fn = declared.SPARK_QUERIES[name]
         # Every entry gets ONE unrecorded warm run AT THE MEASURED SF first
@@ -434,6 +442,7 @@ def main() -> None:
         # flagged phantom regressions.  The warm run pays that cost off
         # the books; the timed reps below measure steady state.
         execute_fully(fn(spark, sf_dir))
+        similarity.SIEVE_PATH_LOG.clear()  # keep only the timed reps' paths
         # ADAPTIVE runs: start at 2 (single-run numbers drift ±40% under
         # a 70-entry suite's JVM pressure) and keep rerunning until the
         # STANDARD ERROR of the recorded mean is <= 7.5% of the mean
@@ -456,7 +465,16 @@ def main() -> None:
         # single-run values (the w_*/layout entries keep their run-total
         # convention — their stats row carries the per-run mean)
         timings[name] = round(s["mean"], 3)
+        if similarity.SIEVE_PATH_LOG:
+            uniq: dict[str, int] = {}
+            for rec in similarity.SIEVE_PATH_LOG:
+                key = json.dumps(rec, sort_keys=True)
+                uniq[key] = uniq.get(key, 0) + 1
+            s["sieve_paths"] = [
+                {**json.loads(k), "runs": v} for k, v in uniq.items()
+            ]
         stats[name] = s
+    similarity.SIEVE_PATH_LOG = None  # probes/workload: back to zero-cost
 
     seeded_workload(spark, sf_dir, timings, stats)
     layout_jobs(spark, sf_dir, timings, stats)
