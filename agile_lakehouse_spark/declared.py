@@ -5436,3 +5436,47 @@ SPARK_QUERIES = {
     n: SPARK_QUERIES[n]
     for n in _ROT12_HEAD + [m for m in SPARK_QUERIES if m not in _rot12_set]
 }
+
+
+# --- round-13 head rotation ---------------------------------------------------
+# Head = the NEW entry (dq21m: fingerprint-keyed exact store) + the entries
+# whose code paths round 13 touched (the store-backed trio grew
+# materialize-before-append + scan_in DataFrame probes; similarity grew the
+# sieve-path marker on embedding_near_dup/embedding_match — inert by
+# default but on the dq148-family/dq22e path; dq164: optimize() under the
+# new manifest properties; the in-memory twins dq21h/dq21i) + the stalest
+# entries (last driver-sampled r08, then the r09 block).
+# NOTE: add new queries ABOVE this block or they land outside the head.
+
+_ROT13_HEAD = [
+    "dq21m_exact_store_fp",
+    "dq21l_exact_store_backed", "dq21k_minhash_store_backed",
+    "dq22f_embedding_store_backed", "dq148_semantic_dedup",
+    "dq148b_semantic_dedup_incr", "dq148c_semantic_dedup_preassigned",
+    "dq148d_semantic_dedup_store", "dq22e_embedding_match_incr",
+    "dq21h_dedup_incremental", "dq21i_exact_incremental",
+    "dq164_optimize_zorder",
+    # stalest: last sampled round 8
+    "dq100_listagg", "dq101_first_last_touch", "dq139_wav_frames",
+    "dq140_pq_trained", "dq172b_png_palette", "dq172c_png_adam7",
+    "dq21f_lsh_bucket_audit", "dq21g_dedup_minhash_capped",
+    "dq85_retention", "dq86_triangles", "dq87_repetition",
+    "dq88_rare_bigrams", "dq89_regex_stats", "dq90_interpolate",
+    "dq91_profile", "dq96_keyset_pagination", "dq98_latest_state",
+    "dq99_union_by_name",
+    # stalest: last sampled round 9 (first block)
+    "dq02_pc_range", "dq03_pc_bounds", "dq04_pc_mean",
+    "dq05_pc_rect_count", "dq06_pc_circle", "dq07_pc_sample",
+    "dq109_date_breadth", "dq10_join_broadcast", "dq110_string_breadth",
+    "dq111_math_breadth", "dq112_null_breadth", "dq113_bitwise_breadth",
+    "dq124_curate_corpus", "dq172d_png_rgba", "dq21j_exact_store_roundtrip",
+    "dq23e_top_terms", "dq23f_bpe_tokens", "dq27_clean_corpus",
+    "dq28_pivot", "dq28b_unpivot",
+]
+assert len(_ROT13_HEAD) == 50, len(_ROT13_HEAD)
+assert all(n in SPARK_QUERIES for n in _ROT13_HEAD), "rotation names must exist"
+_rot13_set = set(_ROT13_HEAD)
+SPARK_QUERIES = {
+    n: SPARK_QUERIES[n]
+    for n in _ROT13_HEAD + [m for m in SPARK_QUERIES if m not in _rot13_set]
+}

@@ -14,6 +14,18 @@ equality (count + xor of pair hashes) against the in-memory incremental
 operator on the same split:
 
     python scripts/scaling_minhash_store.py [n_docs ...]
+
+`--compact` (round 13, VERDICT r12 item 2) runs the store LIFECYCLE rung
+— the MinHash analogue of the SemDeDup compaction cadence, reference
+merge lifecycle pc-cli/src/merge.rs:46-84: fold FIVE batches (each with
+copies of the same duplicated sources, so the shared band keys land in
+one file PER COMMIT and a probe must read ~5x files), then
+`optimize(cluster_by="bkey", target_files~=keys/6k)` through a BARE
+handle (adopting the persisted bloom properties — the ADVICE r12 fix),
+then `vacuum()` reclaiming the pre-compaction files, then a FINAL batch
+whose pair set must xor-match the in-memory incremental over the union:
+
+    python scripts/scaling_minhash_store.py --compact [n_docs]
 """
 
 from __future__ import annotations
@@ -140,12 +152,141 @@ def run_scale(spark, n: int) -> dict:
     return out
 
 
+def synth_multi(spark, n: int, n_batches: int):
+    """n distinct filler docs split over n_batches, PLUS BATCH_DOCS copies
+    of the SRC_DOCS sources in EVERY batch (ids n+b*BATCH_DOCS+i), so the
+    sources' band keys are written by every commit.  The final probe
+    batch (ids >= n + n_batches*BATCH_DOCS) repeats the sources again."""
+    total = n + (n_batches + 1) * BATCH_DOCS
+    return spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"""concat_ws(' ',
+                transform(sequence(1, 24),
+                  t -> substring(md5(concat(CAST(if(id < {n}, id, pmod(id, 5)) AS STRING), ':', CAST(t AS STRING))), 1, 8)))"""
+        ).alias("text"),
+    )
+
+
+def run_compact(spark, n: int, n_batches: int = 5) -> dict:
+    out: dict[str, object] = {
+        "mode": "compact", "n_docs": n, "n_batches": n_batches,
+        "bloom_bits": BLOOM_BITS,
+    }
+    docs = synth_multi(spark, n, n_batches).persist()
+    docs.count()
+    per = n // n_batches
+    caches: list = []
+    store = tempfile.mkdtemp(prefix=f"mhcompact_{n}_")
+    try:
+        # per-batch writer sizing: each batch holds per filler docs +
+        # BATCH_DOCS dup copies -> ~(per+BATCH_DOCS) x bands keys, ~6k/file
+        batch_files = max(2, (per + BATCH_DOCS) * dedup.DEFAULT_BANDS // 6000)
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = docs.filter(
+                ((F.col("doc_id") >= b * per) & (F.col("doc_id") < (b + 1) * per))
+                | (
+                    (F.col("doc_id") >= n + b * BATCH_DOCS)
+                    & (F.col("doc_id") < n + (b + 1) * BATCH_DOCS)
+                )
+            )
+            dedup.minhash_store_backed_update(
+                spark, batch, store, k=K, threshold=THR,
+                target_files=batch_files,
+                # bloom_bits only on the FIRST fold: later folds (and the
+                # bare maintenance handle below) adopt the persisted table
+                # property — the ADVICE r12 mechanism, proven here at scale
+                bloom_bits=BLOOM_BITS if b == 0 else None,
+                caches=caches,
+            )
+        out["fold_s"] = round(time.time() - t0, 2)
+        out["batch_files_per_commit"] = batch_files
+
+        final = docs.filter(F.col("doc_id") >= n + n_batches * BATCH_DOCS)
+        sigsF = dedup.minhash_signatures(final, k=K)
+        probe = [
+            r[0]
+            for r in dedup._lsh_buckets(
+                sigsF, dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND, "doc_id"
+            )
+            .withColumn("bkey", F.concat_ws(":", F.col("band").cast("string"), F.col("key")))
+            .select("bkey").distinct().collect()
+        ]
+        out["probe_keys"] = len(probe)
+
+        def measure(tbl):
+            v = tbl.latest_version()
+            files = tbl._read_manifest(v)["files"]
+            kept = tbl.prune_files_by_keys("bkey", probe, v)
+            tot_b = sum(os.path.getsize(f) for f in files)
+            kept_b = sum(os.path.getsize(f) for f in kept)
+            return {
+                "files": len(files), "files_read": len(kept),
+                "bytes_total_mb": round(tot_b / 1e6, 1),
+                "bytes_read_mb": round(kept_b / 1e6, 1),
+                "prune_frac": round(1 - kept_b / tot_b, 3),
+            }
+
+        # BARE handle: bloom_columns/bloom_bits adopted from the manifest
+        tbl = TransactionalTable(f"{store}/sigs")
+        out["adopted"] = {
+            "bloom_columns": list(tbl.bloom_columns), "bloom_bits": tbl.bloom_bits
+        }
+        out["before"] = measure(tbl)
+
+        total_keys = (n + n_batches * BATCH_DOCS) * dedup.DEFAULT_BANDS
+        compact_files = max(2, total_keys // 6000)
+        t0 = time.time()
+        tbl.optimize(spark, cluster_by="bkey", target_files=compact_files)
+        out["optimize_s"] = round(time.time() - t0, 2)
+        out["compact_target_files"] = compact_files
+        out["after"] = measure(tbl)
+
+        t0 = time.time()
+        removed = tbl.vacuum()
+        out["vacuum_s"] = round(time.time() - t0, 2)
+        out["vacuum_removed_files"] = len(removed)
+        assert removed, "vacuum must reclaim the pre-compaction files"
+
+        # the final batch folds on the compacted+vacuumed store and must
+        # match the in-memory incremental over the 5-batch union
+        union = docs.filter(F.col("doc_id") < n + n_batches * BATCH_DOCS)
+        t0 = time.time()
+        cs = _pairsum(
+            dedup.minhash_store_backed_update(
+                spark, final, store, k=K, threshold=THR, caches=caches
+            )
+        )
+        out["store_incremental_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        cm = _pairsum(
+            dedup.minhash_incremental_pairs(
+                final, dedup.minhash_signatures(union, k=K), threshold=THR,
+                k=K, persist_sigs=True, caches=caches,
+            )
+        )
+        out["mem_incremental_s"] = round(time.time() - t0, 2)
+        assert (cs.s, cs.n) == (cm.s, cm.n), (cs, cm)
+        out["pairs"] = cs.n
+        out["agree"] = True
+        for c in caches:
+            c.unpersist()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        docs.unpersist()
+    return out
+
+
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [200_000]
+    args = sys.argv[1:]
+    compact = "--compact" in args
+    sizes = [int(a) for a in args if not a.startswith("--")] or [200_000]
     spark = get_session("scaling-minhash-store")
     spark.sparkContext.setLogLevel("ERROR")
     for nn in sizes:
-        print(json.dumps(run_scale(spark, nn)), flush=True)
+        fn = run_compact if compact else run_scale
+        print(json.dumps(fn(spark, nn)), flush=True)
     spark.stop()
 
 
