@@ -226,54 +226,69 @@ def run_scale_banded(
     pts = synth_points(spark, n)
     want = set(layouts.split(","))
     try:
-        # --- grid(100) in five x-aligned bands ---------------------------
-        out["grid_cache_dropped"] = _drop_caches() if "grid" in want else None
-        out["grid_meminfo_before"] = _meminfo()
-        grid_s = convert_s = 0.0
-        total_rows = 0
-        band_times = []
-        for lo in (0.0, 200.0, 400.0, 600.0, 800.0) if "grid" in want else ():
-            band = pts.filter((F.col("x") >= lo) & (F.col("x") < lo + 200.0))
-            t0 = time.time()
-            band.write.mode("overwrite").parquet(f"{tmp}/bconv")
-            convert_s += time.time() - t0
-            # mid-run canary gate (round-12, verdict item 1): the convert
-            # step is the per-run box-speed canary (identical code + data
-            # every run; healthy band 42-91 s total at 2 B).  Once the
-            # CUMULATIVE convert alone exceeds the gate the sample can no
-            # longer qualify as healthy-window — abort instead of spending
-            # 30+ min measuring a degraded host.
-            if gate is not None and convert_s > gate:
-                out["aborted"] = "convert_gate"
-                out["convert_s_partial"] = round(convert_s, 2)
-                out["grid_band_s_partial"] = band_times
-                return out
-            stored = spark.read.parquet(f"{tmp}/bconv")
-            t0 = time.time()
-            layout.write_grid_layout(stored, f"{tmp}/bgrid", 100.0, 100.0)
-            dt = time.time() - t0
-            grid_s += dt
-            band_times.append(round(dt, 2))
-            # layout-phase gate (round-12): host stalls land on layout
-            # phases the convert canary cannot see — attempt 23 ran FOUR
-            # bands at 2-5x healthy layout times while its cumulative
-            # convert stayed under the gate.  Healthy per-band grid
-            # layouts are 30-123 s (r10's 400.2 s sample); a single band
-            # past the layout gate means the sample cannot be healthy.
-            if layout_gate is not None and dt > layout_gate:
-                out["aborted"] = "layout_gate"
-                out["convert_s_partial"] = round(convert_s, 2)
-                out["grid_band_s_partial"] = band_times
-                return out
-            total_rows += spark.read.parquet(f"{tmp}/bgrid").count()
-            shutil.rmtree(f"{tmp}/bgrid", ignore_errors=True)
-            shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
-        if "grid" in want:
-            assert total_rows == n, f"grid bands lost rows: {total_rows} != {n}"
-            out["convert_s"] = round(convert_s, 2)
-            out["grid_s"] = round(grid_s, 2)
-            out["grid_band_s"] = band_times
-            out["grid_pts_per_s"] = round(n / grid_s)
+        # --- grid(100) in five x-aligned bands: "grid" = 1 importance
+        # slice, "grid8" = 8 importance slices per xy cell (the
+        # reference's xyi-windowed grid(8), partition.rs:61,119).  The
+        # banding stays exact for both: importance slices subdivide a
+        # CELL, and no cell straddles an x-band.
+        for gname, gsplits in (("grid", None), ("grid8", 8)):
+            if gname not in want:
+                continue
+            out[f"{gname}_cache_dropped"] = _drop_caches()
+            out[f"{gname}_meminfo_before"] = _meminfo()
+            grid_s = convert_s = 0.0
+            total_rows = 0
+            band_times = []
+            for lo in (0.0, 200.0, 400.0, 600.0, 800.0):
+                band = pts.filter((F.col("x") >= lo) & (F.col("x") < lo + 200.0))
+                t0 = time.time()
+                band.write.mode("overwrite").parquet(f"{tmp}/bconv")
+                convert_s += time.time() - t0
+                # mid-run canary gate (round-12, verdict item 1): the convert
+                # step is the per-run box-speed canary (identical code + data
+                # every run; healthy band 42-91 s total at 2 B).  Once the
+                # CUMULATIVE convert alone exceeds the gate the sample can no
+                # longer qualify as healthy-window — abort instead of spending
+                # 30+ min measuring a degraded host.
+                if gate is not None and convert_s > gate:
+                    out["aborted"] = f"convert_gate:{gname}"
+                    out[f"{gname}_convert_s_partial"] = round(convert_s, 2)
+                    out[f"{gname}_band_s_partial"] = band_times
+                    return out
+                stored = spark.read.parquet(f"{tmp}/bconv")
+                t0 = time.time()
+                if gsplits is None:
+                    layout.write_grid_layout(stored, f"{tmp}/bgrid", 100.0, 100.0)
+                else:
+                    layout.write_grid_layout(
+                        stored, f"{tmp}/bgrid", 100.0, 100.0,
+                        importance_splits=gsplits,
+                    )
+                dt = time.time() - t0
+                grid_s += dt
+                band_times.append(round(dt, 2))
+                # layout-phase gate (round-12): host stalls land on layout
+                # phases the convert canary cannot see — attempt 23 ran FOUR
+                # bands at 2-5x healthy layout times while its cumulative
+                # convert stayed under the gate.  Healthy per-band grid
+                # layouts are 30-123 s (r10's 400.2 s sample); a single band
+                # past the layout gate means the sample cannot be healthy.
+                if layout_gate is not None and dt > layout_gate:
+                    out["aborted"] = f"layout_gate:{gname}"
+                    out[f"{gname}_convert_s_partial"] = round(convert_s, 2)
+                    out[f"{gname}_band_s_partial"] = band_times
+                    return out
+                total_rows += spark.read.parquet(f"{tmp}/bgrid").count()
+                shutil.rmtree(f"{tmp}/bgrid", ignore_errors=True)
+                shutil.rmtree(f"{tmp}/bconv", ignore_errors=True)
+            assert total_rows == n, f"{gname} bands lost rows: {total_rows} != {n}"
+            out[f"{gname}_convert_s"] = round(convert_s, 2)
+            if gname == "grid":
+                out["convert_s"] = out["grid_convert_s"]  # legacy key
+            out[f"{gname}_s"] = round(grid_s, 2)
+            out[f"{gname}_band_s"] = band_times
+            out[f"{gname}_pts_per_s"] = round(n / grid_s)
+            total_rows = 0
 
         # --- quadtree(depth 3) in seven cell-aligned bands ---------------
         # importance cuts (framework.rs:169-219): cumulative cell counts
@@ -473,7 +488,10 @@ def main() -> None:
                                        gate=gate, layout_gate=layout_gate)
                 rec["attempt"] = attempts
                 print(json.dumps(rec), flush=True)
-                conv = rec.get("convert_s", rec.get("quadtree_convert_s", 1e18))
+                conv = rec.get(
+                    "convert_s",
+                    rec.get("grid8_convert_s", rec.get("quadtree_convert_s", 1e18)),
+                )
                 if "aborted" not in rec and conv <= gate:
                     rec["healthy_sample"] = True
                     collected += 1

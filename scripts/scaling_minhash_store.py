@@ -26,6 +26,17 @@ then `vacuum()` reclaiming the pre-compaction files, then a FINAL batch
 whose pair set must xor-match the in-memory incremental over the union:
 
     python scripts/scaling_minhash_store.py --compact [n_docs]
+
+`--bigprobe` (round 13, VERDICT r12 item 8) proves the scan_in
+broadcast-semi-join FALLBACK at the scale it exists for: fold the corpus
+in THREE batches, then match a batch of 30 k mostly-novel docs whose
+~120 k distinct band keys exceed scan_in's 100 k `max_prune_keys` cap —
+the probe then degrades from manifest pruning to a broadcast semi-join
+over the full file list (by construction: the cap check happens before
+any collect completes), and the pair set must still xor-match the
+in-memory incremental over the 3-batch union:
+
+    python scripts/scaling_minhash_store.py --bigprobe [n_docs]
 """
 
 from __future__ import annotations
@@ -278,14 +289,107 @@ def run_compact(spark, n: int, n_batches: int = 5) -> dict:
     return out
 
 
+BIGPROBE_NOVEL = 30_000  # novel batch docs -> ~4x distinct band keys
+
+
+def synth_bigprobe(spark, n: int):
+    """n distinct corpus docs + a final batch of BIGPROBE_NOVEL novel
+    docs (word soup seeded differently, so their band keys are distinct
+    from the corpus's) + BATCH_DOCS copies of the SRC_DOCS sources for a
+    bounded nonzero pair set."""
+    total = n + BIGPROBE_NOVEL + BATCH_DOCS
+    return spark.range(total).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"""concat_ws(' ',
+                transform(sequence(1, 24),
+                  t -> substring(md5(concat(
+                    if(id < {n}, CAST(id AS STRING),
+                       if(id < {n + BIGPROBE_NOVEL}, concat('novel-', CAST(id AS STRING)),
+                          CAST(pmod(id, 5) AS STRING))),
+                    ':', CAST(t AS STRING))), 1, 8)))"""
+        ).alias("text"),
+    )
+
+
+def run_bigprobe(spark, n: int, n_batches: int = 3) -> dict:
+    out: dict[str, object] = {
+        "mode": "bigprobe", "n_docs": n, "n_batches": n_batches,
+        "novel_batch_docs": BIGPROBE_NOVEL, "bloom_bits": BLOOM_BITS,
+    }
+    docs = synth_bigprobe(spark, n).persist()
+    docs.count()
+    per = n // n_batches
+    caches: list = []
+    store = tempfile.mkdtemp(prefix=f"mhbigprobe_{n}_")
+    try:
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = docs.filter(
+                (F.col("doc_id") >= b * per)
+                & (F.col("doc_id") < ((b + 1) * per if b < n_batches - 1 else n))
+            )
+            dedup.minhash_store_backed_update(
+                spark, batch, store, k=K, threshold=THR,
+                target_files=max(8, per * dedup.DEFAULT_BANDS // 6000),
+                bloom_bits=BLOOM_BITS if b == 0 else None,
+                caches=caches,
+            )
+        out["fold_s"] = round(time.time() - t0, 2)
+
+        final = docs.filter(F.col("doc_id") >= n)
+        n_keys = (
+            dedup._lsh_buckets(
+                dedup.minhash_signatures(final, k=K),
+                dedup.DEFAULT_BANDS, dedup.DEFAULT_ROWS_PER_BAND, "doc_id",
+            )
+            .withColumn("bkey", F.concat_ws(":", F.col("band").cast("string"), F.col("key")))
+            .select("bkey").distinct().count()
+        )
+        out["probe_keys"] = n_keys
+        # the cap contract: >100k distinct keys means scan_in's take()
+        # overflows and the broadcast-semi-join fallback runs — asserted
+        # here so the rung cannot silently measure the pruned path
+        assert n_keys > 100_000, f"probe keys {n_keys} under the cap; raise BIGPROBE_NOVEL"
+
+        t0 = time.time()
+        cs = _pairsum(
+            dedup.minhash_store_backed_update(
+                spark, final, store, k=K, threshold=THR, caches=caches
+            )
+        )
+        out["store_incremental_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        cm = _pairsum(
+            dedup.minhash_incremental_pairs(
+                final, dedup.minhash_signatures(docs.filter(F.col("doc_id") < n), k=K),
+                threshold=THR, k=K, persist_sigs=True, caches=caches,
+            )
+        )
+        out["mem_incremental_s"] = round(time.time() - t0, 2)
+        assert (cs.s, cs.n) == (cm.s, cm.n), (cs, cm)
+        out["pairs"] = cs.n
+        out["agree"] = True
+        for c in caches:
+            c.unpersist()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        docs.unpersist()
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
-    compact = "--compact" in args
-    sizes = [int(a) for a in args if not a.startswith("--")] or [200_000]
+    sizes = [int(a) for a in args if not a.startswith("--")]
+    if "--compact" in args:
+        fn, sizes = run_compact, sizes or [200_000]
+    elif "--bigprobe" in args:
+        fn, sizes = run_bigprobe, sizes or [1_000_000]
+    else:
+        fn, sizes = run_scale, sizes or [200_000]
     spark = get_session("scaling-minhash-store")
     spark.sparkContext.setLogLevel("ERROR")
     for nn in sizes:
-        fn = run_compact if compact else run_scale
         print(json.dumps(fn(spark, nn)), flush=True)
     spark.stop()
 
