@@ -77,6 +77,111 @@ def connected_components(
     return labels.withColumnRenamed("lbl", "component")
 
 
+def connected_components_blocked(
+    edges: DataFrame,
+    block_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_block_pairs: int = 8_000_000,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Exact connected components when every component is CONTAINED in one
+    block — the SemDeDup shape, where pairs only ever form within an IVF
+    cell (``edges`` carries the block key on every row and a node's edges
+    all share one block value; violating that precondition double-labels
+    the node).
+
+    Instead of O(diameter) global label-propagation rounds (each a full
+    shuffle of the edge set plus an eager checkpoint + convergence count —
+    ~8-10 Spark jobs for a 4-round fixpoint), this runs ONE shuffle of the
+    pair list keyed on the block and a per-block union-find in a single
+    ``applyInPandas`` pass: path-compressed, union-by-min-id, so the root
+    of every set is its minimum member and the result is bit-identical to
+    :func:`connected_components` (equivalence-pinned in
+    ``tests/test_graph.py``).  Blocks with more than ``max_block_pairs``
+    edges fall back to the iterative engine (same split discipline as the
+    gram sieve's ``max_sieve_block``); components are block-contained, so
+    stitching the two engines' outputs is a plain union.
+
+    Scale: per-block cost is O(pairs α(n)) in one task; the shuffle moves
+    each pair once.  At 100 TB the pair list is bounded per cell by the
+    pair join that produced it — the same cap that already governs the
+    sieve — and the result (one row per edge-touched node) is checkpointed
+    eagerly so the caller never recomputes the pair stage through lineage.
+
+    Returns (id_col, component) for every node that appears in an edge,
+    like :func:`connected_components`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = edges.schema[src].dataType.simpleString()
+    sel = edges.select(
+        F.col(block_col).alias("_blk"), F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).persist()
+    # one cached materialization (the iterative engine pays the same via
+    # sym.persist) feeds the size gate and the union-find shuffle
+    mx = sel.groupBy("_blk").agg(F.count(F.lit(1)).alias("_np")).agg(
+        F.max("_np")
+    ).collect()[0][0]
+    if mx is None:
+        sel.unpersist()
+        # no edges: empty result with the right schema
+        return edges.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, component {id_type}"
+        )
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf["_a"].to_numpy()
+        b = pdf["_b"].to_numpy()
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        n = len(ids)
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        ae, be = inv[: len(a)], inv[len(a) :]
+        for i in range(len(ae)):
+            ra, rb = find(ae[i]), find(be[i])
+            if ra != rb:
+                # np.unique sorts ascending, so index order == id order:
+                # keeping the smaller root on top keeps the set's min id
+                # at the root — the min-label invariant
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        comp = ids[[find(i) for i in range(n)]]
+        return pd.DataFrame({id_col: ids, "component": comp})
+
+    out_schema = f"{id_col} {id_type}, component {id_type}"
+    if mx <= max_block_pairs:
+        comps = sel.groupBy("_blk").applyInPandas(_uf, schema=out_schema)
+    else:
+        sizes = sel.groupBy("_blk").agg(F.count(F.lit(1)).alias("_np"))
+        small_blk = F.broadcast(sizes.filter(F.col("_np") <= max_block_pairs).select("_blk"))
+        big_blk = F.broadcast(sizes.filter(F.col("_np") > max_block_pairs).select("_blk"))
+        small = sel.join(small_blk, "_blk", "left_semi")
+        big = sel.join(big_blk, "_blk", "left_semi")
+        comps = small.groupBy("_blk").applyInPandas(_uf, schema=out_schema).unionByName(
+            connected_components(
+                big, src="_a", dst="_b", id_col=id_col, max_iterations=max_iterations
+            )
+        )
+    # eager checkpoint: materializes the (small) label table once and cuts
+    # lineage, so sel can be unpersisted without re-running the pair stage
+    comps = comps.localCheckpoint(eager=True)
+    sel.unpersist()
+    return comps
+
+
 def _warn_unconverged(op: str, max_iterations: int) -> None:
     """Unconverged labels are WRONG components with no other signal —
     surface it loudly instead of returning the last round silently."""

@@ -290,8 +290,15 @@ def embedding_near_dup(
     sieve_margin: float = 1e-6,
     max_sieve_block: int = 65_536,
     max_sieve_elems: int = 16_000_000,
+    emit_block: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within a blocking key.
+
+    ``emit_block=True`` (round 13) prepends the pair's block value as a
+    ``block_col``-named output column — free to produce (the block key is
+    the join/group key of every internal path) and what
+    :func:`graph.connected_components_blocked` keys on; the default
+    output schema is unchanged for existing callers (dq22c's oracle).
 
     The block column (label, or an IVF/LSH cell) keeps the self-join from
     being all-pairs; the join shuffles both sides on the block key only.
@@ -333,6 +340,8 @@ def embedding_near_dup(
         F.col(vec_col).alias("vb"), vector.norm(F.col(vec_col)).alias("nb"),
     )
 
+    pair_cols = (["blk"] if emit_block else []) + ["id_a", "id_b"]
+
     def _join_pairs(aa, bb):
         # Per-VECTOR norms precomputed before the pair join: the inline
         # cosine recomputes dot(a,a)/dot(b,b) per candidate pair (3x the
@@ -342,12 +351,17 @@ def embedding_near_dup(
         pairs = aa.join(bb, "blk").filter(F.col("id_a") < F.col("id_b"))
         cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         return (
-            pairs.select("id_a", "id_b", round4(cos).alias("cos"))
+            pairs.select(*pair_cols, round4(cos).alias("cos"))
             .filter(F.col("cos") >= threshold)
         )
 
+    def _finish(out):
+        if emit_block:
+            out = out.withColumnRenamed("blk", block_col)
+        return out.orderBy("id_a", "id_b")
+
     if not sieve:
-        return _join_pairs(a, b).orderBy("id_a", "id_b")
+        return _finish(_join_pairs(a, b))
 
     import numpy as np
     import pandas as pd
@@ -377,11 +391,12 @@ def embedding_near_dup(
             keep = ids[ia] < ids[ib]  # id-value order, as the join path
             out_a.append(ids[ia][keep])
             out_b.append(ids[ib][keep])
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
+        ja = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        jb = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        if emit_block:
+            blk = pdf["blk"].iloc[0] if len(pdf) else None
+            return pd.DataFrame({"blk": np.repeat(blk, len(ja)), "id_a": ja, "id_b": jb})
+        return pd.DataFrame({"id_a": ja, "id_b": jb})
 
     sizes = df.groupBy(F.col(block_col).alias("blk")).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -398,21 +413,23 @@ def embedding_near_dup(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
     ).join(small_blocks, "blk", "left_semi")
-    cand = small.groupBy("blk").applyInPandas(
-        _gram_sieve, schema=f"id_a {id_type}, id_b {id_type}"
+    blk_type = df.schema[block_col].dataType.simpleString()
+    sieve_schema = (f"blk {blk_type}, " if emit_block else "") + (
+        f"id_a {id_type}, id_b {id_type}"
     )
+    cand = small.groupBy("blk").applyInPandas(_gram_sieve, schema=sieve_schema)
     # exact verify: re-evaluate the oracle-exact fold on survivors only
     cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     exact = (
         cand.join(a.select("id_a", "va", "na"), "id_a")
         .join(b.select("id_b", "vb", "nb"), "id_b")
-        .select("id_a", "id_b", round4(cos).alias("cos"))
+        .select(*pair_cols, round4(cos).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
     big = _join_pairs(
         a.join(big_blocks, "blk", "left_semi"), b.join(big_blocks, "blk", "left_semi")
     )
-    return exact.unionByName(big).orderBy("id_a", "id_b")
+    return _finish(exact.unionByName(big))
 
 
 def embedding_match(
@@ -426,6 +443,7 @@ def embedding_match(
     sieve_margin: float = 1e-6,
     max_sieve_block: int = 65_536,
     max_sieve_elems: int = 16_000_000,
+    emit_block: bool = False,
 ) -> DataFrame:
     """BIPARTITE near-dup: (vec_id, match_id, cos) for every new-batch
     vector whose cosine against a STORED corpus vector in the same block
@@ -454,20 +472,23 @@ def embedding_match(
         F.col(vec_col).alias("vb"), vector.norm(F.col(vec_col)).alias("nb"),
     )
     cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pair_cols = (["blk"] if emit_block else []) + ["id_a", "id_b"]
 
     def _join_pairs(aa, bb):
         return (
             aa.join(bb, "blk")
-            .select("id_a", "id_b", round4(cos).alias("cos"))
+            .select(*pair_cols, round4(cos).alias("cos"))
             .filter(F.col("cos") >= threshold)
         )
 
+    def _finish(out):
+        out_cols = ([F.col("blk").alias(block_col)] if emit_block else []) + [
+            F.col("id_a").alias(id_col), F.col("id_b").alias("match_id"), F.col("cos"),
+        ]
+        return out.select(*out_cols).orderBy(id_col, "match_id")
+
     if not sieve:
-        return (
-            _join_pairs(a, b)
-            .select(F.col("id_a").alias(id_col), F.col("id_b").alias("match_id"), "cos")
-            .orderBy(id_col, "match_id")
-        )
+        return _finish(_join_pairs(a, b))
 
     import numpy as np
     import pandas as pd
@@ -482,7 +503,8 @@ def embedding_match(
     thr = threshold - 5e-5 - sieve_margin
 
     def _gram_sieve(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        cols = (["blk"] if emit_block else []) + ["id_a", "id_b"]
+        empty = pd.DataFrame({c: [] for c in cols})
         newm = pdf["_side"].to_numpy() == 0
         if not newm.any() or newm.all():
             return empty  # one-sided block: no bipartite pairs
@@ -500,9 +522,14 @@ def embedding_match(
             ia, ib = np.nonzero(G >= thr)
             out_a.append(ia_ids[ia + s])
             out_b.append(ib_ids[ib])
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        ) if out_a else empty
+        if not out_a:
+            return empty
+        ja, jb = np.concatenate(out_a), np.concatenate(out_b)
+        if emit_block:
+            return pd.DataFrame(
+                {"blk": np.repeat(pdf["blk"].iloc[0], len(ja)), "id_a": ja, "id_b": jb}
+            )
+        return pd.DataFrame({"id_a": ja, "id_b": jb})
 
     both = a.select("blk", F.col("id_a").alias("_id"), F.col("va").alias("_v"), F.lit(0).alias("_side")).unionByName(
         b.select("blk", F.col("id_b").alias("_id"), F.col("vb").alias("_v"), F.lit(1).alias("_side"))
@@ -516,25 +543,25 @@ def embedding_match(
     _log_sieve_split("embedding_match", sizes, fits)
     small_blocks = F.broadcast(sizes.filter(fits))
     big_blocks = F.broadcast(sizes.filter(~fits))
+    blk_type = new_df.schema[block_col].dataType.simpleString()
+    sieve_schema = (f"blk {blk_type}, " if emit_block else "") + (
+        f"id_a {id_type}, id_b {id_type}"
+    )
     cand = (
         both.join(small_blocks, "blk", "left_semi")
         .groupBy("blk")
-        .applyInPandas(_gram_sieve, schema=f"id_a {id_type}, id_b {id_type}")
+        .applyInPandas(_gram_sieve, schema=sieve_schema)
     )
     exact = (
         cand.join(a.select("id_a", "va", "na"), "id_a")
         .join(b.select("id_b", "vb", "nb"), "id_b")
-        .select("id_a", "id_b", round4(cos).alias("cos"))
+        .select(*pair_cols, round4(cos).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
     big = _join_pairs(
         a.join(big_blocks, "blk", "left_semi"), b.join(big_blocks, "blk", "left_semi")
     )
-    return (
-        exact.unionByName(big)
-        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("match_id"), "cos")
-        .orderBy(id_col, "match_id")
-    )
+    return _finish(exact.unionByName(big))
 
 
 # --- product quantization (IVF-PQ's compression half) -----------------------
@@ -1158,9 +1185,15 @@ def semantic_dedup(
     if centroids is None:
         tagged = df
         pairs = embedding_near_dup(
-            tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
+            tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col,
+            emit_block=True,
         )
-        comps = graph.connected_components(pairs, src="id_a", dst="id_b", id_col=id_col)
+        # pairs only form within a cell, so components are cell-contained:
+        # one shuffle + per-cell union-find replaces the O(diameter)
+        # label-propagation rounds (round 13; bit-identical, test-pinned)
+        comps = graph.connected_components_blocked(
+            pairs, block_col="cell", src="id_a", dst="id_b", id_col=id_col
+        )
         rep = F.coalesce(F.col("component"), F.col(id_col))
         return tagged.join(comps, id_col, "left").select(
             F.col(id_col),
@@ -1195,9 +1228,13 @@ def semantic_dedup(
             caches.append(assigned)
     tagged = df.join(assigned, id_col)
     pairs = embedding_near_dup(
-        tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
+        tagged, threshold, block_col="cell", vec_col=vec_col, id_col=id_col,
+        emit_block=True,
     )
-    comps = graph.connected_components(pairs, src="id_a", dst="id_b", id_col=id_col)
+    # cell-contained components -> one-shuffle blocked union-find (round 13)
+    comps = graph.connected_components_blocked(
+        pairs, block_col="cell", src="id_a", dst="id_b", id_col=id_col
+    )
     rep = F.coalesce(F.col("component"), F.col(id_col))
     return tagged.join(comps, id_col, "left").select(
         F.col(id_col),
@@ -1307,16 +1344,22 @@ def semantic_dedup_update(
 
     cross_pairs = embedding_match(
         tagged_new, store_dirty, threshold,
-        block_col="cell", vec_col=vec_col, id_col=id_col,
-    ).select(F.col(id_col).alias("id_a"), F.col("match_id").alias("id_b"))
+        block_col="cell", vec_col=vec_col, id_col=id_col, emit_block=True,
+    ).select("cell", F.col(id_col).alias("id_a"), F.col("match_id").alias("id_b"))
     within_pairs = embedding_near_dup(
-        tagged_new, threshold, block_col="cell", vec_col=vec_col, id_col=id_col
-    ).select("id_a", "id_b")
+        tagged_new, threshold, block_col="cell", vec_col=vec_col, id_col=id_col,
+        emit_block=True,
+    ).select("cell", "id_a", "id_b")
+    # the structural star edge stays inside its cell by construction, so
+    # the whole edge set is cell-keyed and components stay cell-contained:
+    # blocked union-find, one shuffle instead of O(diameter) rounds (r13)
     old_edges = old_dirty.filter(F.col("grp") != F.col(id_col)).select(
-        F.col(id_col).alias("id_a"), F.col("grp").alias("id_b")
+        "cell", F.col(id_col).alias("id_a"), F.col("grp").alias("id_b")
     )
     edges = cross_pairs.unionByName(within_pairs).unionByName(old_edges)
-    comps = graph.connected_components(edges, src="id_a", dst="id_b", id_col=id_col)
+    comps = graph.connected_components_blocked(
+        edges, block_col="cell", src="id_a", dst="id_b", id_col=id_col
+    )
 
     dirty_ids = old_dirty.select(id_col, "cell").unionByName(
         tagged_new.select(id_col, "cell")

@@ -25,6 +25,45 @@ def test_connected_components_chain_converges(spark):
     assert {r.component for r in rows} == {0}
 
 
+def test_blocked_cc_matches_iterative(spark):
+    # block-contained graph: components never cross blocks (the SemDeDup
+    # invariant) — the one-shuffle union-find must be bit-identical to
+    # min-label propagation, including chains, merges and isolated pairs
+    edges = spark.createDataFrame(
+        [
+            (10, 1, 2), (10, 2, 3), (10, 3, 7),       # chain in block 10
+            (20, 5, 6),                                # pair in block 20
+            (30, 11, 12), (30, 13, 12), (30, 14, 11),  # star merge in block 30
+            (40, 9, 9),                                # self-loop
+            (10, 1, 2),                                # duplicate edge
+        ],
+        "cell bigint, id_a bigint, id_b bigint",
+    )
+    it = graph.connected_components(edges, "id_a", "id_b", "node")
+    bl = graph.connected_components_blocked(edges, "cell", "id_a", "id_b", "node")
+    assert {tuple(r) for r in it.collect()} == {tuple(r) for r in bl.collect()}
+
+
+def test_blocked_cc_big_block_fallback(spark):
+    # a block over max_block_pairs takes the iterative engine; results
+    # stitch with the union-find blocks into one exact answer
+    edges = spark.createDataFrame(
+        [(1, i, i + 1) for i in range(10)] + [(2, 100, 101), (2, 102, 101)],
+        "cell bigint, id_a bigint, id_b bigint",
+    )
+    bl = graph.connected_components_blocked(
+        edges, "cell", "id_a", "id_b", "node", max_block_pairs=5
+    )
+    got = {r.node: r.component for r in bl.collect()}
+    assert got == {**{i: 0 for i in range(11)}, 100: 100, 101: 100, 102: 100}
+
+
+def test_blocked_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "cell bigint, id_a bigint, id_b bigint")
+    bl = graph.connected_components_blocked(edges, "cell", "id_a", "id_b", "node")
+    assert bl.count() == 0 and bl.columns == ["node", "component"]
+
+
 def test_dedup_keep_representatives(spark):
     docs = spark.createDataFrame(
         [(i, f"t{i}") for i in range(6)], "doc_id bigint, text string"
