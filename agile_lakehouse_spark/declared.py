@@ -5292,7 +5292,8 @@ def minhash_store_backed_q(spark, sf_dir):
     caches: list = []
     try:
         dedup.minhash_store_backed_update(
-            spark, old, store, k=SHINGLE_K, threshold=MINHASH_T, caches=caches
+            spark, old, store, k=SHINGLE_K, threshold=MINHASH_T, caches=caches,
+            fold_only=True,  # corpus bootstrap: pairs discarded (round 13)
         )
         pairs = dedup.minhash_store_backed_update(
             spark, new, store, k=SHINGLE_K, threshold=MINHASH_T, caches=caches
@@ -5320,7 +5321,10 @@ def exact_store_backed_q(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="dq21l_store_")
     caches: list = []
     try:
-        dedup.exact_dedup_store_backed_update(spark, old, store, caches=caches)
+        dedup.exact_dedup_store_backed_update(
+            spark, old, store, caches=caches,
+            fold_only=True,  # corpus bootstrap: verdicts discarded (round 13)
+        )
         verdicts = dedup.exact_dedup_store_backed_update(
             spark, new, store, caches=caches
         )
@@ -5354,7 +5358,10 @@ def embedding_store_backed_q(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="dq22f_store_")
     caches: list = []
     try:
-        embedding_store_backed_update(spark, old, store, threshold=EMB_COS_T, caches=caches)
+        embedding_store_backed_update(
+            spark, old, store, threshold=EMB_COS_T, caches=caches,
+            fold_only=True,  # corpus bootstrap: matches discarded (round 13)
+        )
         matches = embedding_store_backed_update(
             spark, new, store, threshold=EMB_COS_T, caches=caches
         )
@@ -5386,7 +5393,8 @@ def exact_store_fp_q(spark, sf_dir):
     caches: list = []
     try:
         dedup.exact_dedup_store_backed_update(
-            spark, old, store, key_mode="fingerprint", caches=caches
+            spark, old, store, key_mode="fingerprint", caches=caches,
+            fold_only=True,  # corpus bootstrap: verdicts discarded (round 13)
         )
         return dedup.exact_dedup_store_backed_update(
             spark, new, store, key_mode="fingerprint", caches=caches

@@ -222,7 +222,8 @@ def exact_dedup_store_backed_update(
     key_mode: str = "text",
     max_prune_keys: int = 100_000,
     caches: list | None = None,
-) -> DataFrame:
+    fold_only: bool = False,
+) -> DataFrame | None:
     """The PRODUCTION shape of :func:`exact_dedup_incremental` +
     :func:`exact_dedup_store_update`: the (text, keep_id) state lives in
     a :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
@@ -260,6 +261,14 @@ def exact_dedup_store_backed_update(
     pre-append snapshot by explicit file list, so a caller running
     ``optimize()``/``vacuum()`` between update and consumption would
     otherwise recompute from rewritten/deleted files.
+
+    ``fold_only=True`` (round 13, guide §1.2 "don't compute things you
+    throw away"): fold the batch into the store and return ``None``
+    WITHOUT computing the verdicts — the corpus-bootstrap shape, where
+    the caller only wants the state table.  The store content is
+    bit-identical either way (the novel-row append never depended on the
+    verdict plan; fold-parity pinned in tests), so a later batch sees
+    exactly the same state.
     """
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 
@@ -293,7 +302,6 @@ def exact_dedup_store_backed_update(
             .persist()
         )
         own.append(store)
-    verdicts = exact_dedup_incremental(batch, store, key, id_col)
     novel_agg = [F.min(id_col).cast("bigint").alias("keep_id")]
     if key_mode == "fingerprint":
         # text rides as payload: every row in an fp group has the same text
@@ -302,6 +310,10 @@ def exact_dedup_store_backed_update(
     novel = batch.groupBy(key).agg(*novel_agg).join(
         store.select(key), key, "left_anti"
     )
+    if fold_only:
+        tbl.append(novel.repartitionByRange(max(1, target_files), key))
+        return None
+    verdicts = exact_dedup_incremental(batch, store, key, id_col)
     # materialize before mutating the table: the verdict plan reads the
     # pre-append snapshot by explicit file list, and optimize()/vacuum()
     # may rewrite or delete those files before the caller consumes it
@@ -353,7 +365,8 @@ def minhash_store_backed_update(
     bloom_bits: int | None = None,
     max_prune_keys: int = 100_000,
     caches: list | None = None,
-) -> DataFrame:
+    fold_only: bool = False,
+) -> DataFrame | None:
     """The PRODUCTION shape of :func:`minhash_incremental_pairs` +
     :func:`minhash_store_update`: the signature store lives in ONE
     :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
@@ -403,6 +416,13 @@ def minhash_store_backed_update(
     pre-append snapshot by explicit file list, so a caller running
     ``optimize()``/``vacuum()`` between update and consumption would
     otherwise recompute from rewritten/deleted files.
+
+    ``fold_only=True`` (round 13, guide §1.2): fold the batch's bucket
+    rows into the store and return ``None`` WITHOUT computing the
+    batch's near-dup pairs — the corpus-bootstrap shape (a store build
+    has no "yesterday" to match against and discards the within-batch
+    pairs).  The appended rows never depended on the pair plan, so the
+    store is bit-identical either way (fold-parity pinned in tests).
     """
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 
@@ -421,6 +441,9 @@ def minhash_store_backed_update(
         .select("bkey", id_col, *mh_cols)
     )
 
+    if fold_only:
+        tbl.append(bucket_rows.repartition(max(1, target_files), "bkey"))
+        return None
     if tbl.latest_version() is None:
         cand = new_sigs.limit(0)  # empty corpus: within-batch pairs only
     else:

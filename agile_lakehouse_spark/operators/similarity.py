@@ -603,7 +603,8 @@ def embedding_store_backed_update(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     caches: list | None = None,
-) -> DataFrame:
+    fold_only: bool = False,
+) -> DataFrame | None:
     """The PRODUCTION shape of :func:`embedding_match` +
     :func:`embedding_store_update`: the corpus vector table lives in a
     :class:`~agile_lakehouse_spark.plans.snapshots.TransactionalTable`
@@ -631,6 +632,12 @@ def embedding_store_backed_update(
     otherwise recompute from rewritten/deleted files.  The checkpoint
     pins the small pair list, making the result safe under any later
     table maintenance (the dq148d discipline).
+
+    ``fold_only=True`` (round 13, guide §1.2): fold the batch's vectors
+    into the store and return ``None`` WITHOUT computing the matches —
+    the corpus-bootstrap shape.  The appended rows never depended on the
+    match plan, so the store is bit-identical either way (fold-parity
+    pinned in tests).
     """
     from agile_lakehouse_spark.plans.snapshots import TransactionalTable
 
@@ -648,6 +655,9 @@ def embedding_store_backed_update(
             "non-null cell"
         )
     n_part = max(1, len(dirty_vals))
+    if fold_only:
+        tbl.append(tagged.repartitionByRange(n_part, block_col))
+        return None
     if tbl.latest_version() is None:
         matches = embedding_match(
             tagged, tagged.limit(0), threshold, block_col, vec_col, id_col

@@ -445,3 +445,48 @@ def test_optimize_cluster_by_rejects_both_options(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         tbl.optimize(spark, zorder_by=("a", "b"), cluster_by="a")
+
+
+def test_fold_only_is_store_identical_across_the_trio(spark, tmp_path):
+    """fold_only=True (round 13) must change NOTHING about the store —
+    only skip computing the discarded bootstrap result.  For each trio
+    member: fold batch 1 twice (with and without fold_only), run batch 2
+    against both stores, assert identical outputs; and assert fold_only
+    returns None (nothing was computed to return)."""
+    b1, b2 = _minhash_corpus(spark)
+    caches: list = []
+
+    s_a, s_b = str(tmp_path / "mh_a"), str(tmp_path / "mh_b")
+    r = dedup.minhash_store_backed_update(
+        spark, b1, s_a, k=K, threshold=T, caches=caches, fold_only=True
+    )
+    assert r is None
+    dedup.minhash_store_backed_update(spark, b1, s_b, k=K, threshold=T, caches=caches)
+    got_a = dedup.minhash_store_backed_update(spark, b2, s_a, k=K, threshold=T, caches=caches)
+    got_b = dedup.minhash_store_backed_update(spark, b2, s_b, k=K, threshold=T, caches=caches)
+    assert _pairs(got_a) == _pairs(got_b) and got_a.count() > 0
+
+    s_a, s_b = str(tmp_path / "ex_a"), str(tmp_path / "ex_b")
+    r = dedup.exact_dedup_store_backed_update(
+        spark, b1, s_a, caches=caches, fold_only=True
+    )
+    assert r is None
+    dedup.exact_dedup_store_backed_update(spark, b1, s_b, caches=caches)
+    got_a = dedup.exact_dedup_store_backed_update(spark, b2, s_a, caches=caches)
+    got_b = dedup.exact_dedup_store_backed_update(spark, b2, s_b, caches=caches)
+    assert _pairs(got_a) == _pairs(got_b) and got_a.count() > 0
+
+    corpus = _vec_corpus(spark)
+    v1 = corpus.filter((F.col("cell") < 5) | (F.col("vec_id") % 100 < 6))
+    v2 = corpus.filter((F.col("cell") == 5) & (F.col("vec_id") % 100 >= 6))
+    s_a, s_b = str(tmp_path / "em_a"), str(tmp_path / "em_b")
+    r = similarity.embedding_store_backed_update(
+        spark, v1, s_a, threshold=0.9, caches=caches, fold_only=True
+    )
+    assert r is None
+    similarity.embedding_store_backed_update(spark, v1, s_b, threshold=0.9, caches=caches)
+    got_a = similarity.embedding_store_backed_update(spark, v2, s_a, threshold=0.9, caches=caches)
+    got_b = similarity.embedding_store_backed_update(spark, v2, s_b, threshold=0.9, caches=caches)
+    assert _pairs(got_a) == _pairs(got_b) and got_a.count() > 0
+    for c in caches:
+        c.unpersist()
