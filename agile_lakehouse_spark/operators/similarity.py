@@ -566,6 +566,134 @@ def embedding_match(
 
 # --- product quantization (IVF-PQ's compression half) -----------------------
 #
+def _incremental_pair_edges(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float,
+    block_col: str = "cell",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sieve: bool = True,
+    sieve_margin: float = 1e-6,
+    max_sieve_block: int = 65_536,
+    max_sieve_elems: int = 16_000_000,
+) -> DataFrame:
+    """FUSED per-batch edge kernel for :func:`semantic_dedup_update`
+    (round 13, guide §4 "cross the Python boundary once" / §2.3 "shuffle
+    fewer bytes"): one per-block gram sieve computes BOTH the bipartite
+    new-vs-corpus pairs (:func:`embedding_match`'s edge set) AND the
+    within-new pairs (:func:`embedding_near_dup`'s, ``id_a < id_b``) —
+    the union the incremental CC consumes.  Run separately, the batch's
+    vectors shuffled and crossed into Python twice (two sizes aggs, two
+    applyInPandas stages, four verify joins); fused, once.  The flop
+    count is identical (new x (new+corpus) == new x corpus + new x new),
+    and exactness is preserved the same way as both parents: the sieve
+    admits raw cosines down to ``threshold - 5e-5 - sieve_margin`` and
+    the oracle-exact sequential-fold cosine is re-evaluated on survivors
+    (equivalence pinned against the two parent operators in
+    ``tests/test_llm_ops.py``).  Ids must be disjoint across sides (the
+    :func:`embedding_match` contract).  Returns (block_col, id_a, id_b):
+    ``id_a`` is always a batch vector; ``id_b`` is a corpus vector (any
+    order) or a batch vector (then ``id_a < id_b``) — edge direction is
+    irrelevant to connected components.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = new_df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), vector.norm(F.col(vec_col)).alias("na"),
+    )
+    ball = new_df.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), vector.norm(F.col(vec_col)).alias("nb"),
+        F.lit(0).alias("_side"),
+    ).unionByName(
+        corpus_df.select(
+            F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"), vector.norm(F.col(vec_col)).alias("nb"),
+            F.lit(1).alias("_side"),
+        )
+    )
+    cos = vector.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    keep = (F.col("_side") == 1) | (F.col("id_a") < F.col("id_b"))
+    out_cols = [F.col("blk").alias(block_col), "id_a", "id_b"]
+
+    def _join_pairs(aa, bb):
+        return (
+            aa.join(bb, "blk")
+            .filter(keep)
+            .select("blk", "id_a", "id_b", round4(cos).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .drop("cos")
+        )
+
+    if not sieve:
+        return _join_pairs(a, ball).select(*out_cols)
+
+    id_type = new_df.schema[id_col].dataType.simpleString()
+    blk_type = new_df.schema[block_col].dataType.simpleString()
+    # same admission rule as both parents: exact pass keeps
+    # round4(cos) >= threshold, which admits raw cosines 5e-5 below
+    thr = threshold - 5e-5 - sieve_margin
+
+    def _gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"blk": [], "id_a": [], "id_b": []})
+        side = pdf["_side"].to_numpy()
+        newm = side == 0
+        if not newm.any():
+            return empty
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms[:, None]
+        A, a_ids = Vn[newm], ids[newm]
+        out_a, out_b = [], []
+        step = max(1, 16_000_000 // max(len(ids), 1))
+        for s in range(0, len(a_ids), step):
+            G = A[s : s + step] @ Vn.T
+            ia, ib = np.nonzero(G >= thr)
+            ja, jb, sb = a_ids[ia + s], ids[ib], side[ib]
+            m = (sb == 1) | (ja < jb)
+            out_a.append(ja[m])
+            out_b.append(jb[m])
+        ja = np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype)
+        jb = np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype)
+        return pd.DataFrame(
+            {"blk": np.repeat(pdf["blk"].iloc[0] if len(pdf) else None, len(ja)),
+             "id_a": ja, "id_b": jb}
+        )
+
+    sizes = ball.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("_n"), F.max(F.size("vb")).alias("_d")
+    )
+    fits = (F.col("_n") <= max_sieve_block) & (
+        F.col("_n") * F.col("_d") <= max_sieve_elems
+    )
+    _log_sieve_split("incremental_pair_edges", sizes, fits)
+    small_blocks = F.broadcast(sizes.filter(fits))
+    big_blocks = F.broadcast(sizes.filter(~fits))
+    small = ball.select(
+        "blk", F.col("id_b").alias("_id"), F.col("vb").alias("_v"), "_side"
+    ).join(small_blocks, "blk", "left_semi")
+    cand = small.groupBy("blk").applyInPandas(
+        _gram, schema=f"blk {blk_type}, id_a {id_type}, id_b {id_type}"
+    )
+    exact = (
+        cand.join(a.select("id_a", "va", "na"), "id_a")
+        .join(ball.select("id_b", "vb", "nb"), "id_b")
+        .select("blk", "id_a", "id_b", round4(cos).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .drop("cos")
+    )
+    big = _join_pairs(
+        a.join(big_blocks, "blk", "left_semi"),
+        ball.join(big_blocks, "blk", "left_semi"),
+    )
+    return exact.unionByName(big).select(*out_cols)
+
+
 def embedding_store_update(
     store_df: DataFrame,
     new_df: DataFrame,
@@ -1352,13 +1480,13 @@ def semantic_dedup_update(
     store_dirty = vectors.join(F.broadcast(dirty), "cell")
     old_dirty = old_assign.join(F.broadcast(dirty), "cell")
 
-    cross_pairs = embedding_match(
+    # ONE fused per-cell sieve yields both the bipartite batch-vs-store
+    # pairs and the within-batch pairs (round 13: the batch's vectors
+    # cross the Python boundary once instead of twice; bit-identical
+    # edge set, pinned against the two parent operators in tests)
+    pair_edges = _incremental_pair_edges(
         tagged_new, store_dirty, threshold,
-        block_col="cell", vec_col=vec_col, id_col=id_col, emit_block=True,
-    ).select("cell", F.col(id_col).alias("id_a"), F.col("match_id").alias("id_b"))
-    within_pairs = embedding_near_dup(
-        tagged_new, threshold, block_col="cell", vec_col=vec_col, id_col=id_col,
-        emit_block=True,
+        block_col="cell", vec_col=vec_col, id_col=id_col,
     ).select("cell", "id_a", "id_b")
     # the structural star edge stays inside its cell by construction, so
     # the whole edge set is cell-keyed and components stay cell-contained:
@@ -1366,7 +1494,7 @@ def semantic_dedup_update(
     old_edges = old_dirty.filter(F.col("grp") != F.col(id_col)).select(
         "cell", F.col(id_col).alias("id_a"), F.col("grp").alias("id_b")
     )
-    edges = cross_pairs.unionByName(within_pairs).unionByName(old_edges)
+    edges = pair_edges.unionByName(old_edges)
     comps = graph.connected_components_blocked(
         edges, block_col="cell", src="id_a", dst="id_b", id_col=id_col
     )

@@ -1627,3 +1627,45 @@ def test_incremental_ops_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
     [c.unpersist() for c in caches]
+
+
+def test_incremental_pair_edges_equals_parent_operators(spark):
+    """Round 13: the FUSED per-batch edge kernel must emit exactly the
+    union of embedding_match's (new, old) edges and embedding_near_dup's
+    within-new (id_a < id_b) edges — across the sieve path, the forced
+    big-block fallback, and sieve=False."""
+    import random
+
+    from agile_lakehouse_spark.operators import similarity as S
+
+    rnd = random.Random(77)
+    dim = 12
+    rows = []
+    for i in range(90):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, i % 4, v))
+        if i % 9 == 0:  # cross-side near-dup (scaled copy, cos == 1.0)
+            rows.append((i + 500, i % 4, [x * 3.0 for x in v]))
+        if i % 12 == 0:  # within-new near-dup pair
+            rows.append((i + 600, i % 4, [x * 2.0 for x in v]))
+            rows.append((i + 700, i % 4, [x * 0.5 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+    new = df.filter("vec_id >= 500")
+    old = df.filter("vec_id < 500")
+    thr = 0.95
+    cross = S.embedding_match(new, old, thr, emit_block=True).select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("match_id").alias("id_b")
+    )
+    within = S.embedding_near_dup(
+        new, thr, block_col="cell", emit_block=True
+    ).select("cell", "id_a", "id_b")
+    expected = sorted(tuple(r) for r in cross.unionByName(within).collect())
+    assert expected, "fixture must plant both edge kinds"
+    assert any(a >= 500 and b < 500 for _, a, b in expected)  # cross edges
+    assert any(a >= 500 and b >= 500 for _, a, b in expected)  # within edges
+    for kw in ({}, {"max_sieve_block": 2}, {"sieve": False}):
+        got = sorted(
+            tuple(r)
+            for r in S._incremental_pair_edges(new, old, thr, **kw).collect()
+        )
+        assert got == expected, f"fused kernel diverged under {kw}"
