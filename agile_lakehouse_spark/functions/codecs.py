@@ -633,9 +633,20 @@ def encode_png_indexed(arr: np.ndarray) -> bytes:
         raise ValueError(f"expected HxWx3 uint8 array, got {arr.shape} {arr.dtype}")
     h, w, _ = arr.shape
     flat = arr.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise ValueError(f"image has {len(palette)} unique colors (palette max 256)")
-    return encode_png_palette(
-        inverse.reshape(h, w).astype(np.uint8), palette.astype(np.uint8)
+    # pack (r,g,b) into one int and unique THAT (round 13): sorted packed
+    # keys == lexicographic row order, so palette and indices are
+    # bit-identical to np.unique(flat, axis=0) at ~2x the speed (axis=0
+    # unique lexsorts a 2-D view per call — the palette encoder's hot spot
+    # at fixture scale, equivalence-pinned in tests/test_codecs.py)
+    keys = (
+        (flat[:, 0].astype(np.uint32) << 16)
+        | (flat[:, 1].astype(np.uint32) << 8)
+        | flat[:, 2]
     )
+    pkeys, inverse = np.unique(keys, return_inverse=True)
+    if len(pkeys) > 256:
+        raise ValueError(f"image has {len(pkeys)} unique colors (palette max 256)")
+    palette = np.stack(
+        [(pkeys >> 16) & 255, (pkeys >> 8) & 255, pkeys & 255], axis=1
+    ).astype(np.uint8)
+    return encode_png_palette(inverse.reshape(h, w).astype(np.uint8), palette)

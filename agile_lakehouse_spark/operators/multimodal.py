@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 )
 
 from agile_lakehouse_spark.functions import codecs
+from agile_lakehouse_spark.operators.dedup import spread
 
 MEDIA_SCHEMA = StructType(
     [
@@ -195,6 +196,20 @@ def synthesize_image_media(
             )
 
     base = df.select(F.col(id_col).cast("long").alias("media_id"))
+    if container.startswith("png"):
+        # spread BEFORE the Python stage for the COMPRESSED containers
+        # only (round 13, guide §2.5 input skew): a single-file scan
+        # arrives as ~1 partition, so the deflate+filter encode — and
+        # every downstream decode stage, which inherits this
+        # partitioning — ran on one core.  Measured: png_pal 1.86→1.1 s,
+        # png_rgba 1.12→0.87 s at sf0.1.  Raw containers (bmp/ppm) stay
+        # unspread: their encode is 5-10x cheaper than the extra
+        # exchange + per-task Arrow overhead (measured +0.17 s on dq25).
+        # Fan-out scales with the cluster (quarter of the cores, floor
+        # 8) — at real scale the input is already wide and spread
+        # no-ops; tasks shorter than ~100 ms just waste scheduler time.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        base = spread(base, min_partitions=max(8, par // 4))
     return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
@@ -227,6 +242,9 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id", n_samples: int =
                 }
             )
 
+    # raw PCM encode is byte plumbing (no compression): measured at
+    # fixture scale the spread exchange costs more than it saves — see
+    # synthesize_image_media's container-conditional rebalance
     base = df.select(F.col(id_col).cast("long").alias("media_id"))
     return base.mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
