@@ -4987,11 +4987,13 @@ def curate_incremental_q(spark, sf_dir):
         ((F.min("doc_id") + F.max("doc_id")) / 2).cast("bigint")
     ).collect()[0][0]
     caches: list = []
+    # ordered=False: the union below carries the ONE global sort; the
+    # per-batch sorts were redundant (round 13, guide §2.4)
     out1, state = curate_corpus_incremental(
-        train.filter(F.col("doc_id") <= cut), test_df, caches=caches
+        train.filter(F.col("doc_id") <= cut), test_df, caches=caches, ordered=False
     )
     out2, _ = curate_corpus_incremental(
-        train.filter(F.col("doc_id") > cut), test_df, state, caches=caches
+        train.filter(F.col("doc_id") > cut), test_df, state, caches=caches, ordered=False
     )
     # NOTE: the two persisted batch frames in `caches` live until session
     # cache eviction — acceptable for the one-shot driver/bench process;

@@ -14,11 +14,39 @@ one agg, near-dup the LSH join) regardless of corpus size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from agile_lakehouse_spark.operators import dedup
 from agile_lakehouse_spark.operators.text import quality_score
+
+# How curate_corpus_incremental pins the cross-batch STATE frames:
+# "checkpoint" (default) = LAZY localCheckpoint — truncates the state's
+# lineage at pin time (batch N+1 plans against a LogicalRDD instead of
+# embedding every prior batch's full pipeline) while the blocks are
+# computed on first use, overlapped with batch N+1's own stages.  Guide
+# §3.3/§5: very large plans make the optimizer itself the bottleneck —
+# under "persist" (the round-9..12 behavior, kept for A/B) dq124b's
+# 2-batch execution ran 85 serial AQE stage jobs and 7.7-9.1 s vs
+# checkpoint's 47 jobs / 4.0-4.6 s, because persist truncates nothing at
+# planning time and every prior batch's pipeline is re-planned per
+# consumer.  "eager_checkpoint" (measured worse: it serializes the state
+# materialization into standalone driver-blocking jobs, build 8-10 s)
+# completes the A/B matrix.  Content is identical in all three: the same
+# deterministic frame, pinned; only lineage visibility differs.
+STATE_PIN = os.environ.get("SPARK_GRAFT_STATE_PIN", "checkpoint")
+
+
+def _pin_state(df: DataFrame, caches: list | None) -> DataFrame:
+    if STATE_PIN == "persist":
+        df = df.persist()
+    else:
+        df = df.localCheckpoint(eager=(STATE_PIN == "eager_checkpoint"))
+    if caches is not None:
+        caches.append(df)
+    return df
 
 
 def clean_corpus(
@@ -124,6 +152,7 @@ def curate_corpus_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     caches: list | None = None,
+    ordered: bool = True,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """One INGEST STEP of :func:`curate_corpus`: curate a new train batch
     against the state left by every previous batch, without ever
@@ -230,18 +259,27 @@ def curate_corpus_incremental(
         s1.select(F.col(id_col).cast("bigint").alias(id_col))
         .join(drop_near, id_col, "left_anti")
         .join(contam, id_col, "left_anti")
-        .orderBy(id_col)
     )
-    # Persist the RETURNED state frames too (round-9 advice): they chain a
-    # union per batch, so an un-persisted store's lineage re-runs every
+    # ``ordered=False`` skips the per-batch global sort (a range-partition
+    # exchange + its sampling pass) for callers that re-order the
+    # concatenation themselves — dq124b unions N batches and orders ONCE;
+    # the inner sorts were pure overhead (Catalyst does not eliminate a
+    # sort below a union under an outer sort).
+    if ordered:
+        survivors = survivors.orderBy(id_col)
+    # Pin the RETURNED state frames too (round-9 advice): they chain a
+    # union per batch, so an un-pinned store's lineage re-runs every
     # prior batch's quality/normalize/signature pipeline inside every
-    # later batch — quadratic in batch count.  Persisted here, each
-    # batch's store reads the previous batch's cached store plus one new
-    # delta; registered in ``caches`` under the same lifetime contract.
+    # later batch — quadratic in batch count.  Round 13: pinned via
+    # localCheckpoint (STATE_PIN), which also TRUNCATES the
+    # lineage — under plain persist batch N+1's analyzed plan still
+    # embedded every prior batch's pipeline (dq124b: 221 Exchange nodes,
+    # 2.6 s planning for 2 batches, superlinear in batch count), because
+    # cache lookup happens at execution, not planning.  The checkpointed
+    # state is what a production job reloads from a lakehouse table
+    # between batches anyway (plans/snapshots.py) — same plan shape.
     new_state = {
-        "fps": state["fps"].unionByName(novel).persist(),
-        "sigs": dedup.minhash_store_update(state["sigs"], sigs).persist(),
+        "fps": _pin_state(state["fps"].unionByName(novel), caches),
+        "sigs": _pin_state(dedup.minhash_store_update(state["sigs"], sigs), caches),
     }
-    if caches is not None:
-        caches.extend([new_state["fps"], new_state["sigs"]])
     return survivors, new_state

@@ -1,0 +1,76 @@
+"""Interleaved A/B timing for declared bench entries (round-13 harness).
+
+The box has degraded-performance windows (SCALE.md: 7-15x), so absolute
+numbers from different sessions are incomparable.  This harness times the
+given entries with a canary probe (the dq01 scan-count, bench.py's probe)
+before and after each rep block, and interleaves reps A,B,A,B,... within
+ONE session so both variants share whatever window the box is in.
+
+Variants are selected via the SPARK_GRAFT_AB env var, which the code
+under test reads (temporary toggles guarded by it must default to the
+current behavior).  When no toggle exists, run this twice from different
+git states instead and compare canary-normalized means.
+
+Usage:
+    python scripts/ab_entries.py [--reps N] name [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from agile_lakehouse_spark import declared, get_session  # noqa: E402
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--reps"):
+            reps = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.createDataFrame([(0, 1.0)], "k int, v double").groupBy("k").applyInPandas(
+        lambda p: p, schema="k int, v double"
+    ).count()
+
+    canary_fn = declared.SPARK_QUERIES["dq01_pc_scan_count"]
+    noop(canary_fn(spark, sf_dir))
+
+    def canary() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            noop(canary_fn(spark, sf_dir))
+            runs.append(time.time() - t0)
+        return round(sorted(runs)[1], 3)
+
+    out: dict = {"canary_start": canary(), "entries": {}}
+    for name in args:
+        fn = declared.SPARK_QUERIES[name]
+        noop(fn(spark, sf_dir))  # warm
+        per = []
+        for _ in range(reps):
+            t0 = time.time()
+            noop(fn(spark, sf_dir))
+            per.append(round(time.time() - t0, 3))
+        out["entries"][name] = per
+    out["canary_end"] = canary()
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1559,6 +1559,50 @@ def test_curate_corpus_incremental_equals_batch(spark, sf_dir):
     [c.unpersist() for c in caches]
 
 
+def test_curate_incremental_state_lineage_truncated(spark, sf_dir):
+    """Round 13 (guide §3.3/§5): the cross-batch state frames are pinned
+    via localCheckpoint, so batch N+1's analyzed plan must NOT embed
+    batch N's pipeline (under persist, 6-batch folds re-planned every
+    prior batch per consumer — measured 72 s vs 56 s).  Also pins
+    ordered=False: no per-batch global sort when the caller re-orders
+    the concatenation itself."""
+    from pyspark.sql import functions as F
+
+    from agile_lakehouse_spark.operators.pipeline import curate_corpus_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    test_df = docs.limit(20)
+    caches: list = []
+    out1, state = curate_corpus_incremental(
+        docs.filter("doc_id % 2 = 0"), test_df, caches=caches, ordered=False
+    )
+    # state plans are truncated to an RDD scan — no aggregate/join lineage
+    for key in ("fps", "sigs"):
+        plan = state[key]._jdf.queryExecution().analyzed().toString()
+        assert "LogicalRDD" in plan, f"state[{key!r}] lineage not truncated"
+        assert "Aggregate" not in plan, f"state[{key!r}] re-plans its build"
+    # ordered=False: no global Sort node in the survivors plan
+    out2, _ = curate_corpus_incremental(
+        docs.filter("doc_id % 2 = 1"), test_df, state, caches=caches, ordered=False
+    )
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sort [doc_id" not in plan2, "ordered=False must skip the per-batch sort"
+    # and the unordered union still matches the ordered contract's rows
+    got = sorted(
+        r.doc_id for r in out1.unionByName(out2).collect()
+    )
+    ordered_caches: list = []
+    o1, st = curate_corpus_incremental(
+        docs.filter("doc_id % 2 = 0"), test_df, caches=ordered_caches
+    )
+    o2, _ = curate_corpus_incremental(
+        docs.filter("doc_id % 2 = 1"), test_df, st, caches=ordered_caches
+    )
+    want = sorted(r.doc_id for r in o1.unionByName(o2).collect())
+    assert got == want
+    [c.unpersist() for c in caches + ordered_caches]
+
+
 def test_embedding_match_sieve_equals_join(spark):
     """Bipartite matcher: gram-sieve path == plain block join, forced
     big-block fallback included; one-sided blocks yield no pairs."""
