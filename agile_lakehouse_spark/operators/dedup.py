@@ -541,30 +541,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: columns ``mh0..mh{n-1}``.
 
-    One explode + ONE aggregation pass computes all permutations (each perm
-    is a `min` agg expression -> map-side partial mins, single shuffle).
+    Round 14 (guide §2.4 "remove shuffles outright", §4.1 higher-order
+    functions): each signature is computed WITHIN its own row — one
+    ``transform`` hashes the doc's distinct shingle array once (md5 +
+    hexfold, exactly the expressions the former explode path evaluated
+    per exploded row), then each permutation is an ``array_min`` over a
+    per-element affine map.  No explode (the ~100-300x row
+    amplification), no groupBy — the former plan's ONE shuffle (partial
+    mins + final agg on ``id_col``) is gone; the whole operator is a
+    narrow whole-stage-codegen map, so its cost scales with input bytes
+    and never with ``spark.sql.shuffle.partitions``.  min is
+    order-insensitive and the per-shingle arithmetic is bit-identical,
+    so the signatures equal the explode+agg form exactly (pinned in
+    ``tests/test_dedup.py::test_minhash_signatures_narrow_equals_agg``);
+    Catalyst keeps the hash array as its own projection (the
+    CollapseProject expensive-expression guard), so md5 still runs once
+    per shingle — verified: 1 md5 in the optimized plan.
+
+    Per-doc md5 (vs a global shingle dictionary) is deliberate, MEASURED
+    in r12/r13: in-line md5 is embarrassingly parallel and adds no plan
+    step, while the dictionary needs a distinct + join that costs more
+    than the hash evals it saves at any measured size.  Contrast
+    :func:`simhash`, where the pair table is post-aggregation (compact,
+    already shuffled) and the dictionary DOES win.
     """
     perms = portable.minhash_perms(num_perms, seed)
-    # Per-pair md5 is deliberate, MEASURED against the global-dictionary
-    # variant (hash each distinct shingle once, join back): on sf0.1 the
-    # signature stage is 0.84 s per-pair vs 1.27 s dictionary-broadcast /
-    # 1.00 s with the pair stream persisted — despite a 500x
-    # pairs:vocabulary ratio.  In-line md5 is embarrassingly parallel and
-    # adds NO plan step, while the dictionary needs a distinct + join (and
-    # pays a 1M-row cache materialization to avoid re-exploding), which
-    # costs more than the hash evals it saves at any measured size.
-    # Contrast :func:`simhash`, where the pair table is post-aggregation
-    # (compact, already shuffled) and the dictionary DOES win.
-    sh = (
-        shingle_df(df, k, text_col, id_col)
-        .withColumn("m", F.md5("shingle"))  # md5 once; the fold touches chars only
-        .withColumn("h", F.expr(portable.hexfold_spark("m")) % portable.MERSENNE_P)
+    p = portable.MERSENNE_P
+    df = spread(df)
+    hs = (
+        f"transform({portable.shingles_spark(text_col, k)}, "
+        f"s -> {portable.hexfold_spark('md5(s)')} % {p})"
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % portable.MERSENNE_P).alias(f"mh{j}")
+    base = df.select(F.col(id_col), F.expr(hs).alias("__hs"))
+    cols = [
+        F.array_min(F.expr(f"transform(__hs, h -> ({a} * h + {b}) % {p})")).alias(f"mh{j}")
         for j, (a, b) in enumerate(perms)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.select(id_col, *cols)
 
 
 def _lsh_buckets(

@@ -34,19 +34,61 @@ from agile_lakehouse_spark.operators.text import quality_score
 # planning time and every prior batch's pipeline is re-planned per
 # consumer.  "eager_checkpoint" (measured worse: it serializes the state
 # materialization into standalone driver-blocking jobs, build 8-10 s)
-# completes the A/B matrix.  Content is identical in all three: the same
-# deterministic frame, pinned; only lineage visibility differs.
+# completes the A/B matrix.  "table" (round 14, VERDICT r13 item 2) is
+# the SCALE-SAFE mode: state lands in a TransactionalTable under
+# $SPARK_GRAFT_STATE_PIN_DIR (default: a session tempdir) and reads back
+# as a plain parquet scan — localCheckpoint blocks live on executors and
+# are UNRECOVERABLE after an executor loss (the job fails, it cannot
+# recompute), acceptable on local[n] where executor==driver, fatal on a
+# real cluster; the table mode is exactly the "production reloads state
+# from the lakehouse between batches" contract, durable across executor
+# AND driver restarts.  Content is identical in all four modes: the same
+# deterministic frame, pinned; only lineage/durability differ (pinned by
+# test_curate_incremental_state_pin_table_mode).
+#
+# Lifetime contract: frames pinned via (eager_)checkpoint/table are NOT
+# unpersist-able — DataFrame.unpersist() is a cacheManager no-op for
+# them, so a caches=[...] sweep releases only the "persist" mode's
+# blocks; checkpoint blocks free at GC/session end, table files at
+# tempdir cleanup.  The mode is read from the environment AT CALL TIME
+# (tests monkeypatch it); unknown values raise rather than silently
+# meaning checkpoint.
 STATE_PIN = os.environ.get("SPARK_GRAFT_STATE_PIN", "checkpoint")
+_STATE_PIN_MODES = ("checkpoint", "eager_checkpoint", "persist", "table")
 
 
 def _pin_state(df: DataFrame, caches: list | None) -> DataFrame:
-    if STATE_PIN == "persist":
+    mode = os.environ.get("SPARK_GRAFT_STATE_PIN", "checkpoint")
+    if mode not in _STATE_PIN_MODES:
+        raise ValueError(
+            f"SPARK_GRAFT_STATE_PIN={mode!r}: expected one of {_STATE_PIN_MODES}"
+        )
+    if mode == "persist":
         df = df.persist()
+    elif mode == "table":
+        df = _pin_state_table(df)
     else:
-        df = df.localCheckpoint(eager=(STATE_PIN == "eager_checkpoint"))
+        df = df.localCheckpoint(eager=(mode == "eager_checkpoint"))
     if caches is not None:
         caches.append(df)
     return df
+
+
+def _pin_state_table(df: DataFrame) -> DataFrame:
+    """Materialize a state frame into a TransactionalTable and read it
+    back: the durable STATE_PIN mode (one table per pin — state frames
+    are immutable snapshots, the next batch pins a new one)."""
+    import tempfile
+
+    from agile_lakehouse_spark.plans.snapshots import TransactionalTable
+
+    base = os.environ.get("SPARK_GRAFT_STATE_PIN_DIR") or tempfile.mkdtemp(
+        prefix="state_pin_"
+    )
+    path = tempfile.mkdtemp(prefix="state_", dir=base)
+    tbl = TransactionalTable(f"{path}/state")
+    tbl.append(df)
+    return tbl.read(df.sparkSession)
 
 
 def clean_corpus(

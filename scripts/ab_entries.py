@@ -32,11 +32,19 @@ def noop(df) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 3
-    for a in sys.argv[1:]:
+    # consume option VALUE tokens too: `--reps 5` must not leave `5` in
+    # the positional entry list (ADVICE r13)
+    argv = sys.argv[1:]
+    reps, consumed = 3, set()
+    for i, a in enumerate(argv):
         if a.startswith("--reps"):
-            reps = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            consumed.add(i)
+            if "=" in a:
+                reps = int(a.split("=", 1)[1])
+            else:
+                reps = int(argv[i + 1])
+                consumed.add(i + 1)
+    args = [a for i, a in enumerate(argv) if i not in consumed and not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("ab")
     spark.sparkContext.setLogLevel("ERROR")

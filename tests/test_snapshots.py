@@ -124,6 +124,30 @@ def test_delete_where_no_match_is_noop(spark, table):
     assert v == v0  # no new version for a no-op delete
 
 
+def test_delete_where_whole_file_commits_no_empty_files(spark, table):
+    """Round 14: emptiness is decided from the staged parquet footers (no
+    limit(1).count() probe job) — a delete that empties a file must not
+    commit a zero-row file, and must not leave its discarded staging dir
+    behind."""
+    import os
+
+    table.append(_df(spark, 0, 10).coalesce(1))
+    table.append(_df(spark, 100, 110).coalesce(1))
+    v = table.delete_where(spark, "k >= 100")  # empties the second file whole
+    out = table.read(spark)
+    assert out.count() == 10 and out.filter("k >= 100").count() == 0
+    manifest = table._read_manifest(v)
+    assert len(manifest["files"]) == 1  # survivor staging discarded, not committed
+    assert all(manifest["stats"][f]["rows"] > 0 for f in manifest["files"])
+    # no dangling empty staging dirs (discarded dir removed)
+    live = {os.path.dirname(f) for vv in table.versions() for f in table._read_manifest(vv)["files"]}
+    dangling = [
+        d for d in os.listdir(table.path)
+        if d.startswith("stage-") and os.path.join(table.path, d) not in live
+    ]
+    assert dangling == [], f"discarded staging dirs left behind: {dangling}"
+
+
 def test_merge_upsert(spark, table):
     table.append(_df(spark, 0, 10).coalesce(1))
     table.append(_df(spark, 100, 110).coalesce(1))
